@@ -1,0 +1,244 @@
+"""From-scratch planar/spherical geometry kernels (vectorized numpy).
+
+These primitives back the engine's zonal join and polygon rasterization
+semantics:
+
+- ``point_in_polygon`` — crossing-number (ray-cast) test, vectorized
+  over points; the exact refinement step of the cell-index join.
+- ``segments_touch_squares`` — exact segment vs axis-aligned-square
+  overlap; with center-PIP it reproduces GDAL-style
+  ``all_touched=True`` rasterization used for per-feature masks
+  (reference: src/utils/calc_metrics.py:638-653) — a pixel is burned
+  iff its center lies inside the polygon OR any boundary segment
+  touches its square.
+- center-rule rasterization (pixel center inside polygon) reproduces
+  the default rasterize used for the dissolved-corridor mask
+  (reference: src/utils/calc_metrics.py:484-490).
+- ``haversine_m`` — great-circle distance for the kNN re-rank.
+- ``polygon_cover_hex`` — polygon -> (cell, is_full) cover set at a hex
+  resolution: the broadcast side of the zonal equi-join.
+
+Grid convention: pixel (px, py) covers the square
+[gx0 + px*ps, gx0 + (px+1)*ps] x [gy0 - (py+1)*ps, gy0 - py*ps]
+with center at (gx0 + (px+.5)*ps, gy0 - (py+.5)*ps) — north-up raster
+with origin at the top-left corner, matching the reference fixture's
+GeoTIFF tiepoint layout.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from . import cellindex
+
+
+def polygon_area_m2(ring_x: np.ndarray, ring_y: np.ndarray) -> float:
+    """Shoelace area (absolute) of a closed or open ring."""
+    x = np.asarray(ring_x, dtype=np.float64)
+    y = np.asarray(ring_y, dtype=np.float64)
+    return float(0.5 * np.abs(np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1))))
+
+
+def point_in_polygon(px: np.ndarray, py: np.ndarray, ring_x: np.ndarray, ring_y: np.ndarray) -> np.ndarray:
+    """Crossing-number PIP, vectorized over points (bool array).
+
+    Half-open edge rule ((y1 > p) != (y2 > p)) gives deterministic
+    results for points exactly at a vertex y; boundary points follow
+    the crossing parity (synthetic data avoids degenerate on-edge
+    centers by using non-integer polygon coordinates).
+    """
+    px = np.asarray(px, dtype=np.float64)
+    py = np.asarray(py, dtype=np.float64)
+    x1 = np.asarray(ring_x, dtype=np.float64)
+    y1 = np.asarray(ring_y, dtype=np.float64)
+    if x1[0] != x1[-1] or y1[0] != y1[-1]:
+        x1 = np.append(x1, x1[0])
+        y1 = np.append(y1, y1[0])
+    xa, ya = x1[:-1], y1[:-1]
+    xb, yb = x1[1:], y1[1:]
+    inside = np.zeros(px.shape, dtype=bool)
+    # loop over edges (few), vectorized over points (many)
+    for i in range(xa.shape[0]):
+        cond = (ya[i] > py) != (yb[i] > py)
+        if not cond.any():
+            continue
+        with np.errstate(divide="ignore", invalid="ignore"):
+            xint = xa[i] + (py - ya[i]) * (xb[i] - xa[i]) / (yb[i] - ya[i])
+        inside ^= cond & (px < xint)
+    return inside
+
+
+def segments_touch_squares(
+    sq_cx: np.ndarray,
+    sq_cy: np.ndarray,
+    half: float,
+    ring_x: np.ndarray,
+    ring_y: np.ndarray,
+) -> np.ndarray:
+    """True per square iff ANY polygon-boundary segment intersects the
+    axis-aligned square centered at (sq_cx, sq_cy) with half-width
+    ``half`` (closed square). Liang-Barsky style slab clipping,
+    vectorized over squares, loop over edges.
+    """
+    cx = np.asarray(sq_cx, dtype=np.float64)
+    cy = np.asarray(sq_cy, dtype=np.float64)
+    x1 = np.asarray(ring_x, dtype=np.float64)
+    y1 = np.asarray(ring_y, dtype=np.float64)
+    if x1[0] != x1[-1] or y1[0] != y1[-1]:
+        x1 = np.append(x1, x1[0])
+        y1 = np.append(y1, y1[0])
+    hit = np.zeros(cx.shape, dtype=bool)
+    for i in range(x1.shape[0] - 1):
+        ax, ay, bx, by = x1[i], y1[i], x1[i + 1], y1[i + 1]
+        dx, dy = bx - ax, by - ay
+        # slab param intervals for x and y, per square
+        lo_x = cx - half - ax
+        hi_x = cx + half - ax
+        lo_y = cy - half - ay
+        hi_y = cy + half - ay
+        t0 = np.zeros_like(cx)
+        t1 = np.ones_like(cx)
+        ok = ~hit  # skip already-hit squares
+        for d, lo, hi in ((dx, lo_x, hi_x), (dy, lo_y, hi_y)):
+            if d == 0.0:
+                ok &= (lo <= 0.0) & (hi >= 0.0)
+            else:
+                ta = lo / d
+                tb = hi / d
+                tmin = np.minimum(ta, tb)
+                tmax = np.maximum(ta, tb)
+                t0 = np.maximum(t0, tmin)
+                t1 = np.minimum(t1, tmax)
+        hit |= ok & (t0 <= t1)
+    return hit
+
+
+def rasterize_polygon(
+    ring_x: np.ndarray,
+    ring_y: np.ndarray,
+    gx0: float,
+    gy0: float,
+    ps: float,
+    w: int,
+    h: int,
+    all_touched: bool,
+) -> np.ndarray:
+    """Burn a polygon onto a (h, w) uint8 grid.
+
+    all_touched=False: pixel burned iff its CENTER is inside (reference
+    AOI/corridor rasterize). all_touched=True: additionally burn every
+    pixel whose square is touched by a boundary segment (reference
+    per-feature mask).
+    """
+    xs = gx0 + (np.arange(w, dtype=np.float64) + 0.5) * ps
+    ys = gy0 - (np.arange(h, dtype=np.float64) + 0.5) * ps
+    # bbox prefilter to keep work proportional to the polygon
+    xmin, xmax = float(np.min(ring_x)) - ps, float(np.max(ring_x)) + ps
+    ymin, ymax = float(np.min(ring_y)) - ps, float(np.max(ring_y)) + ps
+    ci = np.nonzero((xs >= xmin) & (xs <= xmax))[0]
+    ri = np.nonzero((ys >= ymin) & (ys <= ymax))[0]
+    out = np.zeros((h, w), dtype=np.uint8)
+    if ci.size == 0 or ri.size == 0:
+        return out
+    cxg, cyg = np.meshgrid(xs[ci], ys[ri])
+    inside = point_in_polygon(cxg.ravel(), cyg.ravel(), ring_x, ring_y)
+    if all_touched:
+        inside |= segments_touch_squares(cxg.ravel(), cyg.ravel(), ps / 2.0, ring_x, ring_y)
+    out[np.ix_(ri, ci)] = inside.reshape(ri.size, ci.size).astype(np.uint8)
+    return out
+
+
+# ---------------------------------------------------------------- kNN helpers
+
+EARTH_R_M = 6371008.8
+
+
+def haversine_m(lat1, lon1, lat2, lon2) -> np.ndarray:
+    """Great-circle distance in meters (vectorized, degrees in)."""
+    lat1, lon1, lat2, lon2 = (np.radians(np.asarray(v, dtype=np.float64)) for v in (lat1, lon1, lat2, lon2))
+    dlat = lat2 - lat1
+    dlon = lon2 - lon1
+    a = np.sin(dlat / 2.0) ** 2 + np.cos(lat1) * np.cos(lat2) * np.sin(dlon / 2.0) ** 2
+    return 2.0 * EARTH_R_M * np.arcsin(np.sqrt(np.clip(a, 0.0, 1.0)))
+
+
+def planar_to_lonlat(x, y, lat0: float = -18.0, lon0: float = 120.0):
+    """Map local planar meters to lon/lat around a reference point.
+
+    Simple local tangent-plane inverse (meters per degree at lat0);
+    adequate for km-scale fixtures and documented as the engine's
+    planar->spherical bridge for the haversine re-rank.
+    """
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    m_per_deg_lat = np.pi * EARTH_R_M / 180.0
+    m_per_deg_lon = m_per_deg_lat * np.cos(np.radians(lat0))
+    return lon0 + x / m_per_deg_lon, lat0 + y / m_per_deg_lat
+
+
+# ------------------------------------------------------------- polygon cover
+
+def polygon_cover_hex(ring_x: np.ndarray, ring_y: np.ndarray, res: int) -> tuple[np.ndarray, np.ndarray]:
+    """Hex-cell cover of a polygon at resolution ``res``.
+
+    Returns (cells, is_full): every cell that can contain an in-polygon
+    or boundary-touched pixel; ``is_full`` marks cells whose pixels are
+    all guaranteed inside (center + 6 corners inside, not a boundary
+    cell) so the join can skip exact refinement for them.
+
+    Boundary cells come from dense sampling of the ring edges at
+    half-edge-length spacing, dilated by k-ring(1) so pixels merely
+    *touched* by an edge (all_touched semantics) still find their cell
+    in the cover.
+    """
+    rx = np.asarray(ring_x, dtype=np.float64)
+    ry = np.asarray(ring_y, dtype=np.float64)
+    if rx[0] != rx[-1] or ry[0] != ry[-1]:
+        rx = np.append(rx, rx[0])
+        ry = np.append(ry, ry[0])
+    s = cellindex.hex_edge(res)
+    # sample edges finer than half a cell edge
+    pts_x, pts_y = [], []
+    for i in range(rx.shape[0] - 1):
+        seg = np.hypot(rx[i + 1] - rx[i], ry[i + 1] - ry[i])
+        n = max(2, int(np.ceil(seg / (s * 0.5))) + 1)
+        t = np.linspace(0.0, 1.0, n)
+        pts_x.append(rx[i] + t * (rx[i + 1] - rx[i]))
+        pts_y.append(ry[i] + t * (ry[i + 1] - ry[i]))
+    edge_cells = np.unique(cellindex.hex_cell(np.concatenate(pts_x), np.concatenate(pts_y), res))
+    boundary = np.unique(cellindex.hex_kring(edge_cells, 1).ravel())
+
+    # interior candidates: cells whose center falls in the polygon bbox
+    xmin, xmax = rx.min() - 2 * s, rx.max() + 2 * s
+    ymin, ymax = ry.min() - 2 * s, ry.max() + 2 * s
+    # generate candidate centers on the hex lattice covering the bbox
+    r_lo = int(np.floor(ymin / (1.5 * s))) - 1
+    r_hi = int(np.ceil(ymax / (1.5 * s))) + 1
+    cand_q, cand_r = [], []
+    sqrt3 = np.sqrt(3.0)
+    for r in range(r_lo, r_hi + 1):
+        # x = s*sqrt3*(q + r/2) in [xmin, xmax]
+        q_lo = int(np.floor(xmin / (s * sqrt3) - r / 2.0)) - 1
+        q_hi = int(np.ceil(xmax / (s * sqrt3) - r / 2.0)) + 1
+        qs = np.arange(q_lo, q_hi + 1, dtype=np.int64)
+        cand_q.append(qs)
+        cand_r.append(np.full(qs.shape, r, dtype=np.int64))
+    q = np.concatenate(cand_q)
+    r = np.concatenate(cand_r)
+    res_arr = np.full(q.shape, res, dtype=np.int64)
+    cand = cellindex._pack(cellindex._KIND_HEX, res_arr, q, r)
+    cx, cy = cellindex.hex_center(cand)
+    center_in = point_in_polygon(cx, cy, rx, ry)
+    interior = cand[center_in]
+
+    cells = np.unique(np.concatenate([interior, boundary]))
+    # full cells: center + all 6 corners inside, and not boundary-adjacent
+    corner_x, corner_y = cellindex.hex_corners(cells)
+    all_in = point_in_polygon(
+        np.column_stack([cellindex.hex_center(cells)[0], corner_x]).ravel(),
+        np.column_stack([cellindex.hex_center(cells)[1], corner_y]).ravel(),
+        rx, ry,
+    ).reshape(cells.shape[0], 7).all(axis=1)
+    is_boundary = np.isin(cells, boundary)
+    is_full = all_in & ~is_boundary
+    return cells, is_full
