@@ -1,0 +1,93 @@
+"""Image decode + water mask + tiling: the module-1 stage (S2/C4).
+
+Turns the image table (image_id, bytes, w, h, fmt, caption, phash)
+into sparse water/nodata pixel points with their hex-cell key:
+
+    (image_id, px, py, value int8 in {1,-1}, cell long)
+
+All heavy work happens inside a batched Arrow ``mapInPandas`` kernel —
+decode, NDWI thresholding, cell assignment are vectorized numpy per
+image; only water and nodata pixels are emitted (dry pixels are
+implicit zeros), so output volume tracks actual surface water, not
+grid size. The scene/date columns are derived afterwards from
+image_id with JVM-side regexp (reference C1 date-from-filename parity,
+src/utils/wd_batch.py:345-360).
+
+Scale notes: the stage is embarrassingly parallel per image row;
+emitting point rows (not tiles) makes every downstream stage an
+ordinary relational op. ``spark.sql.execution.arrow.maxRecordsPerBatch``
+bounds Arrow batch memory for wide binary rows.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .. import codecs
+from ..functions import cellindex
+from ..kernels import water
+
+POINTS_SCHEMA = "image_id string, px int, py int, value tinyint, cell long"
+
+
+def decode_points(images: DataFrame, grid: dict, res: int = 9,
+                  threshold: float = water.NDWI_THRESHOLD) -> DataFrame:
+    """images -> sparse mask points with hex cell keys + scene/date cols.
+
+    ``grid``: dict(gx0, gy0, ps) — uniform georeferencing (validated by
+    `validate_uniform_grid`).
+    """
+    gx0, gy0, ps = grid["gx0"], grid["gy0"], grid["ps"]
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for image_id, buf in zip(pdf["image_id"], pdf["bytes"]):
+                arr = codecs.decode_image(bytes(buf))
+                mask = water.water_mask(arr, threshold)
+                ys, xs = np.nonzero(mask != 0)
+                if ys.size == 0:
+                    continue
+                vals = mask[ys, xs]
+                cx = gx0 + (xs + 0.5) * ps
+                cy = gy0 - (ys + 0.5) * ps
+                cells = cellindex.hex_cell(cx, cy, res)
+                out.append(
+                    pd.DataFrame(
+                        dict(
+                            image_id=image_id,
+                            px=xs.astype(np.int32),
+                            py=ys.astype(np.int32),
+                            value=vals.astype(np.int8),
+                            cell=cells,
+                        )
+                    )
+                )
+            yield pd.concat(out, ignore_index=True) if out else pd.DataFrame(
+                dict(image_id=pd.Series(dtype="str"), px=pd.Series(dtype="int32"),
+                     py=pd.Series(dtype="int32"), value=pd.Series(dtype="int8"),
+                     cell=pd.Series(dtype="int64"))
+            )
+
+    pts = images.select("image_id", "bytes").mapInPandas(kernel, schema=POINTS_SCHEMA)
+    return with_scene_date(pts)
+
+
+def with_scene_date(df: DataFrame, col: str = "image_id") -> DataFrame:
+    """C1: parse scene + ISO date out of the image id (JVM-side regexp)."""
+    return df.withColumn(
+        "date",
+        F.to_date(F.regexp_replace(F.regexp_extract(F.col(col), r"(\d{4}[-_]\d{2}[-_]\d{2})", 1), "_", "-")),
+    ).withColumn("scene", F.regexp_extract(F.col(col), r"^([A-Za-z0-9]+)_", 1))
+
+
+def validate_uniform_grid(images: DataFrame) -> None:
+    """S1 uniformity assert: all images share one (w, h) raster grid."""
+    distinct = images.select("w", "h").distinct().count()
+    if distinct != 1:
+        raise ValueError(f"non-uniform raster grid: {distinct} distinct (w, h) shapes")

@@ -1,0 +1,170 @@
+"""Preprocess operators: validity filter (F6) + temporal fill (J6/W1).
+
+F6 — drop dates with < 70 % valid in-corridor pixels (reference:
+src/utils/calc_metrics.py:499-517): nodata points are corridor-joined
+(broadcast cover + exact center-rule refine), counted per (scene,
+date), and the date dimension is filtered by ratio — the semi-join
+formulation of the reference's boolean time mask.
+
+Fill — the reference's sequential reflect-padded nodata fill
+(src/utils/calc_metrics.py:522-590) is per-pixel along time, so the
+engine groups points by (scene, fill_cell) — a fine hex cell — and
+runs the exact fill kernel per group via ``applyInPandas``. The kernel
+*recomputes its pixel universe from the cell id* (pixels whose center
+lies in the cell AND in the dissolved corridor): no driver-side pixel
+tables, no second shuffle for densification; dry pixels materialize
+only transiently inside the kernel. Nodata inside the corridor becomes
+the fillable value 2 (reference :491); after filling, everything != 1
+binarizes to 0 (reference :585-590), which is also why the reference's
+post-fill >= 95 % check (F7) never fires — it runs on binarized data;
+reproduced by construction.
+
+The >= 70 %/>= 95 % thresholds and the [+1,+2,-1,-2] offset order are
+reference quirks, not tunables.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import cellindex, geometry
+from ..kernels import fill as fillk
+from . import zonal
+
+FILL_RES_DEFAULT = 10
+
+
+def _cell_universe(cell: int, rings: list, grid: dict) -> tuple[np.ndarray, np.ndarray]:
+    """All corridor pixels whose center falls in this hex cell.
+
+    Pure function of (cell id, rings, grid): every kernel can rebuild
+    its own universe — the trick that keeps densification shuffle-free.
+    """
+    ps, gx0, gy0, w, h = grid["ps"], grid["gx0"], grid["gy0"], grid["w"], grid["h"]
+    cx, cy = cellindex.hex_center(np.asarray([cell]))
+    _, res, _, _ = cellindex._unpack(np.asarray([cell]))
+    edge = cellindex.hex_edge(int(res[0]))
+    # candidate pixel index window around the cell (circumradius = edge)
+    px_lo = max(0, int(np.floor((cx[0] - edge - gx0) / ps - 0.5)) - 1)
+    px_hi = min(w - 1, int(np.ceil((cx[0] + edge - gx0) / ps - 0.5)) + 1)
+    py_lo = max(0, int(np.floor((gy0 - (cy[0] + edge)) / ps - 0.5)) - 1)
+    py_hi = min(h - 1, int(np.ceil((gy0 - (cy[0] - edge)) / ps - 0.5)) + 1)
+    if px_hi < px_lo or py_hi < py_lo:
+        return np.empty(0, np.int32), np.empty(0, np.int32)
+    pxs = np.arange(px_lo, px_hi + 1, dtype=np.int32)
+    pys = np.arange(py_lo, py_hi + 1, dtype=np.int32)
+    PX, PY = np.meshgrid(pxs, pys)
+    PX, PY = PX.ravel(), PY.ravel()
+    x = gx0 + (PX + 0.5) * ps
+    y = gy0 - (PY + 0.5) * ps
+    mine = cellindex.hex_cell(x, y, int(res[0])) == cell
+    PX, PY, x, y = PX[mine], PY[mine], x[mine], y[mine]
+    member = np.zeros(PX.shape[0], dtype=bool)
+    for ring_x, ring_y in rings:
+        todo = ~member
+        if not todo.any():
+            break
+        member[todo] = geometry.point_in_polygon(x[todo], y[todo], ring_x, ring_y)
+    return PX[member], PY[member]
+
+
+def corridor_pixel_count(spark: SparkSession, corridor_cover: DataFrame, reaches: list[dict], grid: dict,
+                         res: int = 9) -> int:
+    """Total corridor pixel count — distributed sum of per-cell universes."""
+    rings = [(np.asarray(r["ring_x"]), np.asarray(r["ring_y"])) for r in reaches]
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            counts = [int(_cell_universe(int(c), rings, grid)[0].shape[0]) for c in pdf["cell"]]
+            yield pd.DataFrame({"n": counts})
+
+    return corridor_cover.select("cell").mapInPandas(kernel, "n long").agg(F.sum("n")).collect()[0][0] or 0
+
+
+def hex_cell_udf(res: int, grid: dict):
+    """Column-level pixel->hex-cell function (vectorized pandas UDF)."""
+    ps, gx0, gy0 = grid["ps"], grid["gx0"], grid["gy0"]
+
+    @F.pandas_udf("long")
+    def cell_of(px: pd.Series, py: pd.Series) -> pd.Series:
+        x = gx0 + (px.to_numpy(dtype=np.float64) + 0.5) * ps
+        y = gy0 - (py.to_numpy(dtype=np.float64) + 0.5) * ps
+        return pd.Series(cellindex.hex_cell(x, y, res))
+
+    return cell_of
+
+
+def keep_dates(points: DataFrame, dates: DataFrame, corridor_cover: DataFrame,
+               reaches: list[dict], grid: dict, corridor_total: int,
+               threshold: float = 0.7) -> DataFrame:
+    """F6: (scene, date) rows passing the >= 70 % in-corridor validity bar.
+
+    ``dates`` is the full (scene, date) dimension from the image table
+    (dates with zero nodata points must survive the left join).
+    """
+    nodata = points.filter(F.col("value") == -1)
+    in_corr = zonal.corridor_join(nodata, corridor_cover, reaches, grid)
+    invalid = in_corr.groupBy("scene", "date").agg(F.count("*").alias("n_invalid"))
+    return (
+        dates.join(invalid, ["scene", "date"], "left")
+        .withColumn("n_invalid", F.coalesce("n_invalid", F.lit(0)))
+        .withColumn("ratio", (F.lit(corridor_total) - F.col("n_invalid")) / F.lit(corridor_total))
+        .filter(F.col("ratio") >= threshold)
+        .select("scene", "date")
+    )
+
+
+def filled_water(points: DataFrame, kept_dates: dict[str, list[str]], reaches: list[dict],
+                 grid: dict, fill_res: int = FILL_RES_DEFAULT) -> DataFrame:
+    """Temporal fill + binarize -> water point rows (value==1 only).
+
+    points: decode output (scene, date, px, py, value in {1,-1}),
+    already restricted to kept dates by the caller.
+    kept_dates: scene -> sorted ISO date strings (the time axis; small,
+    broadcast via closure).
+    Output: (scene, date string 'ds', px, py) water pixels after fill.
+    """
+    rings = [(np.asarray(r["ring_x"]), np.asarray(r["ring_y"])) for r in reaches]
+
+    def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        scene, cell = key[0], int(key[1])
+        dates = kept_dates.get(scene)
+        if not dates:
+            return pd.DataFrame({"scene": [], "ds": [], "px": [], "py": []})
+        ux, uy = _cell_universe(cell, rings, grid)
+        n_px = ux.shape[0]
+        if n_px == 0:
+            return pd.DataFrame({"scene": [], "ds": [], "px": [], "py": []})
+        n_t = len(dates)
+        date_idx = {d: i for i, d in enumerate(dates)}
+        pix_idx = {(int(x), int(y)): i for i, (x, y) in enumerate(zip(ux, uy))}
+        mat = np.zeros((n_t, n_px), dtype=np.int8)
+        for ds, px, py, v in zip(pdf["ds"], pdf["px"], pdf["py"], pdf["value"]):
+            j = pix_idx.get((int(px), int(py)))
+            i = date_idx.get(ds)
+            if j is None or i is None:
+                continue  # point outside corridor universe (or date raced out)
+            mat[i, j] = 1 if v == 1 else 2  # -1 inside corridor -> fillable 2
+        out = fillk.binarize(fillk.fill_series(mat))
+        ti, pi = np.nonzero(out)
+        return pd.DataFrame(
+            {
+                "scene": scene,
+                "ds": np.asarray(dates, dtype=object)[ti],
+                "px": ux[pi].astype(np.int32),
+                "py": uy[pi].astype(np.int32),
+            }
+        )
+
+    cell_of = hex_cell_udf(fill_res, grid)
+    prepared = points.withColumn("ds", F.date_format("date", "yyyy-MM-dd")).withColumn(
+        "fill_cell", cell_of("px", "py")
+    )
+    return prepared.groupBy("scene", "fill_cell").applyInPandas(
+        kernel, "scene string, ds string, px int, py int"
+    )

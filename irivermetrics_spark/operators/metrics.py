@@ -1,0 +1,126 @@
+"""Persistence metrics (A1-A3) and the per-(date, section) fold (A7).
+
+Everything here is built-in Catalyst aggregates — the reference's
+pandas groupby().apply(process_metrics)
+(src/irm_main.py:198-201, src/utils/calc_metrics.py:225-293) dissolves
+into hash aggregates with partial/final phases; every weighted metric
+is a sum-of-products over pool rows:
+
+  AWMSI = sum(0.25*perim/sqrt(area) * area) / sum(area)
+  AWMPA = sum(area^2) / sum(area);  AWMPL/AWMPW analogous with area wts
+  AWRe  = nansum((2*sqrt(area)/pi / length) * area) / sum(area)
+          (the reference's non-standard radius, :265 — quirk)
+  PF    = npools / sum(area);  PFL = npools / sum(length)
+  APSEC = sum(area)/section_area*100;  LPSEC = sum(length)/L*100 with
+          the NaN-propagation quirk (:273)
+
+Zero-pool (date, section) pairs — absent groups or label-0 rows —
+reproduce the reference's zero branch (:236-256) via a right join
+against the (scene x kept-date x section) dimension grid.
+
+Pixel persistence (A1-A3, src/utils/calc_metrics.py:295-304, 655-667):
+pp = wet-count/n_dates per pixel (only ever-wet pixels materialize —
+zeros are implicit and fall below both thresholds);
+pp_mean = avg(pp | pp > 0.1) (NaN when empty), ra_area =
+sum(pp | pp > 0.9) * pixel_area_km2 (0 when empty) — per section over
+the all_touched-masked clip, i.e. over the zonal-join rows.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+NAN = float("nan")
+
+
+def persistence(water_joined: DataFrame, n_dates: dict[str, int], pixel_size: float) -> DataFrame:
+    """(scene, section, pp_mean, ra_area) from zonal-joined water points."""
+    px_area_km2 = pixel_size**2 / 1e6
+    n_map = F.create_map(*[F.lit(v) for kv in n_dates.items() for v in kv])
+    pp = (
+        water_joined.groupBy("scene", "section", "px", "py")
+        .agg(F.count("*").alias("wet"))
+        .withColumn("pp", F.col("wet") / n_map[F.col("scene")])
+    )
+    return pp.groupBy("scene", "section").agg(
+        F.avg(F.when(F.col("pp") > 0.1, F.col("pp"))).alias("pp_mean"),
+        (F.coalesce(F.sum(F.when(F.col("pp") > 0.9, F.col("pp"))), F.lit(0.0)) * F.lit(px_area_km2)).alias("ra_area"),
+    )
+
+
+def dimension_grid(spark: SparkSession, kept_dates: dict[str, list[str]],
+                   reaches: list[dict]) -> DataFrame:
+    """(scene, ds, section, section_area_km2) — the fold's full keyspace."""
+    rows = [
+        (scene, ds, r["section"], r["area_m2"] / 1e6)
+        for scene, dates in kept_dates.items()
+        for ds in dates
+        for r in reaches
+    ]
+    schema = T.StructType(
+        [
+            T.StructField("scene", T.StringType(), False),
+            T.StructField("ds", T.StringType(), False),
+            T.StructField("section", T.StringType(), False),
+            T.StructField("section_area_km2", T.DoubleType(), False),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+def fold(pools: DataFrame, grid_df: DataFrame, persistence_df: DataFrame,
+         section_length: float = NAN) -> DataFrame:
+    """A7: pool rows -> final metrics table (one row per scene/date/section)."""
+    area = F.col("area_km2")
+    safe = lambda expr: F.when(area > 0, expr).otherwise(F.lit(0.0))  # noqa: E731
+    agg = pools.groupBy("scene", "ds", "section").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(safe(area)).alias("sum_area"),
+        F.sum(safe(F.col("length_km"))).alias("sum_len"),
+        F.sum(safe(F.col("perimeter_km"))).alias("sum_perim"),
+        F.sum(safe(F.lit(0.25) * F.col("perimeter_km") / F.sqrt(area) * area)).alias("awmsi_num"),
+        F.sum(safe(area * area)).alias("awmpa_num"),
+        F.sum(safe(F.nanvl(F.lit(2.0) * F.sqrt(area) / F.lit(math.pi) / F.col("length_km") * area, F.lit(0.0)))).alias("awre_num"),
+        F.sum(safe(F.col("length_km") * area)).alias("awmpl_num"),
+        F.sum(safe(F.col("width_km") * area)).alias("awmpw_num"),
+        F.sum(F.when(area > 0, 1).otherwise(0)).alias("npools_real"),
+    )
+    j = (
+        grid_df.join(agg, ["scene", "ds", "section"], "left")
+        .join(persistence_df, ["scene", "section"], "left")
+    )
+    nonzero = F.col("sum_area").isNotNull() & (F.col("sum_area") > 0)
+    L = F.lit(section_length)
+    # LPSEC quirk (reference :273): the condition is effectively always
+    # true (NaN != 0 is true), so NaN section_length propagates NaN.
+    lpsec_nonzero = F.col("sum_len") / L * 100
+    lpsec_zero = F.when(F.isnan(L) | (L == 0), F.lit(NAN)).otherwise(F.lit(0.0))
+    out = j.select(
+        "scene",
+        F.col("ds").alias("date"),
+        "section",
+        "section_area_km2",
+        L.alias("section_length_km"),
+        # reference npools = group row count (n_rows == npools_real for
+        # nonzero groups; zero groups take the 0 branch)
+        F.when(nonzero, F.col("n_rows")).otherwise(F.lit(0)).cast("int").alias("npools"),
+        F.when(nonzero, F.col("sum_area")).otherwise(F.lit(0.0)).alias("wet_area_km2"),
+        F.when(nonzero, F.col("sum_len")).otherwise(F.lit(0.0)).alias("wet_length_km"),
+        F.when(nonzero, F.col("sum_perim")).otherwise(F.lit(0.0)).alias("wet_perimeter_km"),
+        F.when(nonzero, F.col("awmsi_num") / F.col("sum_area")).otherwise(F.lit(0.0)).alias("AWMSI"),
+        F.when(nonzero, F.col("awre_num") / F.col("sum_area")).otherwise(F.lit(NAN)).alias("AWRe"),
+        F.when(nonzero, F.col("awmpa_num") / F.col("sum_area")).otherwise(F.lit(0.0)).alias("AWMPA"),
+        F.when(nonzero, F.col("awmpl_num") / F.col("sum_area")).otherwise(F.lit(0.0)).alias("AWMPL"),
+        F.when(nonzero, F.col("awmpw_num") / F.col("sum_area")).otherwise(F.lit(0.0)).alias("AWMPW"),
+        F.when(nonzero, F.col("n_rows") / F.col("sum_area")).otherwise(F.lit(0.0)).alias("PF"),
+        F.when(nonzero, F.col("n_rows") / F.col("sum_len")).otherwise(F.lit(0.0)).alias("PFL"),
+        F.when(nonzero, F.col("sum_area") / F.col("section_area_km2") * 100).otherwise(F.lit(0.0)).alias("APSEC"),
+        F.when(nonzero, lpsec_nonzero).otherwise(lpsec_zero).alias("LPSEC"),
+        F.coalesce(F.col("pp_mean"), F.lit(NAN)).alias("pp_mean_%"),
+        F.coalesce(F.col("ra_area"), F.lit(0.0)).alias("ra_area_km2"),
+    )
+    return out.orderBy("scene", "section", "date")

@@ -1,0 +1,116 @@
+"""End-to-end flagship pipeline: image table -> intermittency metrics.
+
+Spark-first restatement of the reference's calculate_metrics lifecycle
+(src/irm_main.py:117-236):
+
+  images --mapInPandas--> mask points (decode + NDWI + hex tiling)
+         --broadcast cell join + refine--> corridor membership
+         --groupBy(scene,date) + semi-join--> >= 70 % validity filter (F6)
+         --applyInPandas(scene, fill_cell)--> temporal fill + binarize
+         --broadcast cell join + refine--> per-section assignment (J1)
+         --groupBy(scene,section,px,py)/(scene,section)--> persistence
+         --applyInPandas(scene,section,date)--> per-pool morphology
+         --hash aggregate + dimension right-join--> metrics fold (A7)
+         --orderBy--> final table
+
+Shuffle inventory (by design, data shrinks monotonically):
+ 1. nodata counts groupBy (tiny), 2. fill groupBy (scene, fill_cell),
+ 3. persistence groupBy, 4. morphology groupBy, 5. fold aggregate,
+ 6. final orderBy. Both spatial joins are broadcast — the point side
+ never shuffles for them. At 10^12-image scale the same plan holds:
+ the polygon/cover side stays O(polygons), fill cells partition the
+ corridor uniformly, and AQE's skew-join/coalesce handles dense cells.
+
+The intermediate mask-point table can be persisted (module-1 sink K1)
+so module 2 reads parquet instead of re-decoding — mirroring the
+reference's two-module split.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import decode, fillop, metrics, morphology, zonal
+
+
+def run(
+    spark: SparkSession,
+    images: DataFrame,
+    reaches: list[dict],
+    grid: dict,
+    res: int = 9,
+    fill_res: int = fillop.FILL_RES_DEFAULT,
+    min_pool_size: int = 2,
+    section_length: float = float("nan"),
+    mask_path: str | None = None,
+) -> dict[str, DataFrame]:
+    """Returns the named intermediate + final DataFrames (all lazy except
+    the small date-dimension collects)."""
+    decode.validate_uniform_grid(images)
+
+    points = decode.decode_points(images, grid, res=res)
+    if mask_path:
+        # module-1 sink (K1): persist the mask-point table, re-read for
+        # module 2 — avoids double decode and gives a resume point
+        points.write.mode("overwrite").partitionBy("date").parquet(mask_path)
+        points = spark.read.parquet(mask_path)
+    else:
+        points = points.persist()
+
+    dates = decode.with_scene_date(images.select("image_id")).select("scene", "date").distinct()
+    corridor_cover = zonal.corridor_cover_df(spark, reaches, res)
+    corridor_total = fillop.corridor_pixel_count(spark, corridor_cover, reaches, grid, res)
+
+    kept = fillop.keep_dates(points, dates, corridor_cover, reaches, grid, corridor_total)
+    kept_rows = kept.collect()  # date dimension: small by construction
+    kept_map: dict[str, list[str]] = {}
+    for r in kept_rows:
+        kept_map.setdefault(r["scene"], []).append(r["date"].isoformat())
+    for v in kept_map.values():
+        v.sort()
+
+    points_kept = points.join(F.broadcast(kept), ["scene", "date"], "left_semi")
+    water = fillop.filled_water(points_kept, kept_map, reaches, grid, fill_res=fill_res)
+
+    cover = zonal.cover_df(spark, reaches, res)
+    # post-fill water points re-acquire their res-`res` cell key for the
+    # per-section join (the fill stage grouped on the finer fill_res key)
+    water_keyed = water.withColumn("cell", fillop.hex_cell_udf(res, grid)("px", "py"))
+    water_joined = zonal.zonal_join(water_keyed, cover, reaches, grid)
+
+    n_dates = {k: len(v) for k, v in kept_map.items()}
+    pers = metrics.persistence(water_joined, n_dates, grid["ps"])
+    pools = morphology.pool_rows(water_joined, reaches, grid, min_pool_size=min_pool_size)
+    grid_df = metrics.dimension_grid(spark, kept_map, reaches)
+    final = metrics.fold(pools, grid_df, pers, section_length=section_length)
+
+    return dict(
+        points=points,
+        kept=kept,
+        water=water,
+        water_joined=water_joined,
+        persistence=pers,
+        pools=pools,
+        metrics=final,
+        kept_map=kept_map,
+        corridor_total=corridor_total,
+    )
+
+
+def images_df(spark: SparkSession, images_pdf) -> DataFrame:
+    """Create the image table DataFrame with the contract schema."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("image_id", T.StringType(), False),
+            T.StructField("bytes", T.BinaryType(), False),
+            T.StructField("w", T.IntegerType(), False),
+            T.StructField("h", T.IntegerType(), False),
+            T.StructField("fmt", T.StringType(), False),
+            T.StructField("caption", T.StringType(), False),
+            T.StructField("phash", T.LongType(), False),
+        ]
+    )
+    return spark.createDataFrame(images_pdf, schema)
