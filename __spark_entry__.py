@@ -1,38 +1,686 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship spatial pipeline (the engine's
+reason to exist) on the deterministic synthetic image table — the
+input-table contract says to synthesize the image+caption table at
+small scale (BASELINE.json input_hint; no external data exists for
+it). ``queries()`` exposes every implemented operator from SURVEY.md
+§2 plus the training-data-pipeline operators; SQL-expressible ones
+carry a DuckDB oracle in ``oracle_sql()`` (identical aliases, rounded
+float aggregates so value hashes match across engines); spatial /
+hash-based ones are rows-only and are verified against numpy oracles
+in tests/.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+_FIXTURE_CACHE: dict = {}
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _fixture():
+    if "fx" not in _FIXTURE_CACHE:
+        from irivermetrics_spark import synth
+
+        _FIXTURE_CACHE["fx"] = synth.make_fixture(w=80, h=40, n_dates=10, n_sections=3, seed=42)
+    return _FIXTURE_CACHE["fx"]
+
+
+def _pipeline_result(spark: SparkSession):
+    key = ("pipe", id(spark))
+    if key not in _FIXTURE_CACHE:
+        from irivermetrics_spark.plans import pipeline
+
+        fx = _fixture()
+        grid = dict(gx0=fx.gx0, gy0=fx.gy0, ps=fx.pixel_size, w=fx.w, h=fx.h)
+        images = pipeline.images_df(spark, fx.images)
+        _FIXTURE_CACHE[key] = pipeline.run(spark, images, fx.reaches, grid)
+    return _FIXTURE_CACHE[key]
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: image table -> per-(date, section) intermittency metrics."""
+    return _pipeline_result(spark)["metrics"]
+
+
+# --------------------------------------------------------------------------
+# relational operator battery (oracle-checked against DuckDB)
+# --------------------------------------------------------------------------
+
+def _q_f1_clamp(spark, sf):  # F1 outlier clamp -> aggregate
+    li = _t(spark, sf, "lineitem")
+    clamped = F.when((F.col("l_quantity") > 0) & (F.col("l_quantity") < 30), F.col("l_quantity")).otherwise(F.lit(0.0))
+    return (
+        li.groupBy("l_returnflag")
+        .agg(F.round(F.sum(clamped), 4).alias("sum_clamped"), F.count("*").cast("bigint").alias("n_rows"))
+    )
+
+
+def _q_f4_range(spark, sf):  # F4 coordinate-range clip analog
+    o = _t(spark, sf, "orders")
+    return (
+        o.filter((F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1997-01-01")
+                 & (F.col("o_totalprice") > 1000) & (F.col("o_totalprice") < 200000))
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").cast("bigint").alias("n_orders"), F.round(F.sum("o_totalprice"), 4).alias("sum_price"))
+    )
+
+
+def _q_f5_anti(spark, sf):  # F5 all-nodata drop analog: anti join
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(F.count("*").cast("bigint").alias("n_customers_no_orders"))
+    )
+
+
+def _q_f6_validity(spark, sf):  # F6 >=70% validity semi-join
+    e = _t(spark, sf, "events")
+    day = F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ratios = (
+        e.select(day, "event_type")
+        .groupBy("day")
+        .agg((F.sum(F.when(F.col("event_type") != "error", 1).otherwise(0)) / F.count("*")).alias("ratio"),
+             F.count("*").cast("bigint").alias("n_events"))
+    )
+    return ratios.filter(F.col("ratio") >= 0.7).select("day", F.round("ratio", 6).alias("valid_ratio"), "n_events")
+
+
+def _q_j1_star(spark, sf):  # J1 analog: broadcast-dim star join
+    li = _t(spark, sf, "lineitem")
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    n = _t(spark, sf, "nation")
+    r = _t(spark, sf, "region")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.round(F.sum(rev), 2).alias("revenue"), F.count("*").cast("bigint").alias("n_items"))
+    )
+
+
+def _q_j3_left(spark, sf):  # J3 left attribute join incl. unmatched
+    p = _t(spark, sf, "part")
+    li = _t(spark, sf, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(F.sum("l_quantity").alias("qty"))
+    return (
+        p.join(per_part, p.p_partkey == per_part.l_partkey, "left")
+        .groupBy("p_brand")
+        .agg(F.round(F.sum(F.coalesce("qty", F.lit(0.0))), 4).alias("total_qty"),
+             F.sum(F.when(F.col("qty").isNull(), 1).otherwise(0)).cast("bigint").alias("n_never_ordered"))
+    )
+
+
+def _q_j6_fill(spark, sf):  # J6/W1 temporal fill with [+1,+2,-1,-2]
+    from pyspark.sql import Window
+
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    good = F.when(F.col("event_type") != "error", F.col("value"))
+    filled = F.when(
+        F.col("event_type") == "error",
+        F.coalesce(F.lead(good, 1).over(w), F.lead(good, 2).over(w),
+                   F.lag(good, 1).over(w), F.lag(good, 2).over(w)),
+    ).otherwise(F.col("value"))
+    return (
+        e.withColumn("filled", filled)
+        .groupBy("user_id")
+        .agg(F.round(F.sum(F.coalesce("filled", F.lit(0.0))), 4).alias("sum_filled"),
+             F.sum(F.when(F.col("filled").isNull(), 1).otherwise(0)).cast("bigint").alias("n_unfillable"))
+    )
+
+
+def _q_a1_persistence(spark, sf):  # A1 pixel persistence analog
+    e = _t(spark, sf, "events")
+    return (
+        e.groupBy("user_id")
+        .agg(F.round(F.avg(F.when(F.col("event_type") == "click", 1.0).otherwise(0.0)), 6).alias("click_persistence"),
+             F.count("*").cast("bigint").alias("n_events"))
+    )
+
+
+def _q_a2_cond_avg(spark, sf):  # A2 pp_mean analog: avg over threshold
+    e = _t(spark, sf, "events")
+    return e.groupBy("event_type").agg(
+        F.round(F.avg(F.when(F.col("value") > 50, F.col("value"))), 6).alias("avg_above_50")
+    )
+
+
+def _q_a3_cond_sum(spark, sf):  # A3 ra_area analog: scaled conditional sum
+    e = _t(spark, sf, "events")
+    return e.groupBy("event_type").agg(
+        F.round(F.coalesce(F.sum(F.when(F.col("value") > 90, F.col("value"))), F.lit(0.0)) * 1e-4, 6).alias("ra_sum")
+    )
+
+
+def _q_a4_ratio(spark, sf):  # A4 per-time valid ratio
+    e = _t(spark, sf, "events")
+    return (
+        e.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .agg(F.round(F.sum(F.when(F.col("value").isNotNull() & (F.col("value") >= 0), 1).otherwise(0)) / F.count("*"), 6).alias("valid_ratio"))
+    )
+
+
+def _q_a7_fold(spark, sf):  # A7 weighted metric fold shapes
+    li = _t(spark, sf, "lineitem")
+    qty = F.col("l_quantity")
+    tax = F.col("l_tax")
+    price = F.col("l_extendedprice")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum(F.lit(0.25) * tax / F.sqrt(qty) * qty) / F.sum(qty), 6).alias("awmsi_like"),
+        F.round(F.sum(qty * qty) / F.sum(qty), 6).alias("awmpa_like"),
+        F.round(F.sum(price * qty) / F.sum(qty), 4).alias("awmpl_like"),
+        F.round(F.count("*") / F.sum(qty), 6).alias("pf_like"),
+        F.count("*").cast("bigint").alias("npools_like"),
+    )
+
+
+def _q_w2_topk(spark, sf):  # W2 top-k per group
+    from pyspark.sql import Window
+
+    o = _t(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(F.col("o_custkey").cast("bigint").alias("custkey"),
+                F.col("o_orderkey").cast("bigint").alias("orderkey"),
+                F.col("rk").cast("bigint").alias("rk"))
+    )
+
+
+def _q_o2_rank(spark, sf):  # O2 sort/rank
+    from pyspark.sql import Window
+
+    s = _t(spark, sf, "supplier")
+    w = Window.partitionBy("s_nationkey").orderBy(F.desc("s_acctbal"))
+    return s.select(
+        F.col("s_suppkey").cast("bigint").alias("suppkey"),
+        F.col("s_nationkey").cast("bigint").alias("nationkey"),
+        F.dense_rank().over(w).cast("bigint").alias("bal_rank"),
+    )
+
+
+def _q_u1_union(spark, sf):  # U1 union + distinct
+    c = _t(spark, sf, "customer")
+    a = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey", "c_nationkey")
+    b = c.filter(F.col("c_acctbal") > 5000).select("c_custkey", "c_nationkey")
+    return (
+        a.unionByName(b).distinct()
+        .groupBy("c_nationkey")
+        .agg(F.count("*").cast("bigint").alias("n_selected"))
+    )
+
+
+def _q_c1_date_regex(spark, sf):  # C1 date-from-filename
+    o = _t(spark, sf, "orders")
+    fname = F.concat(F.lit("scene_"), F.date_format("o_orderdate", "yyyy_MM_dd"), F.lit(".tif"))
+    extracted = F.regexp_extract(fname, r"(\d{4}[-_]\d{2}[-_]\d{2})", 1)
+    iso = F.regexp_replace(extracted, "_", "-")
+    return (
+        o.select(F.to_date(iso).alias("parsed"))
+        .groupBy(F.date_format("parsed", "yyyy-MM").alias("month"))
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+
+
+def _q_c5_units(spark, sf):  # C5 unit conversions
+    p = _t(spark, sf, "part")
+    return p.groupBy("p_type").agg(
+        F.round(F.sum(F.col("p_retailprice") / 1e3), 6).alias("total_kprice"),
+        F.round(F.avg(F.col("p_size") * F.lit(2.54)), 6).alias("avg_size_cm"),
+    )
+
+
+def _q_f9_having(spark, sf):  # F9 min-size filter on groups
+    o = _t(spark, sf, "orders")
+    per = o.groupBy("o_custkey").agg(F.count("*").alias("n"))
+    return (
+        per.filter(F.col("n") >= 5)
+        .agg(F.count("*").cast("bigint").alias("n_heavy_customers"),
+             F.sum("n").cast("bigint").alias("n_their_orders"))
+    )
+
+
+def _q_s1_uniform(spark, sf):  # S1 uniformity check shape
+    li = _t(spark, sf, "lineitem")
+    return (
+        li.groupBy(F.year("l_shipdate").cast("bigint").alias("yr"))
+        .agg(F.countDistinct(F.concat_ws("|", "l_returnflag", "l_linestatus")).cast("bigint").alias("n_flag_combos"))
+    )
+
+
+def _q_a9_stats(spark, sf):  # A9 mean/stddev
+    c = _t(spark, sf, "customer")
+    return c.groupBy("c_nationkey").agg(
+        F.round(F.avg("c_acctbal"), 4).alias("avg_bal"),
+        F.round(F.stddev_samp("c_acctbal"), 4).alias("sd_bal"),
+    )
+
+
+def _q_dedup_exact(spark, sf):  # exact dedup: hash-groupBy
+    d = _t(spark, sf, "documents")
+    return (
+        d.groupBy(F.md5("text").alias("text_md5"))
+        .agg(F.count("*").cast("bigint").alias("n_copies"), F.min("doc_id").cast("bigint").alias("keeper"))
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+def _q_text_quality(spark, sf):  # token counts + quality features
+    from irivermetrics_spark.operators import textops
+
+    d = _t(spark, sf, "documents")
+    feats = d.select(
+        "lang", "source",
+        textops.token_count(F.col("text")).alias("n_tokens"),
+        F.length("text").cast("bigint").alias("n_chars2"),
+    )
+    return feats.groupBy("lang", "source").agg(
+        F.round(F.avg("n_tokens"), 6).alias("avg_tokens"),
+        F.max("n_chars2").cast("bigint").alias("max_chars"),
+        F.count("*").cast("bigint").alias("n_docs"),
+    )
+
+
+def _q_text_langid(spark, sf):  # marker-ngram language heuristic
+    from irivermetrics_spark.operators import textops
+
+    d = _t(spark, sf, "documents")
+    return (
+        d.select("source", textops.marker_score(F.col("text")).alias("score"))
+        .groupBy("source")
+        .agg(F.round(F.avg("score"), 6).alias("avg_marker_score"))
+    )
+
+
+def _q_ann_brute(spark, sf):  # brute-force cosine top-k
+    from pyspark.sql import Window
+
+    from irivermetrics_spark.operators.similarity import cosine_expr
+
+    em = _t(spark, sf, "embeddings")
+    q = em.filter(F.col("vec_id") < 3).select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec"))
+    base = em.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("nvec"))
+    scored = base.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id")).withColumn(
+        "cos6", F.round(cosine_expr("qvec", "nvec"), 6)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos6"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select(F.col("query_id").cast("bigint").alias("query_id"),
+                F.col("neighbor_id").cast("bigint").alias("neighbor_id"),
+                F.round("cos6", 4).alias("cosine"),
+                F.col("rk").cast("bigint").alias("rk"))
+    )
+
+
+# --------------------------------------------------------------------------
+# engine / spatial / scale operators (rows-only checks; verified vs numpy
+# oracles in tests/)
+# --------------------------------------------------------------------------
+
+def _q_flagship_metrics(spark, sf):
+    return _pipeline_result(spark)["metrics"]
+
+
+def _q_zonal_join_rows(spark, sf):
+    return _pipeline_result(spark)["water_joined"].select("ds", "section", "px", "py", "cell")
+
+
+def _q_tile_assign(spark, sf):
+    from irivermetrics_spark.operators import fillop
+
+    fx = _fixture()
+    grid = dict(gx0=fx.gx0, gy0=fx.gy0, ps=fx.pixel_size, w=fx.w, h=fx.h)
+    pts = _pipeline_result(spark)["water_joined"].select("px", "py").distinct()
+    out = pts
+    for res in (7, 9, 11):
+        out = out.withColumn(f"cell_r{res}", fillop.hex_cell_udf(res, grid)("px", "py"))
+    return out
+
+
+def _q_pixel_persistence(spark, sf):
+    return _pipeline_result(spark)["persistence"]
+
+
+def _q_knn_pools(spark, sf):
+    from irivermetrics_spark.operators import knn
+
+    fx = _fixture()
+    grid = dict(gx0=fx.gx0, gy0=fx.gy0, ps=fx.pixel_size, w=fx.w, h=fx.h)
+    res = _pipeline_result(spark)
+    cents = knn.pool_centroids(res["water_joined"], res["pools"], grid)
+    return knn.knn_pools(cents, k=3)
+
+
+def _q_dedup_minhash(spark, sf):
+    from irivermetrics_spark.operators import dedup
+
+    d = _t(spark, sf, "documents")
+    cand = dedup.lsh_candidates(d, "doc_id", "text")
+    return dedup.exact_jaccard_pairs(d, cand).filter(F.col("jaccard") >= 0.5)
+
+
+def _q_dedup_simhash(spark, sf):
+    from irivermetrics_spark.operators import dedup
+
+    d = _t(spark, sf, "documents")
+    return dedup.simhash_candidates(d, "doc_id", "text", max_hamming=3)
+
+
+def _q_ann_lsh(spark, sf):
+    from irivermetrics_spark.operators import similarity
+
+    em = _t(spark, sf, "embeddings")
+    q = em.filter(F.col("vec_id") < 3)
+    return similarity.lsh_topk(em, q, k=5)
+
+
+def _q_text_fingerprint(spark, sf):
+    from irivermetrics_spark.operators import textops
+
+    d = _t(spark, sf, "documents")
+    return (
+        textops.with_fingerprint(d)
+        .groupBy("fingerprint")
+        .agg(F.count("*").cast("bigint").alias("n"), F.min("doc_id").cast("bigint").alias("keeper"))
+        .filter(F.col("n") > 1)
+    )
+
+
+def _q_multimodal_stats(spark, sf):
+    """Opaque-binary multimodal column handling: decode + per-image
+    feature extraction inside mapInPandas (schema/plumbing real; heavy
+    decoders stubbed per environment constraints)."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from irivermetrics_spark import codecs
+    from irivermetrics_spark.plans import pipeline
+
+    fx = _fixture()
+    images = pipeline.images_df(spark, fx.images)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for image_id, buf, phash in zip(pdf["image_id"], pdf["bytes"], pdf["phash"]):
+                arr = codecs.decode_image(bytes(buf))
+                rows.append(dict(
+                    image_id=image_id,
+                    mean_brightness=float(arr.mean()),
+                    band_count=int(arr.shape[0]),
+                    phash_ok=bool(codecs.phash64(arr) == phash),
+                ))
+            yield pd.DataFrame(rows)
+
+    return images.mapInPandas(kernel, "image_id string, mean_brightness double, band_count int, phash_ok boolean")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # relational operators (oracle-checked)
+        "f1_clamp": _q_f1_clamp,
+        "f4_range": _q_f4_range,
+        "f5_anti": _q_f5_anti,
+        "f6_validity": _q_f6_validity,
+        "j1_star": _q_j1_star,
+        "j3_left": _q_j3_left,
+        "j6_fill": _q_j6_fill,
+        "a1_persistence": _q_a1_persistence,
+        "a2_cond_avg": _q_a2_cond_avg,
+        "a3_cond_sum": _q_a3_cond_sum,
+        "a4_ratio": _q_a4_ratio,
+        "a7_fold": _q_a7_fold,
+        "w2_topk": _q_w2_topk,
+        "o2_rank": _q_o2_rank,
+        "u1_union": _q_u1_union,
+        "c1_date_regex": _q_c1_date_regex,
+        "c5_units": _q_c5_units,
+        "f9_having": _q_f9_having,
+        "s1_uniform": _q_s1_uniform,
+        "a9_stats": _q_a9_stats,
+        "dedup_exact": _q_dedup_exact,
+        "text_quality": _q_text_quality,
+        "text_langid": _q_text_langid,
+        "ann_brute": _q_ann_brute,
+        # engine / spatial / scale ops (rows-only; numpy-oracle-tested)
+        "flagship_metrics": _q_flagship_metrics,
+        "zonal_join_rows": _q_zonal_join_rows,
+        "tile_assign": _q_tile_assign,
+        "pixel_persistence": _q_pixel_persistence,
+        "knn_pools": _q_knn_pools,
+        "dedup_minhash": _q_dedup_minhash,
+        "dedup_simhash": _q_dedup_simhash,
+        "ann_lsh": _q_ann_lsh,
+        "text_fingerprint": _q_text_fingerprint,
+        "multimodal_stats": _q_multimodal_stats,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "f1_clamp": """
+            SELECT l_returnflag,
+                   ROUND(SUM(CASE WHEN l_quantity > 0 AND l_quantity < 30 THEN l_quantity ELSE 0.0 END), 4) AS sum_clamped,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "f4_range": """
+            SELECT o_orderpriority,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   ROUND(SUM(o_totalprice), 4) AS sum_price
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+              AND o_totalprice > 1000 AND o_totalprice < 200000
+            GROUP BY o_orderpriority
+        """,
+        "f5_anti": """
+            SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_customers_no_orders
+            FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+            GROUP BY c_nationkey
+        """,
+        "f6_validity": """
+            WITH r AS (
+              SELECT strftime(ts, '%Y-%m-%d') AS day,
+                     SUM(CASE WHEN event_type <> 'error' THEN 1 ELSE 0 END) * 1.0 / COUNT(*) AS ratio,
+                     CAST(COUNT(*) AS BIGINT) AS n_events
+              FROM events GROUP BY 1
+            )
+            SELECT day, ROUND(ratio, 6) AS valid_ratio, n_events FROM r WHERE ratio >= 0.7
+        """,
+        "j1_star": """
+            SELECT r_name, n_name,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   CAST(COUNT(*) AS BIGINT) AS n_items
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation   ON c_nationkey = n_nationkey
+            JOIN region   ON n_regionkey = r_regionkey
+            GROUP BY r_name, n_name
+        """,
+        "j3_left": """
+            WITH per_part AS (SELECT l_partkey, SUM(l_quantity) AS qty FROM lineitem GROUP BY l_partkey)
+            SELECT p_brand,
+                   ROUND(SUM(COALESCE(qty, 0.0)), 4) AS total_qty,
+                   CAST(SUM(CASE WHEN qty IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_never_ordered
+            FROM part LEFT JOIN per_part ON p_partkey = l_partkey
+            GROUP BY p_brand
+        """,
+        "j6_fill": """
+            WITH w AS (
+              SELECT user_id, value, event_type,
+                     LEAD(CASE WHEN event_type <> 'error' THEN value END, 1) OVER win AS g1,
+                     LEAD(CASE WHEN event_type <> 'error' THEN value END, 2) OVER win AS g2,
+                     LAG(CASE WHEN event_type <> 'error' THEN value END, 1) OVER win AS g3,
+                     LAG(CASE WHEN event_type <> 'error' THEN value END, 2) OVER win AS g4
+              FROM events
+              WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), f AS (
+              SELECT user_id,
+                     CASE WHEN event_type = 'error' THEN COALESCE(g1, g2, g3, g4) ELSE value END AS filled
+              FROM w
+            )
+            SELECT user_id,
+                   ROUND(SUM(COALESCE(filled, 0.0)), 4) AS sum_filled,
+                   CAST(SUM(CASE WHEN filled IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unfillable
+            FROM f GROUP BY user_id
+        """,
+        "a1_persistence": """
+            SELECT user_id,
+                   ROUND(AVG(CASE WHEN event_type = 'click' THEN 1.0 ELSE 0.0 END), 6) AS click_persistence,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM events GROUP BY user_id
+        """,
+        "a2_cond_avg": """
+            SELECT event_type, ROUND(AVG(CASE WHEN value > 50 THEN value END), 6) AS avg_above_50
+            FROM events GROUP BY event_type
+        """,
+        "a3_cond_sum": """
+            SELECT event_type,
+                   ROUND(COALESCE(SUM(CASE WHEN value > 90 THEN value END), 0.0) * 1e-4, 6) AS ra_sum
+            FROM events GROUP BY event_type
+        """,
+        "a4_ratio": """
+            SELECT strftime(ts, '%Y-%m-%d') AS day,
+                   ROUND(SUM(CASE WHEN value IS NOT NULL AND value >= 0 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6) AS valid_ratio
+            FROM events GROUP BY 1
+        """,
+        "a7_fold": """
+            SELECT l_returnflag, l_linestatus,
+                   ROUND(SUM(0.25 * l_tax / SQRT(l_quantity) * l_quantity) / SUM(l_quantity), 6) AS awmsi_like,
+                   ROUND(SUM(l_quantity * l_quantity) / SUM(l_quantity), 6) AS awmpa_like,
+                   ROUND(SUM(l_extendedprice * l_quantity) / SUM(l_quantity), 4) AS awmpl_like,
+                   ROUND(COUNT(*) / SUM(l_quantity), 6) AS pf_like,
+                   CAST(COUNT(*) AS BIGINT) AS npools_like
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "w2_topk": """
+            SELECT CAST(o_custkey AS BIGINT) AS custkey,
+                   CAST(o_orderkey AS BIGINT) AS orderkey,
+                   CAST(rk AS BIGINT) AS rk
+            FROM (
+              SELECT o_custkey, o_orderkey,
+                     ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+              FROM orders
+            ) WHERE rk <= 3
+        """,
+        "o2_rank": """
+            SELECT CAST(s_suppkey AS BIGINT) AS suppkey,
+                   CAST(s_nationkey AS BIGINT) AS nationkey,
+                   CAST(DENSE_RANK() OVER (PARTITION BY s_nationkey ORDER BY s_acctbal DESC) AS BIGINT) AS bal_rank
+            FROM supplier
+        """,
+        "u1_union": """
+            WITH u AS (
+              SELECT c_custkey, c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+              UNION
+              SELECT c_custkey, c_nationkey FROM customer WHERE c_acctbal > 5000
+            )
+            SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_selected FROM u GROUP BY c_nationkey
+        """,
+        "c1_date_regex": """
+            WITH s AS (
+              SELECT 'scene_' || strftime(o_orderdate, '%Y_%m_%d') || '.tif' AS fname FROM orders
+            ), p AS (
+              SELECT CAST(strptime(REPLACE(regexp_extract(fname, '(\\d{4}[-_]\\d{2}[-_]\\d{2})', 1), '_', '-'), '%Y-%m-%d') AS DATE) AS parsed
+              FROM s
+            )
+            SELECT strftime(parsed, '%Y-%m') AS month, CAST(COUNT(*) AS BIGINT) AS n FROM p GROUP BY 1
+        """,
+        "c5_units": """
+            SELECT p_type,
+                   ROUND(SUM(p_retailprice / 1e3), 6) AS total_kprice,
+                   ROUND(AVG(p_size * 2.54), 6) AS avg_size_cm
+            FROM part GROUP BY p_type
+        """,
+        "f9_having": """
+            WITH per AS (SELECT o_custkey, COUNT(*) AS n FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 5)
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_heavy_customers,
+                   CAST(SUM(n) AS BIGINT) AS n_their_orders
+            FROM per
+        """,
+        "s1_uniform": """
+            SELECT CAST(year(l_shipdate) AS BIGINT) AS yr,
+                   CAST(COUNT(DISTINCT l_returnflag || '|' || l_linestatus) AS BIGINT) AS n_flag_combos
+            FROM lineitem GROUP BY 1
+        """,
+        "a9_stats": """
+            SELECT c_nationkey,
+                   ROUND(AVG(c_acctbal), 4) AS avg_bal,
+                   ROUND(STDDEV_SAMP(c_acctbal), 4) AS sd_bal
+            FROM customer GROUP BY c_nationkey
+        """,
+        "dedup_exact": """
+            SELECT md5(text) AS text_md5,
+                   CAST(COUNT(*) AS BIGINT) AS n_copies,
+                   CAST(MIN(doc_id) AS BIGINT) AS keeper
+            FROM documents GROUP BY md5(text) HAVING COUNT(*) > 1
+        """,
+        "text_quality": """
+            SELECT lang, source,
+                   ROUND(AVG(len(string_split(text, ' '))), 6) AS avg_tokens,
+                   CAST(MAX(length(text)) AS BIGINT) AS max_chars,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs
+            FROM documents GROUP BY lang, source
+        """,
+        "text_langid": """
+            WITH m AS (
+              SELECT source,
+                     ((length(text) - length(replace(text, ' the ', ''))) / 5.0
+                      + (length(text) - length(replace(text, ' and ', ''))) / 5.0
+                      + (length(text) - length(replace(text, ' of ', ''))) / 4.0
+                      + (length(text) - length(replace(text, ' a ', ''))) / 3.0
+                     ) * 100.0 / GREATEST(length(text), 1) AS score
+              FROM documents
+            )
+            SELECT source, ROUND(AVG(score), 6) AS avg_marker_score FROM m GROUP BY source
+        """,
+        "ann_brute": """
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 3),
+            scored AS (
+              SELECT q.query_id, e.vec_id AS neighbor_id,
+                     ROUND((
+                        SELECT SUM(CAST(a AS DOUBLE) * CAST(b AS DOUBLE))
+                        FROM (SELECT UNNEST(q.qvec) AS a, UNNEST(e.embedding) AS b)
+                     ) / (
+                        SQRT((SELECT SUM(CAST(a AS DOUBLE) * CAST(a AS DOUBLE)) FROM (SELECT UNNEST(q.qvec) AS a)))
+                        * SQRT((SELECT SUM(CAST(b AS DOUBLE) * CAST(b AS DOUBLE)) FROM (SELECT UNNEST(e.embedding) AS b)))
+                     ), 6) AS cos6
+              FROM embeddings e, q
+              WHERE e.vec_id <> q.query_id
+            )
+            SELECT CAST(query_id AS BIGINT) AS query_id,
+                   CAST(neighbor_id AS BIGINT) AS neighbor_id,
+                   ROUND(cos6, 4) AS cosine,
+                   CAST(rk AS BIGINT) AS rk
+            FROM (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos6 DESC, neighbor_id ASC) AS rk
+              FROM scored
+            ) WHERE rk <= 5
+        """,
+    }

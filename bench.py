@@ -1,0 +1,98 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "images_per_sec": ...}
+
+The flagship entry is the full image->metrics pipeline (decode, NDWI,
+hex tiling, broadcast PIP zonal join, validity semi-join, temporal
+fill, morphology, metric fold) on a deterministically synthesized
+image table scaled to the sf of the relational inputs. Relational
+headliners run on the driver-provided TPC-H-ish parquet.
+
+Scaling-efficiency evidence (north rule: N vs 4N executors) is
+produced by tools/scaling_run.py which runs THIS harness at local[8]
+and local[32] on identical input and reports both throughputs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def sf_of(path: str) -> float:
+    base = os.path.basename(path.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entrymod
+    from irivermetrics_spark import synth
+    from irivermetrics_spark.plans import pipeline
+    from irivermetrics_spark.session import get_spark
+
+    sf = sf_of(SF_DIR)
+    spark = get_spark("bench", master=f"local[{CPUS}]", shuffle_partitions=max(8, int(CPUS)))
+
+    timings: dict[str, float] = {}
+
+    # ---- flagship: full image pipeline, scaled with sf ----
+    # sized so parallel compute dominates fixed overhead (the scaling-
+    # efficiency criterion is measured on this workload)
+    n_scenes = max(1, int(round(320 * sf)))  # sf0.1 -> 32 scenes x 63 dates
+    fx = synth.make_fixture(w=326, h=111, n_dates=63, n_sections=7, n_scenes=n_scenes, seed=42)
+    n_images = len(fx.images)
+    grid = dict(gx0=fx.gx0, gy0=fx.gy0, ps=fx.pixel_size, w=fx.w, h=fx.h)
+    images = pipeline.images_df(spark, fx.images).repartition(int(CPUS)).persist()
+    images.count()  # materialize input before timing
+
+    t0 = time.time()
+    res = pipeline.run(spark, images, fx.reaches, grid)
+    n_metric_rows = res["metrics"].count()
+    flagship_sec = time.time() - t0
+    timings["flagship_pipeline"] = round(flagship_sec, 3)
+    images_per_sec = n_images / flagship_sec
+
+    # ---- relational headliners on the sf tables ----
+    qs = entrymod.queries()
+    for name in ["j1_star", "a7_fold", "w2_topk", "j6_fill", "f6_validity",
+                 "dedup_exact", "dedup_minhash", "ann_brute", "text_quality"]:
+        t0 = time.time()
+        try:
+            df = qs[name](spark, SF_DIR)
+            df.write.format("noop").mode("overwrite").save()
+        except Exception:
+            # noop sink unavailable or query failed: fall back to count
+            qs[name](spark, SF_DIR).count()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "headline suite wall-clock (flagship image pipeline + relational operators)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "images": n_images,
+        "images_per_sec": round(images_per_sec, 3),
+        "metric_rows": n_metric_rows,
+        "cpus": int(CPUS),
+    }
+    spark.stop()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

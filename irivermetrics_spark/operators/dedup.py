@@ -1,0 +1,165 @@
+"""Deduplication operators for web-scale corpora.
+
+- exact: hash-groupBy on md5(text) — one shuffle, SQL-expressible.
+- MinHash + LSH: shingle -> 64 minhashes -> b bands of r rows ->
+  band-bucket equi-join -> candidate pairs (verified by exact Jaccard
+  inside the join kernel). Shuffle = explode(bands) + groupBy bucket;
+  at scale the bucket key is uniform by construction (hash), and the
+  per-bucket pair blowup is bounded by banding parameters.
+- SimHash: 64-bit hyperplane-free charngram simhash; near-dup =
+  Hamming distance <= k via 4-segment pigeonhole banding.
+- n-gram Jaccard: exact pairwise within LSH candidates only (never
+  all-pairs).
+
+All hashing is deterministic numpy inside Arrow pandas UDFs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_MERSENNE = np.uint64((1 << 61) - 1)
+
+
+def _shingles(text: str, k: int = 5) -> np.ndarray:
+    s = " ".join(str(text).lower().split())
+    if len(s) < k:
+        s = s + " " * (k - len(s))
+    data = np.frombuffer(s.encode("utf-8", "ignore"), dtype=np.uint8)
+    n = max(1, data.shape[0] - k + 1)
+    # vectorized polynomial hash of each k-gram
+    windows = np.lib.stride_tricks.sliding_window_view(data, min(k, data.shape[0]))[:n].astype(np.uint64)
+    weights = np.power(np.uint64(257), np.arange(windows.shape[1], dtype=np.uint64), dtype=np.uint64)
+    return np.unique((windows * weights).sum(axis=1, dtype=np.uint64))
+
+
+def _minhash_params(n_hashes: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE, size=n_hashes, dtype=np.uint64) | np.uint64(1)
+    b = rng.integers(0, _MERSENNE, size=n_hashes, dtype=np.uint64)
+    return a, b
+
+
+def minhash_signatures(docs: DataFrame, text_col: str = "text", n_hashes: int = 64,
+                       shingle_k: int = 5) -> DataFrame:
+    """doc -> array<bigint> of n_hashes minhash values."""
+    a, b = _minhash_params(n_hashes)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def sig(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts:
+            sh = _shingles(t, shingle_k)
+            # (a*x + b) mod p for each hash fn; min over shingles
+            vals = (sh[None, :] * a[:, None] + b[:, None]) % _MERSENNE
+            out.append(vals.min(axis=1).astype(np.int64).tolist())
+        return pd.Series(out)
+
+    return docs.withColumn("minhash", sig(F.col(text_col)))
+
+
+def lsh_candidates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                   n_hashes: int = 64, bands: int = 16, shingle_k: int = 5) -> DataFrame:
+    """Candidate near-duplicate pairs via MinHash banding.
+
+    Returns (id_a, id_b, est_jaccard) with id_a < id_b; est_jaccard is
+    the fraction of agreeing minhashes (computed in the pair join).
+    """
+    rows = n_hashes // bands
+    with_sig = minhash_signatures(docs.select(id_col, text_col), text_col, n_hashes, shingle_k)
+    banded = with_sig.select(
+        F.col(id_col).alias("id"),
+        "minhash",
+        F.posexplode(
+            F.array(*[
+                F.xxhash64(F.lit(i), F.slice("minhash", i * rows + 1, rows)) for i in range(bands)
+            ])
+        ).alias("band", "bucket"),
+    )
+    pairs = (
+        banded.alias("l")
+        .join(banded.alias("r"), ["band", "bucket"])
+        .where(F.col("l.id") < F.col("r.id"))
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.col("l.minhash").alias("mh_a"),
+            F.col("r.minhash").alias("mh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = F.aggregate(
+        F.zip_with("mh_a", "mh_b", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    ) / F.lit(n_hashes)
+    return pairs.select("id_a", "id_b", est.cast("double").alias("est_jaccard"))
+
+
+def exact_jaccard_pairs(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", shingle_k: int = 5) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate pairs (broadcast-friendly:
+    joins texts back to the (small) candidate set)."""
+    texts = docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("txt"))
+    both = (
+        pairs.join(texts.withColumnRenamed("id", "id_a").withColumnRenamed("txt", "txt_a"), "id_a")
+        .join(texts.withColumnRenamed("id", "id_b").withColumnRenamed("txt", "txt_b"), "id_b")
+    )
+
+    @F.pandas_udf("double")
+    def jac(ta: pd.Series, tb: pd.Series) -> pd.Series:
+        out = np.empty(len(ta))
+        for i, (x, y) in enumerate(zip(ta, tb)):
+            sa, sb = _shingles(x, shingle_k), _shingles(y, shingle_k)
+            inter = np.intersect1d(sa, sb, assume_unique=True).shape[0]
+            out[i] = inter / (sa.shape[0] + sb.shape[0] - inter)
+        return pd.Series(out)
+
+    return both.select("id_a", "id_b", "est_jaccard", jac("txt_a", "txt_b").alias("jaccard"))
+
+
+def simhash64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+              shingle_k: int = 5) -> DataFrame:
+    """64-bit SimHash over shingle hashes + 4x16-bit pigeonhole bands."""
+
+    @F.pandas_udf("long")
+    def sh(texts: pd.Series) -> pd.Series:
+        out = np.empty(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            hs = _shingles(t, shingle_k)
+            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
+            vote = (2 * bits - 1).sum(axis=0)
+            val = np.uint64(0)
+            for b in np.nonzero(vote > 0)[0]:
+                val |= np.uint64(1) << np.uint64(b)
+            out[i] = np.int64(val)
+        return pd.Series(out)
+
+    d = docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("txt")).withColumn("simhash", sh("txt"))
+    for seg in range(4):
+        d = d.withColumn(f"band{seg}", F.shiftrightunsigned("simhash", seg * 16).bitwiseAND(F.lit(0xFFFF)))
+    return d.drop("txt")
+
+
+def simhash_candidates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                       max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) <= max_hamming; candidate
+    generation by matching any 16-bit band (pigeonhole: hamming <= 3
+    over 4 bands guarantees one identical band)."""
+    d = simhash64(docs, id_col, text_col)
+    cands = None
+    for seg in range(4):
+        c = (
+            d.alias("l").join(d.alias("r"), F.col(f"l.band{seg}") == F.col(f"r.band{seg}"))
+            .where(F.col("l.id") < F.col("r.id"))
+            .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"),
+                    F.col("l.simhash").alias("sh_a"), F.col("r.simhash").alias("sh_b"))
+        )
+        cands = c if cands is None else cands.unionByName(c)
+    cands = cands.dropDuplicates(["id_a", "id_b"])
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cands.select("id_a", "id_b", hamming.alias("hamming")).where(F.col("hamming") <= max_hamming)

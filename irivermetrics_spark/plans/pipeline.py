@@ -44,15 +44,24 @@ def run(
     min_pool_size: int = 2,
     section_length: float = float("nan"),
     mask_path: str | None = None,
+    checkpoint_dir: str | None = None,
 ) -> dict[str, DataFrame]:
     """Returns the named intermediate + final DataFrames (all lazy except
-    the small date-dimension collects)."""
+    the small date-dimension collects).
+
+    checkpoint_dir: enable per-stage lineage checkpointing (P8) — a
+    rerun with the same dir resumes after the last completed stage.
+    """
+    from . import lineage
+
     decode.validate_uniform_grid(images)
 
     points = decode.decode_points(images, grid, res=res)
-    if mask_path:
-        # module-1 sink (K1): persist the mask-point table, re-read for
-        # module 2 — avoids double decode and gives a resume point
+    if checkpoint_dir:
+        # module-1 sink (K1) as a lineage stage: decode runs once ever
+        points = lineage.run_stage(spark, points, checkpoint_dir, "mask_points",
+                                   partition_by=["date"])
+    elif mask_path:
         points.write.mode("overwrite").partitionBy("date").parquet(mask_path)
         points = spark.read.parquet(mask_path)
     else:
@@ -72,6 +81,8 @@ def run(
 
     points_kept = points.join(F.broadcast(kept), ["scene", "date"], "left_semi")
     water = fillop.filled_water(points_kept, kept_map, reaches, grid, fill_res=fill_res)
+    if checkpoint_dir:
+        water = lineage.run_stage(spark, water, checkpoint_dir, "water_filled")
 
     cover = zonal.cover_df(spark, reaches, res)
     # post-fill water points re-acquire their res-`res` cell key for the
@@ -85,8 +96,14 @@ def run(
     grid_df = metrics.dimension_grid(spark, kept_map, reaches)
     final = metrics.fold(pools, grid_df, pers, section_length=section_length)
 
+    from ..operators import exports as exports_op
+
+    lines = exports_op.pool_lines(pools, grid)
     return dict(
-        points=points,
+        polygons=exports_op.pool_polygons(water_joined, reaches, grid, min_pool_size),
+        lines=lines,
+        points=exports_op.line_points(lines),
+        mask_points=points,
         kept=kept,
         water=water,
         water_joined=water_joined,
