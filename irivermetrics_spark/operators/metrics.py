@@ -89,9 +89,12 @@ def fold(pools: DataFrame, grid_df: DataFrame, persistence_df: DataFrame,
         F.sum(safe(F.col("width_km") * area)).alias("awmpw_num"),
         F.sum(F.when(area > 0, 1).otherwise(0)).alias("npools_real"),
     )
+    # both right sides are per-(scene,date,section) / per-(scene,section)
+    # aggregates — tiny relative to pool rows; broadcast them so the fold
+    # never sort-merges
     j = (
-        grid_df.join(agg, ["scene", "ds", "section"], "left")
-        .join(persistence_df, ["scene", "section"], "left")
+        grid_df.join(F.broadcast(agg), ["scene", "ds", "section"], "left")
+        .join(F.broadcast(persistence_df), ["scene", "section"], "left")
     )
     nonzero = F.col("sum_area").isNotNull() & (F.col("sum_area") > 0)
     L = F.lit(section_length)

@@ -124,21 +124,17 @@ def zonal_join(points: DataFrame, cover: DataFrame, reaches: list[dict], grid: d
     """
     joined = points.join(F.broadcast(cover), "cell")
     refine = _refine_factory(reaches, grid, all_touched=True)
-    return (
-        joined.withColumn(
-            "member", F.when(F.col("full"), F.lit(True)).otherwise(refine("section", "px", "py"))
-        )
-        .filter("member")
-        .drop("member", "full")
-    )
+    # split so the (vectorized-Python) refine only ever sees boundary-cell
+    # points — full-cell points pass through JVM-only
+    full_rows = joined.filter("full").drop("full")
+    boundary = joined.filter("NOT full").drop("full").filter(refine("section", "px", "py"))
+    return full_rows.unionByName(boundary)
 
 
 def corridor_join(points: DataFrame, corridor_cover: DataFrame, reaches: list[dict], grid: dict) -> DataFrame:
     """points filtered to the dissolved corridor (center rule)."""
     joined = points.join(F.broadcast(corridor_cover), "cell")
     refine = _corridor_refine_factory(reaches, grid)
-    return (
-        joined.withColumn("member", F.when(F.col("full"), F.lit(True)).otherwise(refine("px", "py")))
-        .filter("member")
-        .drop("member", "full")
-    )
+    full_rows = joined.filter("full").drop("full")
+    boundary = joined.filter("NOT full").drop("full").filter(refine("px", "py"))
+    return full_rows.unionByName(boundary)

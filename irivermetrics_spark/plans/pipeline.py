@@ -62,7 +62,11 @@ def run(
         points = lineage.run_stage(spark, points, checkpoint_dir, "mask_points",
                                    partition_by=["date"])
     elif mask_path:
-        points.write.mode("overwrite").partitionBy("date").parquet(mask_path)
+        # plain (unpartitioned) parquet: at local scale a per-date
+        # dynamic-partition write costs more in small-file commits than
+        # pruning saves; a cluster deployment with years of history
+        # would partitionBy("date") here (see lineage path)
+        points.write.mode("overwrite").parquet(mask_path)
         points = spark.read.parquet(mask_path)
     else:
         points = points.persist()
@@ -88,7 +92,9 @@ def run(
     # post-fill water points re-acquire their res-`res` cell key for the
     # per-section join (the fill stage grouped on the finer fill_res key)
     water_keyed = water.withColumn("cell", fillop.hex_cell_udf(res, grid)("px", "py"))
-    water_joined = zonal.zonal_join(water_keyed, cover, reaches, grid)
+    # persisted: persistence, morphology and the exports all branch off
+    # this subtree — without a persist Spark recomputes fill+join per branch
+    water_joined = zonal.zonal_join(water_keyed, cover, reaches, grid).persist()
 
     n_dates = {k: len(v) for k, v in kept_map.items()}
     pers = metrics.persistence(water_joined, n_dates, grid["ps"])

@@ -1,0 +1,54 @@
+"""Structured-Streaming ingest: module 1 as a continuous pipeline.
+
+The reference has no streaming surface (SURVEY.md §2.10) — batch parity
+never needs this. But the natural production shape of module 1 at
+10^12-image scale is an append-only stream: new scenes land in the
+image table; `readStream` decodes them incrementally and appends mask
+points to the (date-partitioned) mask table, exactly the table module 2
+reads. Checkpointing gives exactly-once file-level processing; the
+decode kernel is the same mapInPandas used in batch (lazy plans are
+stream-compatible by construction).
+
+Run with trigger=availableNow for catch-up batches, or processingTime
+for continuous ingest.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from ..operators import decode
+
+IMAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("image_id", T.StringType(), False),
+        T.StructField("bytes", T.BinaryType(), False),
+        T.StructField("w", T.IntegerType(), False),
+        T.StructField("h", T.IntegerType(), False),
+        T.StructField("fmt", T.StringType(), False),
+        T.StructField("caption", T.StringType(), False),
+        T.StructField("phash", T.LongType(), False),
+    ]
+)
+
+
+def stream_decode(spark: SparkSession, images_path: str, grid: dict, res: int = 9) -> DataFrame:
+    """readStream on the image table directory -> streaming mask points."""
+    stream = spark.readStream.schema(IMAGE_SCHEMA).parquet(images_path)
+    return decode.decode_points(stream, grid, res=res)
+
+
+def start_mask_sink(points: DataFrame, mask_path: str, checkpoint_path: str,
+                    available_now: bool = True):
+    """Append mask points to the module-2 input table (K1 sink)."""
+    writer = (
+        points.writeStream.format("parquet")
+        .option("path", mask_path)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("append")
+        .partitionBy("date")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1,0 +1,98 @@
+"""Quality checks for the scale operators: kNN, MinHash-LSH, SRP-LSH ANN."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from irivermetrics_spark.functions import geometry
+from irivermetrics_spark.operators import dedup, knn, similarity
+
+
+# ------------------------------------------------------------------ kNN
+
+def test_knn_matches_bruteforce_haversine(spark):
+    rng = np.random.default_rng(9)
+    n = 60
+    pdf = pd.DataFrame(
+        dict(
+            scene="s0",
+            ds="2020-01-01",
+            section="0",
+            label=np.arange(n),
+            x=rng.uniform(0, 3000, n),
+            y=rng.uniform(0, 1000, n),
+        )
+    )
+    cents = spark.createDataFrame(pdf)
+    got = knn.knn_pools(cents, k=3, res=9, ring_k=4).toPandas()
+
+    # brute-force oracle
+    lon, lat = geometry.planar_to_lonlat(pdf.x.to_numpy(), pdf.y.to_numpy())
+    ids = [f"0/{i}" for i in range(n)]
+    expect = {}
+    for i in range(n):
+        d = geometry.haversine_m(lat[i], lon[i], lat, lon)
+        order = sorted(range(n), key=lambda j: (d[j], ids[j]))
+        expect[ids[i]] = [ids[j] for j in order if j != i][:3]
+
+    got_map = {}
+    for rec in got.sort_values(["query_id", "rank"]).itertuples(index=False):
+        got_map.setdefault(rec.query_id, []).append(rec.neighbor_id)
+    assert got_map == expect
+
+
+# ------------------------------------------------------- MinHash LSH dedup
+
+def _dup_corpus():
+    base = [
+        "the quick brown fox jumps over the lazy dog again and again in the river valley " * 4,
+        "completely different content about spark partitions and shuffle behavior at scale " * 4,
+        "surface water persistence metrics for intermittent rivers and ephemeral streams " * 4,
+    ]
+    rows = []
+    i = 0
+    for b in base:
+        rows.append((i, b)); i += 1
+        rows.append((i, b + " with a tiny suffix change"))  # near-dup
+        i += 1
+    rows.append((i, "an utterly unrelated document mentioning nothing in common whatsoever zzz")); i += 1
+    return pd.DataFrame(rows, columns=["doc_id", "text"])
+
+
+def test_minhash_lsh_finds_neardups(spark):
+    docs = spark.createDataFrame(_dup_corpus())
+    cand = dedup.lsh_candidates(docs, "doc_id", "text", n_hashes=64, bands=16)
+    pairs = dedup.exact_jaccard_pairs(docs, cand, "doc_id", "text").toPandas()
+    found = {(a, b) for a, b, _, j in pairs.itertuples(index=False) if j >= 0.5}
+    assert {(0, 1), (2, 3), (4, 5)} <= found
+    # estimate tracks exact jaccard
+    for rec in pairs.itertuples(index=False):
+        assert abs(rec.est_jaccard - rec.jaccard) < 0.35
+
+
+def test_simhash_neardups(spark):
+    docs = spark.createDataFrame(_dup_corpus())
+    got = dedup.simhash_candidates(docs, "doc_id", "text", max_hamming=6).toPandas()
+    found = set(zip(got.id_a, got.id_b))
+    assert {(0, 1), (2, 3), (4, 5)} <= found
+
+
+# ---------------------------------------------------------- SRP-LSH ANN
+
+def test_lsh_ann_recall_vs_brute(spark):
+    rng = np.random.default_rng(10)
+    # clustered vectors so near neighbors are meaningful
+    centers = rng.standard_normal((8, 32))
+    vecs = np.concatenate([c + 0.15 * rng.standard_normal((25, 32)) for c in centers])
+    pdf = pd.DataFrame({"vec_id": np.arange(len(vecs)), "embedding": [v.astype(np.float32).tolist() for v in vecs]})
+    em = spark.createDataFrame(pdf)
+    q = em.filter(F.col("vec_id") < 5)
+    brute = similarity.brute_topk(em, q, k=5).toPandas()
+    approx = similarity.lsh_topk(em, q, k=5, n_bits=8, n_tables=8).toPandas()
+    recall_hits = 0
+    for qid in range(5):
+        b = set(brute[brute.query_id == qid].neighbor_id)
+        a = set(approx[approx.query_id == qid].neighbor_id)
+        recall_hits += len(a & b)
+    assert recall_hits / 25 >= 0.6  # clustered data, generous LSH params
