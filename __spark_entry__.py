@@ -434,7 +434,7 @@ def _q_emb_neardup(spark, sf):
     from irivermetrics_spark.operators import similarity
 
     em = _t(spark, sf, "embeddings")
-    return similarity.cosine_neardup_pairs(em, threshold=0.8)
+    return similarity.cosine_neardup_pairs(em, threshold=0.6)
 
 
 def _q_multimodal_stats(spark, sf):

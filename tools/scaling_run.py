@@ -75,7 +75,7 @@ def main() -> None:
     # parallel fraction dominates; the 32-thread leg keeps the default
     # size — beyond ~8 busy vCPUs this virtualized host throttles
     # sustained load (see calibration + BASELINE.md note)
-    os.environ["SPARK_GRAFT_BENCH_SCENES"] = "64"
+    os.environ["SPARK_GRAFT_BENCH_SCENES"] = "192"
     r2 = run(2, sf_dir, repeats=2)
     r8 = run(8, sf_dir, repeats=3)
     os.environ.pop("SPARK_GRAFT_BENCH_SCENES")
