@@ -52,24 +52,30 @@ def persistence(water_joined: DataFrame, n_dates: dict[str, int], pixel_size: fl
     )
 
 
-def dimension_grid(spark: SparkSession, kept_dates: dict[str, list[str]],
+def dimension_grid(spark: SparkSession, kept_dates: dict[str, list[str]] | DataFrame,
                    reaches: list[dict]) -> DataFrame:
-    """(scene, ds, section, section_area_km2) — the fold's full keyspace."""
-    rows = [
-        (scene, ds, r["section"], r["area_m2"] / 1e6)
-        for scene, dates in kept_dates.items()
-        for ds in dates
-        for r in reaches
-    ]
-    schema = T.StructType(
-        [
-            T.StructField("scene", T.StringType(), False),
-            T.StructField("ds", T.StringType(), False),
+    """(scene, ds, section, section_area_km2) — the fold's full keyspace.
+
+    Preferred input is the kept-dates DataFrame (stays distributed: the
+    grid is dates x sections via a broadcast cross join, never a
+    driver-side row list); the dict form remains for small/test use.
+    """
+    sections = spark.createDataFrame(
+        [(r["section"], r["area_m2"] / 1e6) for r in reaches],
+        T.StructType([
             T.StructField("section", T.StringType(), False),
             T.StructField("section_area_km2", T.DoubleType(), False),
-        ]
+        ]),
     )
-    return spark.createDataFrame(rows, schema)
+    if isinstance(kept_dates, DataFrame):
+        dates = kept_dates.select("scene", F.date_format("date", "yyyy-MM-dd").alias("ds"))
+        return dates.crossJoin(F.broadcast(sections))
+    rows = [(scene, ds) for scene, ds_list in kept_dates.items() for ds in ds_list]
+    schema = T.StructType([
+        T.StructField("scene", T.StringType(), False),
+        T.StructField("ds", T.StringType(), False),
+    ])
+    return spark.createDataFrame(rows, schema).crossJoin(F.broadcast(sections))
 
 
 def fold(pools: DataFrame, grid_df: DataFrame, persistence_df: DataFrame,

@@ -99,7 +99,7 @@ def run(
     n_dates = {k: len(v) for k, v in kept_map.items()}
     pers = metrics.persistence(water_joined, n_dates, grid["ps"])
     pools = morphology.pool_rows(water_joined, reaches, grid, min_pool_size=min_pool_size)
-    grid_df = metrics.dimension_grid(spark, kept_map, reaches)
+    grid_df = metrics.dimension_grid(spark, kept, reaches)
     final = metrics.fold(pools, grid_df, pers, section_length=section_length)
 
     from ..operators import exports as exports_op
