@@ -437,6 +437,16 @@ def _q_emb_neardup(spark, sf):
     return similarity.cosine_neardup_pairs(em, threshold=0.6)
 
 
+def _q_ann_ivf(spark, sf):
+    """IVF coarse-quantizer ANN (the non-LSH scale path)."""
+    from irivermetrics_spark.operators import ivf
+
+    em = _t(spark, sf, "embeddings")
+    C = ivf.train_centroids(em, n_lists=16, sample=512, iters=6)
+    q = em.filter(F.col("vec_id") < 3)
+    return ivf.ivf_topk(em, q, C, k=5, nprobe=4)
+
+
 def _q_multimodal_stats(spark, sf):
     """Opaque-binary multimodal column handling: decode + per-image
     feature extraction inside mapInPandas (schema/plumbing real; heavy
@@ -511,6 +521,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "export_points": _q_export_points,
         "dist_ccl": _q_dist_ccl,
         "emb_neardup": _q_emb_neardup,
+        "ann_ivf": _q_ann_ivf,
     }
 
 

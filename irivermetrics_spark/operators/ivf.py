@@ -1,0 +1,101 @@
+"""IVF (inverted-file) approximate nearest neighbor over embeddings.
+
+The coarse-quantizer alternative to SRP-LSH (similarity.py) for the
+10^9+-row regime:
+
+1. **train**: sample vectors to the driver (the model is small, the
+   data is not), run a few Lloyd iterations of k-means in numpy —
+   deterministic (seeded kmeans++-style init from the sample);
+2. **assign**: every vector gets its nearest-centroid list id via a
+   vectorized pandas UDF against the broadcast centroid matrix —
+   embarrassingly parallel, one pass;
+3. **search**: a query probes its ``nprobe`` nearest lists; candidates
+   come from an equi-join on list id (never a cross product), exact
+   cosine re-ranks them.
+
+Recall is tunable via (n_lists, nprobe); tests verify against the
+brute-force oracle on clustered data.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .similarity import cosine_expr
+
+
+def train_centroids(embeddings: DataFrame, n_lists: int = 16, sample: int = 2048,
+                    iters: int = 8, seed: int = 13, vec_col: str = "embedding") -> np.ndarray:
+    """k-means centroids from a deterministic sample (rows x dim)."""
+    pdf = (
+        embeddings.select(vec_col)
+        .orderBy(F.xxhash64(F.col(vec_col).cast("string"), F.lit(seed)))
+        .limit(sample)
+        .toPandas()
+    )
+    X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    # kmeans++-ish seeding on the sample
+    cents = [X[rng.integers(0, X.shape[0])]]
+    for _ in range(1, n_lists):
+        d2 = np.min([(np.square(X - c).sum(axis=1)) for c in cents], axis=0)
+        probs = d2 / max(d2.sum(), 1e-12)
+        cents.append(X[rng.choice(X.shape[0], p=probs)])
+    C = np.stack(cents)
+    for _ in range(iters):
+        assign = np.argmax(X @ C.T, axis=1)  # cosine on normalized vectors
+        for k in range(n_lists):
+            members = X[assign == k]
+            if members.shape[0]:
+                m = members.mean(axis=0)
+                C[k] = m / max(np.linalg.norm(m), 1e-12)
+    return C
+
+
+def _assign_udf(C: np.ndarray, top: int = 1):
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def assign(vecs: pd.Series) -> pd.Series:
+        X = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        sims = X @ C.T
+        order = np.argsort(-sims, axis=1)[:, :top]
+        return pd.Series([row.astype(int).tolist() for row in order])
+
+    return assign
+
+
+def ivf_assign(embeddings: DataFrame, C: np.ndarray, id_col: str = "vec_id",
+               vec_col: str = "embedding") -> DataFrame:
+    """(id, vec, list_id) — one row per vector, nearest list only."""
+    assign = _assign_udf(C, top=1)
+    return embeddings.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+    ).withColumn("list_id", F.element_at(assign("vec"), 1))
+
+
+def ivf_topk(embeddings: DataFrame, queries: DataFrame, C: np.ndarray, k: int = 5,
+             nprobe: int = 4, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Approximate top-k: probe nprobe lists, exact cosine re-rank."""
+    base = ivf_assign(embeddings, C, id_col, vec_col)
+    probe = _assign_udf(C, top=nprobe)
+    q = (
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+        .withColumn("list_id", F.explode(probe("qvec")))
+    )
+    cand = (
+        base.join(q, "list_id")
+        .where(F.col("id") != F.col("query_id"))
+        .dropDuplicates(["query_id", "id"])
+        .withColumn("cosine", cosine_expr("qvec", "vec"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", F.col("id").alias("neighbor_id"), "cosine", "rank")
+    )

@@ -96,3 +96,25 @@ def test_lsh_ann_recall_vs_brute(spark):
         a = set(approx[approx.query_id == qid].neighbor_id)
         recall_hits += len(a & b)
     assert recall_hits / 25 >= 0.6  # clustered data, generous LSH params
+
+
+def test_ivf_ann_recall_vs_brute(spark):
+    from irivermetrics_spark.operators import ivf
+
+    rng = np.random.default_rng(12)
+    centers = rng.standard_normal((6, 32))
+    vecs = np.concatenate([c + 0.12 * rng.standard_normal((30, 32)) for c in centers])
+    pdf = pd.DataFrame({"vec_id": np.arange(len(vecs)),
+                        "embedding": [v.astype(np.float32).tolist() for v in vecs]})
+    em = spark.createDataFrame(pdf)
+    q = em.filter(F.col("vec_id") < 5)
+    C = ivf.train_centroids(em, n_lists=8, sample=256, iters=6)
+    assert C.shape == (8, 32)
+    brute = similarity.brute_topk(em, q, k=5).toPandas()
+    approx = ivf.ivf_topk(em, q, C, k=5, nprobe=3).toPandas()
+    hits = 0
+    for qid in range(5):
+        b = set(brute[brute.query_id == qid].neighbor_id)
+        a = set(approx[approx.query_id == qid].neighbor_id)
+        hits += len(a & b)
+    assert hits / 25 >= 0.8  # clustered data: IVF should recall well
