@@ -1,0 +1,135 @@
+"""Property-based kernel tests (hypothesis): randomized micro-arrays
+checked against independent brute-force implementations."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from irivermetrics_spark.functions import cellindex, geometry
+from irivermetrics_spark.kernels import ccl, edt, fill
+
+arrays = st.integers(2, 12).flatmap(
+    lambda h: st.integers(2, 12).flatmap(
+        lambda w: st.lists(st.integers(0, 1), min_size=h * w, max_size=h * w).map(
+            lambda v: np.asarray(v, dtype=np.int8).reshape(h, w)
+        )
+    )
+)
+
+
+def _flood_components(img: np.ndarray) -> list[frozenset]:
+    """Independent 8-conn component finder (BFS flood fill)."""
+    h, w = img.shape
+    seen = np.zeros_like(img, dtype=bool)
+    comps = []
+    for y in range(h):
+        for x in range(w):
+            if img[y, x] and not seen[y, x]:
+                stack = [(y, x)]
+                seen[y, x] = True
+                comp = set()
+                while stack:
+                    cy, cx = stack.pop()
+                    comp.add((cy, cx))
+                    for dy in (-1, 0, 1):
+                        for dx in (-1, 0, 1):
+                            ny, nx = cy + dy, cx + dx
+                            if 0 <= ny < h and 0 <= nx < w and img[ny, nx] and not seen[ny, nx]:
+                                seen[ny, nx] = True
+                                stack.append((ny, nx))
+                comps.append(frozenset(comp))
+    return comps
+
+
+@settings(max_examples=60, deadline=None)
+@given(arrays)
+def test_ccl_partition_matches_floodfill(img):
+    labels, n = ccl.label8(img)
+    comps = _flood_components(img)
+    assert n == len(comps)
+    got = {}
+    for (y, x) in {p for c in comps for p in c}:
+        got.setdefault(labels[y, x], set()).add((y, x))
+    assert sorted(map(frozenset, got.values()), key=sorted) == sorted(comps, key=sorted)
+    # scan-order labeling: label of first pixel in row-major order is 1, etc.
+    firsts = sorted((min(c), i + 1) for i, c in enumerate(sorted(comps, key=min)))
+    for (y, x), expect in firsts:
+        assert labels[y, x] == expect
+
+
+@settings(max_examples=40, deadline=None)
+@given(arrays)
+def test_edt_matches_bruteforce(img):
+    d = edt.edt(img)
+    ys, xs = np.nonzero(img == 0)
+    for y in range(img.shape[0]):
+        for x in range(img.shape[1]):
+            if img[y, x] == 0:
+                assert d[y, x] == 0.0
+            elif ys.size:
+                expect = np.sqrt(((ys - y) ** 2 + (xs - x) ** 2).min())
+                assert abs(d[y, x] - expect) < 1e-4
+
+
+series = st.integers(2, 10).flatmap(
+    lambda n: st.lists(st.integers(0, 2), min_size=n, max_size=n)
+)
+
+
+@settings(max_examples=100, deadline=None)
+@given(series)
+def test_fill_matches_reference_simulation(vals):
+    """Direct simulation of the reference's padded sequential fill
+    (independent re-derivation of src/utils/calc_metrics.py:522-584)."""
+    v = np.asarray(vals, dtype=np.int8).reshape(-1, 1)
+    got = fill.fill_series(v).ravel().tolist()
+
+    seq = list(vals)
+    pad = [seq[1], seq[0]] + seq + [seq[-1], seq[-2]]
+    m = len(pad)
+    for num in range(1, m - 2):
+        if pad[num] == 2:
+            for off in (1, 2, -1, -2):
+                adj = num + off
+                if 0 <= adj < m and pad[num] == 2 and pad[adj] != 2:
+                    pad[num] = pad[adj]
+    assert got == pad[2:2 + len(seq)]
+
+
+coords = st.lists(
+    st.tuples(st.floats(-1e4, 1e4, allow_nan=False), st.floats(-1e4, 1e4, allow_nan=False)),
+    min_size=1, max_size=50,
+)
+
+
+@settings(max_examples=50, deadline=None)
+@given(coords, st.sampled_from([7, 8, 9, 10, 11]))
+def test_hex_cells_partition_plane(pts, res):
+    x = np.asarray([p[0] for p in pts])
+    y = np.asarray([p[1] for p in pts])
+    cells = cellindex.hex_cell(x, y, res)
+    cx, cy = cellindex.hex_center(cells)
+    # nearest-center property: own center is at least as close as any
+    # neighboring cell center
+    ring = cellindex.hex_kring(cells, 1)
+    for i in range(len(pts)):
+        d0 = np.hypot(x[i] - cx[i], y[i] - cy[i])
+        nx, ny = cellindex.hex_center(ring[i])
+        dn = np.hypot(x[i] - nx, y[i] - ny)
+        assert d0 <= dn.min() + 1e-6
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.lists(st.tuples(st.floats(0, 100, allow_nan=False), st.floats(0, 100, allow_nan=False)),
+                min_size=3, max_size=8))
+def test_pip_consistent_with_winding(verts):
+    rx = np.asarray([v[0] for v in verts])
+    ry = np.asarray([v[1] for v in verts])
+    # a point far outside is never inside
+    assert not geometry.point_in_polygon(np.array([1e6]), np.array([1e6]), rx, ry)[0]
+    # centroid membership agrees with matplotlib-free reference: the
+    # crossing test is its own spec; just require determinism
+    cx, cy = rx.mean(), ry.mean()
+    a = geometry.point_in_polygon(np.array([cx]), np.array([cy]), rx, ry)[0]
+    b = geometry.point_in_polygon(np.array([cx]), np.array([cy]), rx, ry)[0]
+    assert a == b
