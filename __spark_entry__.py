@@ -276,6 +276,27 @@ def _q_a9_stats(spark, sf):  # A9 mean/stddev
     )
 
 
+def _q_p13_salted_agg(spark, sf):  # P13 skew salting: two-phase == plain
+    from irivermetrics_spark.functions.skew import salted_agg
+
+    li = _t(spark, sf, "lineitem")
+    out = salted_agg(
+        li,
+        keys=["l_returnflag"],
+        entropy_cols=["l_orderkey", "l_linenumber"],
+        aggs={
+            "sum_qty": F.sum("l_quantity"),
+            "n_rows": F.count("*"),
+        },
+        buckets=16,
+    )
+    return out.select(
+        "l_returnflag",
+        F.round("sum_qty", 4).alias("sum_qty"),
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+    )
+
+
 def _q_dedup_exact(spark, sf):  # exact dedup: hash-groupBy
     d = _t(spark, sf, "documents")
     return (
@@ -501,6 +522,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f9_having": _q_f9_having,
         "s1_uniform": _q_s1_uniform,
         "a9_stats": _q_a9_stats,
+        "p13_salted_agg": _q_p13_salted_agg,
         "dedup_exact": _q_dedup_exact,
         "text_quality": _q_text_quality,
         "text_langid": _q_text_langid,
@@ -673,6 +695,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(year(l_shipdate) AS BIGINT) AS yr,
                    CAST(COUNT(DISTINCT l_returnflag || '|' || l_linestatus) AS BIGINT) AS n_flag_combos
             FROM lineitem GROUP BY 1
+        """,
+        "p13_salted_agg": """
+            SELECT l_returnflag,
+                   ROUND(SUM(l_quantity), 4) AS sum_qty,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows
+            FROM lineitem GROUP BY l_returnflag
         """,
         "a9_stats": """
             SELECT c_nationkey,
