@@ -458,6 +458,33 @@ def _q_emb_neardup(spark, sf):
     return similarity.cosine_neardup_pairs(em, threshold=0.6)
 
 
+def _q_multimodal_resize(spark, sf):
+    """Opaque-binary resize: decode -> block-mean downsample -> re-encode."""
+    from irivermetrics_spark.operators import multimodal
+    from irivermetrics_spark.plans import pipeline
+
+    fx = _fixture()
+    images = pipeline.images_df(spark, fx.images).select("image_id", "bytes", "fmt")
+    out = multimodal.resize_images(images, 40, 20)
+    return out.select("image_id", "w", "h", "fmt", F.length("bytes").cast("bigint").alias("n_bytes"))
+
+
+def _q_multimodal_frames(spark, sf):
+    """Video frame sampling: every 4th frame exploded to image rows."""
+    import numpy as np
+    import pandas as pd
+
+    from irivermetrics_spark.operators import multimodal
+
+    rng = np.random.default_rng(5)
+    rows = []
+    for v in range(3):
+        frames = rng.integers(0, 20000, (10, 4, 8, 12), dtype=np.uint16)
+        rows.append(dict(video_id=f"v{v}", bytes=multimodal.encode_video(frames)))
+    videos = spark.createDataFrame(pd.DataFrame(rows))
+    return multimodal.frame_sample(videos, every_k=4).select("video_id", "frame_idx", "w", "h")
+
+
 def _q_ann_ivf(spark, sf):
     """IVF coarse-quantizer ANN (the non-LSH scale path)."""
     from irivermetrics_spark.operators import ivf
@@ -544,6 +571,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dist_ccl": _q_dist_ccl,
         "emb_neardup": _q_emb_neardup,
         "ann_ivf": _q_ann_ivf,
+        "multimodal_resize": _q_multimodal_resize,
+        "multimodal_frames": _q_multimodal_frames,
     }
 
 

@@ -1,0 +1,57 @@
+"""Multimodal binary-column plumbing: resize, frame sampling, audio
+features — real Spark schemas/batches, engine-format decode for real,
+external codecs stubbed."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from irivermetrics_spark import codecs
+from irivermetrics_spark.operators import multimodal
+
+
+def test_resize_block_mean_exact():
+    arr = np.arange(4 * 8 * 8, dtype=np.uint16).reshape(4, 8, 8)
+    out = multimodal.resize_image(arr, 4, 4)
+    assert out.shape == (4, 4, 4)
+    assert out[0, 0, 0] == arr[0, :2, :2].mean().astype(np.uint16)
+
+
+def test_resize_images_spark(spark):
+    rng = np.random.default_rng(0)
+    rows = []
+    for i in range(6):
+        arr = rng.integers(0, 20000, (4, 16, 24), dtype=np.uint16)
+        rows.append(dict(image_id=f"img{i}", bytes=codecs.encode_image(arr),
+                         fmt=codecs.FMT_RAW16))
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    out = multimodal.resize_images(df, 12, 8).toPandas()
+    assert len(out) == 6
+    decoded = codecs.decode_image(bytes(out.iloc[0]["bytes"]))
+    assert decoded.shape == (4, 8, 12)
+
+
+def test_external_codec_stub_raises():
+    with pytest.raises(NotImplementedError):
+        multimodal._decode_any(b"\xff\xd8\xff", "jpeg")
+
+
+def test_frame_sample_spark(spark):
+    rng = np.random.default_rng(1)
+    frames = rng.integers(0, 20000, (12, 4, 6, 10), dtype=np.uint16)
+    buf = multimodal.encode_video(frames)
+    df = spark.createDataFrame(pd.DataFrame([dict(video_id="v0", bytes=buf)]))
+    out = multimodal.frame_sample(df, every_k=5).toPandas().sort_values("frame_idx")
+    assert out.frame_idx.tolist() == [0, 5, 10]
+    got = codecs.decode_image(bytes(out.iloc[1]["bytes"]))
+    assert np.array_equal(got, frames[5])
+
+
+def test_audio_features_spark(spark):
+    t = np.arange(8000)
+    pcm = (1000 * np.sin(2 * np.pi * t / 50)).astype("<i2")
+    df = spark.createDataFrame(pd.DataFrame([dict(audio_id="a0", bytes=pcm.tobytes())]))
+    out = multimodal.audio_features(df).toPandas()
+    assert out.iloc[0].n_samples == 8000
+    assert out.iloc[0].rms == pytest.approx(1000 / np.sqrt(2), rel=0.01)
+    assert out.iloc[0].zero_crossings > 100
