@@ -35,39 +35,68 @@ from ..kernels import water
 POINTS_SCHEMA = "image_id string, px int, py int, value tinyint, cell long"
 
 
+SUMMARY_MARKER = -9  # value of fused per-image summary rows (px=py=-1)
+
+
 def decode_points(images: DataFrame, grid: dict, res: int = 9,
-                  threshold: float = water.NDWI_THRESHOLD) -> DataFrame:
+                  threshold: float = water.NDWI_THRESHOLD,
+                  corridor_rings: list | None = None) -> DataFrame:
     """images -> sparse mask points with hex cell keys + scene/date cols.
 
     ``grid``: dict(gx0, gy0, ps) — uniform georeferencing (validated by
     `validate_uniform_grid`).
+
+    When ``corridor_rings`` is given (list of (ring_x, ring_y) arrays),
+    the kernel ALSO emits one fused summary row per image
+    (px=py=-1, value=SUMMARY_MARKER, cell=<n invalid in corridor>) so
+    the >= 70 % validity filter needs no second pass over the points —
+    the map-side fusion that removes a whole stage from the pipeline.
     """
     gx0, gy0, ps = grid["gx0"], grid["gy0"], grid["ps"]
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions import geometry
+
         for pdf in batches:
             out = []
             for image_id, buf in zip(pdf["image_id"], pdf["bytes"]):
                 arr = codecs.decode_image(bytes(buf))
                 mask = water.water_mask(arr, threshold)
                 ys, xs = np.nonzero(mask != 0)
-                if ys.size == 0:
-                    continue
-                vals = mask[ys, xs]
-                cx = gx0 + (xs + 0.5) * ps
-                cy = gy0 - (ys + 0.5) * ps
-                cells = cellindex.hex_cell(cx, cy, res)
-                out.append(
-                    pd.DataFrame(
-                        dict(
-                            image_id=image_id,
-                            px=xs.astype(np.int32),
-                            py=ys.astype(np.int32),
-                            value=vals.astype(np.int8),
-                            cell=cells,
+                if ys.size:
+                    vals = mask[ys, xs]
+                    cx = gx0 + (xs + 0.5) * ps
+                    cy = gy0 - (ys + 0.5) * ps
+                    cells = cellindex.hex_cell(cx, cy, res)
+                    out.append(
+                        pd.DataFrame(
+                            dict(
+                                image_id=image_id,
+                                px=xs.astype(np.int32),
+                                py=ys.astype(np.int32),
+                                value=vals.astype(np.int8),
+                                cell=cells,
+                            )
                         )
                     )
-                )
+                if corridor_rings is not None:
+                    nod = vals == -1 if ys.size else np.zeros(0, dtype=bool)
+                    n_invalid = 0
+                    if ys.size and nod.any():
+                        member = np.zeros(int(nod.sum()), dtype=bool)
+                        mx, my = cx[nod], cy[nod]
+                        for ring_x, ring_y in corridor_rings:
+                            todo = ~member
+                            if not todo.any():
+                                break
+                            member[todo] = geometry.point_in_polygon(mx[todo], my[todo], ring_x, ring_y)
+                        n_invalid = int(member.sum())
+                    out.append(
+                        pd.DataFrame(
+                            dict(image_id=[image_id], px=np.int32(-1), py=np.int32(-1),
+                                 value=np.int8(SUMMARY_MARKER), cell=np.int64(n_invalid))
+                        )
+                    )
             yield pd.concat(out, ignore_index=True) if out else pd.DataFrame(
                 dict(image_id=pd.Series(dtype="str"), px=pd.Series(dtype="int32"),
                      py=pd.Series(dtype="int32"), value=pd.Series(dtype="int8"),

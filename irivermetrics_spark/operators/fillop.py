@@ -115,6 +115,20 @@ def hex_cell_udf(res: int, grid: dict):
     return cell_of
 
 
+def keep_dates_fused(summaries: DataFrame, dates: DataFrame, corridor_total: int,
+                     threshold: float = 0.7) -> DataFrame:
+    """F6 from decode-fused per-image summary rows (cell = n invalid
+    in corridor): no second pass over the point table."""
+    invalid = summaries.groupBy("scene", "date").agg(F.sum("cell").alias("n_invalid"))
+    return (
+        dates.join(invalid, ["scene", "date"], "left")
+        .withColumn("n_invalid", F.coalesce("n_invalid", F.lit(0)))
+        .withColumn("ratio", (F.lit(corridor_total) - F.col("n_invalid")) / F.lit(corridor_total))
+        .filter(F.col("ratio") >= threshold)
+        .select("scene", "date")
+    )
+
+
 def keep_dates(points: DataFrame, dates: DataFrame, corridor_cover: DataFrame,
                reaches: list[dict], grid: dict, corridor_total: int,
                threshold: float = 0.7) -> DataFrame:

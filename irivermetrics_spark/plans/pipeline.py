@@ -54,9 +54,12 @@ def run(
     """
     from . import lineage
 
+    import numpy as np
+
     decode.validate_uniform_grid(images)
 
-    points = decode.decode_points(images, grid, res=res)
+    rings = [(np.asarray(r["ring_x"]), np.asarray(r["ring_y"])) for r in reaches]
+    points = decode.decode_points(images, grid, res=res, corridor_rings=rings)
     if checkpoint_dir:
         # module-1 sink (K1) as a lineage stage: decode runs once ever
         points = lineage.run_stage(spark, points, checkpoint_dir, "mask_points",
@@ -71,11 +74,16 @@ def run(
     else:
         points = points.persist()
 
+    # fused summary rows carry per-image in-corridor invalid counts;
+    # real mask points are everything else
+    summaries = points.filter(F.col("value") == decode.SUMMARY_MARKER)
+    points = points.filter(F.col("value") != decode.SUMMARY_MARKER)
+
     dates = decode.with_scene_date(images.select("image_id")).select("scene", "date").distinct()
     corridor_cover = zonal.corridor_cover_df(spark, reaches, res)
     corridor_total = fillop.corridor_pixel_count(spark, corridor_cover, reaches, grid, res)
 
-    kept = fillop.keep_dates(points, dates, corridor_cover, reaches, grid, corridor_total)
+    kept = fillop.keep_dates_fused(summaries, dates, corridor_total)
     kept_rows = kept.collect()  # date dimension: small by construction
     kept_map: dict[str, list[str]] = {}
     for r in kept_rows:
