@@ -79,12 +79,15 @@ def _q_f4_range(spark, sf):  # F4 coordinate-range clip analog
 
 
 def _q_f5_anti(spark, sf):  # F5 all-nodata drop analog: anti join
+    # customers with no HIGH-VALUE order — the >150k predicate keeps the
+    # anti-join side non-empty at every sf (the plain "no orders at all"
+    # version returned 0 rows at sf0.01: a vacuous check)
     c = _t(spark, sf, "customer")
-    o = _t(spark, sf, "orders")
+    o = _t(spark, sf, "orders").filter(F.col("o_totalprice") > 150000)
     return (
         c.join(o, c.c_custkey == o.o_custkey, "left_anti")
         .groupBy("c_nationkey")
-        .agg(F.count("*").cast("bigint").alias("n_customers_no_orders"))
+        .agg(F.count("*").cast("bigint").alias("n_customers_no_big_orders"))
     )
 
 
@@ -98,6 +101,30 @@ def _q_f6_validity(spark, sf):  # F6 >=70% validity semi-join
              F.count("*").cast("bigint").alias("n_events"))
     )
     return ratios.filter(F.col("ratio") >= 0.7).select("day", F.round("ratio", 6).alias("valid_ratio"), "n_events")
+
+
+def _q_f7_postfill(spark, sf):  # F7 post-fill >=95% validity drop
+    # fill error rows from neighbors (same offsets as J6), then drop
+    # days whose POST-fill valid ratio is below 0.95 — the reference's
+    # second validity gate (src/utils/calc_metrics.py:592-611), which is
+    # vacuous on binarized rasters but fires on partially-fillable data
+    from pyspark.sql import Window
+
+    from irivermetrics_spark.operators import fillop
+
+    e = _t(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    good = F.when(F.col("event_type") != "error", F.col("value"))
+    filled = F.when(
+        F.col("event_type") == "error",
+        F.coalesce(F.lead(good, 1).over(w), F.lead(good, 2).over(w),
+                   F.lag(good, 1).over(w), F.lag(good, 2).over(w)),
+    ).otherwise(F.col("value"))
+    pts = e.select(F.date_format("ts", "yyyy-MM-dd").alias("ds"),
+                   F.when(filled.isNull(), -1).otherwise(1).alias("value"))
+    kept = fillop.drop_low_postfill(pts, keys=["ds"], threshold=0.95)
+    return kept.select("ds", F.round("postfill_ratio", 6).alias("postfill_ratio"),
+                       F.col("n_points").cast("bigint").alias("n_points"))
 
 
 def _q_j1_star(spark, sf):  # J1 analog: broadcast-dim star join
@@ -298,9 +325,14 @@ def _q_p13_salted_agg(spark, sf):  # P13 skew salting: two-phase == plain
 
 
 def _q_dedup_exact(spark, sf):  # exact dedup: hash-groupBy
-    d = _t(spark, sf, "documents")
+    # the documents table has no exact dups at small sf, which made this
+    # check vacuous (0 rows); union a salted duplicate of every 17th doc
+    # inside the query so the dedup provably fires (oracle mirrors it)
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    dup = d.filter(F.col("doc_id") % 17 == 0).withColumn("doc_id", F.col("doc_id") + 1000000)
+    u = d.unionByName(dup)
     return (
-        d.groupBy(F.md5("text").alias("text_md5"))
+        u.groupBy(F.md5("text").alias("text_md5"))
         .agg(F.count("*").cast("bigint").alias("n_copies"), F.min("doc_id").cast("bigint").alias("keeper"))
         .filter(F.col("n_copies") > 1)
     )
@@ -414,27 +446,59 @@ def _q_ann_lsh(spark, sf):
 
     em = _t(spark, sf, "embeddings")
     q = em.filter(F.col("vec_id") < 3)
-    return similarity.lsh_topk(em, q, k=5)
+    # n_bits=8 for the tiny sf corpus (the 16-bit scale default would
+    # leave most buckets singleton here and collapse recall)
+    return similarity.lsh_topk(em, q, k=5, n_bits=8)
 
 
 def _q_text_fingerprint(spark, sf):
     from irivermetrics_spark.operators import textops
 
-    d = _t(spark, sf, "documents")
+    # union whitespace-perturbed duplicates (extra spaces) of every 13th
+    # doc: the normalized fingerprint must still collide, so the dedup
+    # provably fires (the raw table has no dups at small sf — 0 rows
+    # made this check vacuous in round 1)
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    dup = (
+        d.filter(F.col("doc_id") % 13 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 2000000)
+        .withColumn("text", F.regexp_replace("text", " ", "  "))
+    )
+    u = d.unionByName(dup)
     return (
-        textops.with_fingerprint(d)
+        textops.with_fingerprint(u)
         .groupBy("fingerprint")
         .agg(F.count("*").cast("bigint").alias("n"), F.min("doc_id").cast("bigint").alias("keeper"))
         .filter(F.col("n") > 1)
     )
 
 
+def _geom_csv(col: str):
+    """Serialize an array<double> geometry column to a deterministic
+    comma-joined string (driver canonicalizer sorts/hashes columns and
+    can't factorize python lists; the real API keeps array columns)."""
+    return F.concat_ws(",", F.transform(col, lambda v: F.format_string("%.4f", v)))
+
+
 def _q_export_polygons(spark, sf):
-    return _pipeline_result(spark)["polygons"]
+    p = _pipeline_result(spark)["polygons"]
+    return p.select(
+        "scene", "Date", "Section", "Type",
+        F.round("area_m2", 4).alias("area_m2"),
+        F.round("area_km2", 8).alias("area_km2"),
+        _geom_csv("ring_x").alias("ring_x_csv"),
+        _geom_csv("ring_y").alias("ring_y_csv"),
+    )
 
 
 def _q_export_lines(spark, sf):
-    return _pipeline_result(spark)["lines"]
+    ln = _pipeline_result(spark)["lines"]
+    return ln.select(
+        "scene", "date", "section", "label",
+        F.round("length_km", 6).alias("length_km"),
+        _geom_csv("line_x").alias("line_x_csv"),
+        _geom_csv("line_y").alias("line_y_csv"),
+    )
 
 
 def _q_export_points(spark, sf):
@@ -451,11 +515,18 @@ def _q_dist_ccl(spark, sf):
 
 
 def _q_emb_neardup(spark, sf):
-    """Embedding-cosine near-duplicate pairs via SRP-LSH."""
+    """Embedding-cosine near-duplicate pairs via SRP-LSH.
+
+    The raw embeddings have no >=0.95-cosine pairs at small sf (round-1
+    run at 0.6 returned 0 rows: vacuous), so the query unions exact
+    copies of vec_id < 8 — identical vectors collide in every SRP
+    bucket, so the LSH path must surface them."""
     from irivermetrics_spark.operators import similarity
 
     em = _t(spark, sf, "embeddings")
-    return similarity.cosine_neardup_pairs(em, threshold=0.6)
+    dup = em.filter(F.col("vec_id") < 8).withColumn("vec_id", F.col("vec_id") + 1000000)
+    u = em.unionByName(dup)
+    return similarity.cosine_neardup_pairs(u, threshold=0.95)
 
 
 def _q_multimodal_resize(spark, sf):
@@ -533,6 +604,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f4_range": _q_f4_range,
         "f5_anti": _q_f5_anti,
         "f6_validity": _q_f6_validity,
+        "f7_postfill": _q_f7_postfill,
         "j1_star": _q_j1_star,
         "j3_left": _q_j3_left,
         "j6_fill": _q_j6_fill,
@@ -594,10 +666,31 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY o_orderpriority
         """,
         "f5_anti": """
-            SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_customers_no_orders
+            SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_customers_no_big_orders
             FROM customer
-            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 150000)
             GROUP BY c_nationkey
+        """,
+        "f7_postfill": """
+            WITH w AS (
+              SELECT ts, event_type, value,
+                     LEAD(CASE WHEN event_type <> 'error' THEN value END, 1) OVER win AS g1,
+                     LEAD(CASE WHEN event_type <> 'error' THEN value END, 2) OVER win AS g2,
+                     LAG(CASE WHEN event_type <> 'error' THEN value END, 1) OVER win AS g3,
+                     LAG(CASE WHEN event_type <> 'error' THEN value END, 2) OVER win AS g4
+              FROM events
+              WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), f AS (
+              SELECT strftime(ts, '%Y-%m-%d') AS ds,
+                     CASE WHEN event_type = 'error' THEN COALESCE(g1, g2, g3, g4) ELSE value END AS filled
+              FROM w
+            ), per AS (
+              SELECT ds,
+                     SUM(CASE WHEN filled IS NOT NULL THEN 1 ELSE 0 END) * 1.0 / COUNT(*) AS ratio,
+                     CAST(COUNT(*) AS BIGINT) AS n_points
+              FROM f GROUP BY ds
+            )
+            SELECT ds, ROUND(ratio, 6) AS postfill_ratio, n_points FROM per WHERE ratio >= 0.95
         """,
         "f6_validity": """
             WITH r AS (
@@ -738,10 +831,15 @@ def oracle_sql() -> dict[str, str]:
             FROM customer GROUP BY c_nationkey
         """,
         "dedup_exact": """
+            WITH u AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 17 = 0
+            )
             SELECT md5(text) AS text_md5,
                    CAST(COUNT(*) AS BIGINT) AS n_copies,
                    CAST(MIN(doc_id) AS BIGINT) AS keeper
-            FROM documents GROUP BY md5(text) HAVING COUNT(*) > 1
+            FROM u GROUP BY md5(text) HAVING COUNT(*) > 1
         """,
         "text_quality": """
             SELECT lang, source,

@@ -124,42 +124,101 @@ def exact_jaccard_pairs(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id
 
 def simhash64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
               shingle_k: int = 5) -> DataFrame:
-    """64-bit SimHash over shingle hashes + 4x16-bit pigeonhole bands."""
+    """64-bit SimHash over shingle hashes -> (id, simhash)."""
 
     @F.pandas_udf("long")
     def sh(texts: pd.Series) -> pd.Series:
+        bit_weights = (np.uint64(1) << np.arange(64, dtype=np.uint64))
         out = np.empty(len(texts), dtype=np.int64)
         for i, t in enumerate(texts):
             hs = _shingles(t, shingle_k)
             bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
             vote = (2 * bits - 1).sum(axis=0)
-            val = np.uint64(0)
-            for b in np.nonzero(vote > 0)[0]:
-                val |= np.uint64(1) << np.uint64(b)
-            out[i] = np.int64(val)
+            out[i] = np.int64((bit_weights * (vote > 0)).sum(dtype=np.uint64))
         return pd.Series(out)
 
-    d = docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("txt")).withColumn("simhash", sh("txt"))
-    for seg in range(4):
-        d = d.withColumn(f"band{seg}", F.shiftrightunsigned("simhash", seg * 16).bitwiseAND(F.lit(0xFFFF)))
-    return d.drop("txt")
+    return docs.select(F.col(id_col).alias("id"), sh(text_col).alias("simhash"))
+
+
+def simhash_n_blocks(n_docs: int, max_hamming: int = 3, target_bucket: int = 16) -> int:
+    """Scale the block split with corpus size (Manku et al., WWW'07):
+    with k blocks and any (k - max_hamming)-block combination as the
+    candidate key, the key is 64*(k-max_hamming)/k bits wide — pick the
+    smallest k whose expected bucket occupancy n/2^key_bits stays under
+    ``target_bucket``. k = max_hamming+1 (the minimum) gives 16-bit keys
+    — fine to ~10^6 docs; 10^9 docs at h=3 needs k=6 (20 combos of
+    ~32-bit keys)."""
+    for k in range(max_hamming + 1, 64):
+        key_bits = 64 * (k - max_hamming) // k
+        if n_docs / 2.0 ** key_bits <= target_bucket or key_bits >= 62:
+            return k
+    return 64
 
 
 def simhash_candidates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-                       max_hamming: int = 3) -> DataFrame:
-    """Near-dup pairs with Hamming(simhash) <= max_hamming; candidate
-    generation by matching any 16-bit band (pigeonhole: hamming <= 3
-    over 4 bands guarantees one identical band)."""
+                       max_hamming: int = 3, n_blocks: int | None = None,
+                       bucket_cap: int | None = None) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) <= max_hamming.
+
+    Candidate generation is the pigeonhole block scheme: the 64-bit
+    simhash splits into ``n_blocks`` blocks; any pair within Hamming
+    distance ``max_hamming`` shares at least ``n_blocks - max_hamming``
+    unchanged blocks, so every (n_blocks - max_hamming)-combination of
+    block values is hashed into one candidate key. All combinations are
+    posexploded into (combo, bucket) rows and matched with a SINGLE
+    self-equi-join (round 1 ran 4 separate self-joins unioned — double
+    the shuffles).
+
+    n_blocks defaults to max_hamming + 1 (one block per band, 16-bit
+    keys at h=3) — use ``simhash_n_blocks(corpus_size)`` at scale: 10^9
+    docs need k=6 (32-bit keys) or the bucket join degenerates toward
+    all-pairs.
+
+    bucket_cap: skip (combo, bucket) groups larger than the cap — a hot
+    bucket of n rows creates n^2 candidate pairs; capping bounds the
+    blowup at the cost of recall inside those buckets. Never silent:
+    the number of skipped buckets/rows is logged at WARNING.
+    """
+    import logging
+    from itertools import combinations
+
+    k = n_blocks or (max_hamming + 1)
+    if k <= max_hamming:
+        raise ValueError(f"n_blocks={k} must exceed max_hamming={max_hamming}")
     d = simhash64(docs, id_col, text_col)
-    cands = None
-    for seg in range(4):
-        c = (
-            d.alias("l").join(d.alias("r"), F.col(f"l.band{seg}") == F.col(f"r.band{seg}"))
-            .where(F.col("l.id") < F.col("r.id"))
-            .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"),
-                    F.col("l.simhash").alias("sh_a"), F.col("r.simhash").alias("sh_b"))
-        )
-        cands = c if cands is None else cands.unionByName(c)
-    cands = cands.dropDuplicates(["id_a", "id_b"])
+
+    # block i covers bits [starts[i], starts[i+1]) — remainder spread left
+    widths = [64 // k + (1 if i < 64 % k else 0) for i in range(k)]
+    starts = [sum(widths[:i]) for i in range(k)]
+    block_cols = [
+        F.shiftrightunsigned("simhash", starts[i]).bitwiseAND(F.lit((1 << widths[i]) - 1))
+        for i in range(k)
+    ]
+    combos = list(combinations(range(k), k - max_hamming))
+    key_exprs = [
+        F.xxhash64(F.lit(ci), *[block_cols[b] for b in combo]) for ci, combo in enumerate(combos)
+    ]
+    banded = d.select("id", "simhash", F.posexplode(F.array(*key_exprs)).alias("combo", "bucket"))
+
+    if bucket_cap is not None:
+        counts = banded.groupBy("combo", "bucket").agg(F.count("*").alias("n_in_bucket"))
+        hot = counts.filter(F.col("n_in_bucket") > bucket_cap).persist()
+        stats = hot.agg(F.count("*").alias("n_buckets"),
+                        F.coalesce(F.sum("n_in_bucket"), F.lit(0)).alias("n_rows")).collect()[0]
+        if stats["n_buckets"]:
+            logging.getLogger(__name__).warning(
+                "simhash_candidates: skipping %d hot buckets covering %d banded rows (bucket_cap=%d)",
+                stats["n_buckets"], stats["n_rows"], bucket_cap,
+            )
+        banded = banded.join(F.broadcast(hot.select("combo", "bucket")), ["combo", "bucket"], "left_anti")
+
+    pairs = (
+        banded.alias("l")
+        .join(banded.alias("r"), ["combo", "bucket"])
+        .where(F.col("l.id") < F.col("r.id"))
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"),
+                F.col("l.simhash").alias("sh_a"), F.col("r.simhash").alias("sh_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return cands.select("id_a", "id_b", hamming.alias("hamming")).where(F.col("hamming") <= max_hamming)
+    return pairs.select("id_a", "id_b", hamming.alias("hamming")).where(F.col("hamming") <= max_hamming)

@@ -6,17 +6,23 @@ The reference sidesteps cross-tile CCL by clipping per feature
 operator labels 8-connected water components of arbitrary spatial
 extent:
 
-1. tile the points (px//T, py//T); local union-find CCL per tile via
-   ``applyInPandas`` (the shared kernel), labels made globally unique
-   as tile_id * 2^24 + local_label;
+1. tile the points (floor(px/T), floor(py/T)); local union-find CCL
+   per tile via ``applyInPandas`` (the shared kernel), labels made
+   globally unique by bit-packing (tx, ty, local_label) into disjoint
+   ranges of the int64 label — no multiplicative hashing, so distinct
+   tiles can never collide anywhere in the int32 pixel-coordinate
+   space;
 2. boundary stitch: each tile-edge pixel explodes its 8 neighbor
    coordinates; an equi-join on exact (scene, ds, px, py) against edge
    pixels of OTHER tiles yields label-equivalence edges — an
-   八-connectivity graph whose size is O(boundary pixels), orders of
+   8-connectivity graph whose size is O(boundary pixels), orders of
    magnitude below the data;
 3. equivalences are resolved with union-find on the collected edge
-   list (the label graph is tiny relative to pixels — the classic
-   two-level CCL reduction) and the relabel map is broadcast back.
+   list when the label graph is small (the classic two-level CCL
+   reduction), and with a fully distributed iterative min-label
+   propagation (with pointer jumping, so O(log diameter) rounds) when
+   ``edges`` exceeds ``edge_limit`` — the scale-safe path for a giant
+   skewed component whose equivalence graph would not fit the driver.
 
 Returns the input rows + a ``component`` column (stable min-label ids).
 """
@@ -28,24 +34,97 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..kernels import ccl
 
-_LBL_SHIFT = np.int64(1 << 24)
+def _label_bits(tile: int) -> int:
+    """Bits reserved for the per-tile local label: the max number of
+    8-connected components in a TxT tile is ceil(T/2)^2 (isolated
+    pixels at every other row/column)."""
+    return int((((tile + 1) // 2) ** 2 + 1)).bit_length()
+
+
+def pack_label(tx, ty, lab, tile: int):
+    """(tx, ty, local_label) -> int64 via disjoint bit ranges.
+
+    coord_bits = (63 - label_bits) / 2 each for tx and ty (offset to
+    non-negative); with tile=256 that is 24 bits per axis — the full
+    int32 pixel space — and 15 bits of local labels."""
+    lbl_bits = _label_bits(tile)
+    coord_bits = (63 - lbl_bits) // 2
+    off = np.int64(1 << (coord_bits - 1))
+    tx = np.asarray(tx, dtype=np.int64) + off
+    ty = np.asarray(ty, dtype=np.int64) + off
+    lab = np.asarray(lab, dtype=np.int64)
+    if (tx < 0).any() or (tx >= (1 << coord_bits)).any() or (ty < 0).any() or (ty >= (1 << coord_bits)).any():
+        raise ValueError(f"tile coordinate out of packable range (+/-2^{coord_bits - 1})")
+    if (lab >= (1 << lbl_bits)).any():
+        raise ValueError(f"local label overflow: >= 2^{lbl_bits} components in one {tile}x{tile} tile")
+    return ((tx << np.int64(coord_bits) | ty) << np.int64(lbl_bits)) + lab
+
+
+def _minlabel_propagation(edges: DataFrame, key_cols: list[str], max_iters: int = 64) -> DataFrame:
+    """Distributed component resolution over the label-equivalence graph.
+
+    Iterative smallest-label propagation with pointer jumping
+    (component := component[component] each round), so convergence is
+    O(log diameter) rounds instead of O(diameter). Each round is two
+    shuffles over the (small) label graph, never over pixels.
+    """
+    sym = edges.select(*key_cols, F.col("la").alias("node"), F.col("lb").alias("nbr")).unionByName(
+        edges.select(*key_cols, F.col("lb").alias("node"), F.col("la").alias("nbr"))
+    ).persist()
+    comp = sym.select(*key_cols, "node").distinct().withColumn("component", F.col("node"))
+    comp = comp.localCheckpoint()
+    for _ in range(max_iters):
+        nbr_min = (
+            sym.join(
+                comp.select(*key_cols, F.col("node").alias("nbr"), F.col("component").alias("nbr_component")),
+                [*key_cols, "nbr"],
+            )
+            .groupBy(*key_cols, "node")
+            .agg(F.min("nbr_component").alias("min_nbr"))
+        )
+        stepped = comp.join(nbr_min, [*key_cols, "node"], "left").select(
+            *key_cols, "node", "component",
+            F.least(F.col("component"), F.coalesce("min_nbr", F.col("component"))).alias("new_component"),
+        )
+        # pointer jumping: follow the new component one hop further
+        hop = comp.select(*key_cols, F.col("node").alias("new_component"), F.col("component").alias("jumped"))
+        new_comp = (
+            stepped.join(hop, [*key_cols, "new_component"], "left")
+            .select(*key_cols, "node", "component",
+                    F.least(F.col("new_component"), F.coalesce("jumped", F.col("new_component"))).alias("next"))
+        )
+        new_comp = new_comp.localCheckpoint()
+        n_changed = new_comp.filter(F.col("next") != F.col("component")).count()
+        comp = new_comp.select(*key_cols, "node", F.col("next").alias("component"))
+        if n_changed == 0:
+            break
+    sym.unpersist()
+    return comp.select(*key_cols, F.col("node").alias("glabel"), "component")
 
 
 def label_components(points: DataFrame, tile: int = 256,
-                     keys: tuple[str, ...] = ("scene", "ds")) -> DataFrame:
-    """points: rows with (keys..., px, py) -> + component:long (8-conn)."""
+                     keys: tuple[str, ...] = ("scene", "ds"),
+                     edge_limit: int = 1_000_000) -> DataFrame:
+    """points: rows with (keys..., px, py) -> + component:long (8-conn).
+
+    ``edge_limit``: equivalence-edge count above which resolution
+    switches from the driver union-find to the distributed min-label
+    propagation (the driver path is faster for the typical sparse
+    boundary graph; the distributed path is unbounded-safe).
+    """
     key_cols = list(keys)
 
-    tcol_x = (F.col("px") / tile).cast("long").alias("tx")
-    tcol_y = (F.col("py") / tile).cast("long").alias("ty")
+    tcol_x = F.floor(F.col("px") / tile).cast("long").alias("tx")
+    tcol_y = F.floor(F.col("py") / tile).cast("long").alias("ty")
     tiled = points.select(*key_cols, "px", "py", tcol_x, tcol_y)
 
     out_schema = ", ".join([f"{k} string" for k in key_cols]) + \
         ", px int, py int, glabel long, is_edge boolean"
 
     def local_label(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        from ..kernels import ccl
+
         tx, ty = int(key[-2]), int(key[-1])
         x = pdf["px"].to_numpy()
         y = pdf["py"].to_numpy()
@@ -56,9 +135,8 @@ def label_components(points: DataFrame, tile: int = 256,
         img[y - y0, x - x0] = 1
         labels, _ = ccl.label8(img)
         lab = labels[y - y0, x - x0].astype(np.int64)
-        tile_id = np.int64(tx * 1_000_003 + ty)
-        glabel = tile_id * _LBL_SHIFT + lab
-        lo_x, lo_y = tx * tile, ty * tile
+        glabel = pack_label(tx, ty, lab, tile)
+        lo_x, lo_y = tx * tile, ty * tile  # tx/ty are floor(px/tile): exact for negatives
         hi_x, hi_y = lo_x + tile - 1, lo_y + tile - 1
         is_edge = (x == lo_x) | (x == hi_x) | (y == lo_y) | (y == hi_y)
         out = {k: pdf[k].to_numpy() for k in key_cols}
@@ -81,7 +159,17 @@ def label_components(points: DataFrame, tile: int = 256,
         .filter(F.col("la") != F.col("lb"))
         .select(*key_cols, "la", "lb")
         .distinct()
+        .persist()
     )
+
+    n_edges = edges.count()
+    if n_edges > edge_limit:
+        # scale-safe path: fully distributed label-graph resolution
+        remap_df = _minlabel_propagation(edges, key_cols)
+        result = labeled.join(remap_df, [*key_cols, "glabel"], "left").withColumn(
+            "component", F.coalesce("component", "glabel")
+        )
+        return result.select(*key_cols, "px", "py", "component")
 
     # two-level reduction: union-find over the (small) label graph
     edge_rows = edges.collect()

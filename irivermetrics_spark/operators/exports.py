@@ -56,6 +56,8 @@ def pool_polygons(water_joined: DataFrame, reaches: list[dict], grid: dict,
     def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
         scene, section, ds = key
         c0, r0, ncols, nrows = offsets[section]
+        if ncols == 0 or nrows == 0:
+            return pd.DataFrame({c.split()[0]: [] for c in POLY_SCHEMA.split(", ")})
         clip = np.zeros((nrows, ncols), dtype=np.int8)
         clip[pdf["py"].to_numpy() - r0, pdf["px"].to_numpy() - c0] = 1
         labeled = ccl.remove_small(ccl.label8(clip)[0], min_pool_size)

@@ -76,18 +76,28 @@ def _cell_universe(cell: int, rings: list, grid: dict) -> tuple[np.ndarray, np.n
 _CORRIDOR_COUNT_CACHE: dict = {}
 
 
+def rings_content_key(reaches: list[dict]) -> str:
+    """Content hash of the full ring coordinate arrays — coordinate-sum
+    keys collide for distinct layers with equal sums (ADVICE r1)."""
+    import hashlib
+
+    h = hashlib.sha1()
+    for r in sorted(reaches, key=lambda r: str(r["section"])):
+        h.update(str(r["section"]).encode())
+        h.update(np.ascontiguousarray(r["ring_x"], dtype=np.float64).tobytes())
+        h.update(np.ascontiguousarray(r["ring_y"], dtype=np.float64).tobytes())
+    return h.hexdigest()
+
+
 def corridor_pixel_count(spark: SparkSession, corridor_cover: DataFrame, reaches: list[dict], grid: dict,
                          res: int = 9) -> int:
     """Total corridor pixel count — distributed sum of per-cell universes.
 
-    Memoized per (reaches, grid, res): the count is a constant of the
-    polygon layer + grid, so reruns (warmup, resumes) skip the job.
+    Memoized per (reaches content hash, grid, res): the count is a
+    constant of the polygon layer + grid, so reruns (warmup, resumes)
+    skip the job.
     """
-    key = (
-        tuple(sorted((r["section"], float(np.sum(r["ring_x"])), float(np.sum(r["ring_y"]))) for r in reaches)),
-        tuple(sorted(grid.items())),
-        res,
-    )
+    key = (rings_content_key(reaches), tuple(sorted(grid.items())), res)
     if key in _CORRIDOR_COUNT_CACHE:
         return _CORRIDOR_COUNT_CACHE[key]
     rings = [(np.asarray(r["ring_x"]), np.asarray(r["ring_y"])) for r in reaches]
@@ -147,6 +157,30 @@ def keep_dates(points: DataFrame, dates: DataFrame, corridor_cover: DataFrame,
         .filter(F.col("ratio") >= threshold)
         .select("scene", "date")
     )
+
+
+def drop_low_postfill(points: DataFrame, keys: list[str] | tuple[str, ...] = ("scene", "ds"),
+                      threshold: float = 0.95, value_col: str = "value") -> DataFrame:
+    """F7: the reference's POST-fill >= 95 % validity gate
+    (src/utils/calc_metrics.py:592-611).
+
+    ``points``: one row per in-corridor pixel observation with
+    ``value_col`` == -1 marking a still-invalid (unfillable) pixel.
+    Returns the surviving key rows with their post-fill ratio.
+
+    On the engine's own fill output this is vacuous by construction —
+    ``kernels.fill.binarize`` maps every non-water value to 0, exactly
+    like the reference binarizes before its check, so no date can fail.
+    The operator exists (and is tested on non-binarized input) so a
+    user who disables binarization still gets the reference's gate.
+    """
+    key_cols = list(keys)
+    ratio = (F.sum(F.when(F.col(value_col) != -1, 1).otherwise(0)) / F.count("*"))
+    per = points.groupBy(*key_cols).agg(
+        ratio.alias("postfill_ratio"),
+        F.count("*").alias("n_points"),
+    )
+    return per.filter(F.col("postfill_ratio") >= threshold)
 
 
 def filled_water(points: DataFrame, kept_dates: dict[str, list[str]], reaches: list[dict],

@@ -29,14 +29,20 @@ from .similarity import cosine_expr
 
 
 def train_centroids(embeddings: DataFrame, n_lists: int = 16, sample: int = 2048,
-                    iters: int = 8, seed: int = 13, vec_col: str = "embedding") -> np.ndarray:
-    """k-means centroids from a deterministic sample (rows x dim)."""
-    pdf = (
-        embeddings.select(vec_col)
-        .orderBy(F.xxhash64(F.col(vec_col).cast("string"), F.lit(seed)))
-        .limit(sample)
-        .toPandas()
-    )
+                    iters: int = 8, seed: int = 13, vec_col: str = "embedding",
+                    total: int | None = None) -> np.ndarray:
+    """k-means centroids from a deterministic sample (rows x dim).
+
+    Sampling is ``.sample(fraction, seed)`` — one scan that reads only
+    the sampled fraction (r1 sorted the WHOLE table by hash to take the
+    first 2048: a full-pass full-shuffle for a constant-size sample).
+    ``total`` skips the count when the caller already knows it; a
+    parquet-backed count is metadata-only anyway.
+    """
+    if total is None:
+        total = embeddings.count()
+    frac = min(1.0, 3.0 * sample / max(total, 1))  # 3x oversample, then limit
+    pdf = embeddings.select(vec_col).sample(fraction=frac, seed=seed).limit(sample).toPandas()
     X = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
     X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     rng = np.random.default_rng(seed)

@@ -40,6 +40,11 @@ def clip_offsets(reaches: list[dict], grid: dict) -> dict[str, tuple[int, int, i
     for r in reaches:
         ci = np.nonzero((xs >= r["xmin"]) & (xs <= r["xmax"]))[0]
         ri = np.nonzero((ys >= r["ymin"]) & (ys <= r["ymax"]))[0]
+        if ci.size == 0 or ri.size == 0:
+            # degenerate reach: bbox contains no pixel centers — the
+            # reference yields an empty clip, not a crash
+            out[r["section"]] = (0, 0, 0, 0)
+            continue
         out[r["section"]] = (int(ci[0]), int(ri[0]), int(ci.size), int(ri.size))
     return out
 
@@ -53,6 +58,8 @@ def pool_rows(water_joined: DataFrame, reaches: list[dict], grid: dict,
     def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
         scene, section, ds = key
         c0, r0, ncols, nrows = offsets[section]
+        if ncols == 0 or nrows == 0:
+            return pd.DataFrame({c.split()[0]: [] for c in POOLS_SCHEMA.split(", ")})
         clip = np.zeros((nrows, ncols), dtype=np.int8)
         clip[pdf["py"].to_numpy() - r0, pdf["px"].to_numpy() - c0] = 1
         rows = blocks.summarize_clip(clip, min_pool_size, pixel_size)

@@ -94,13 +94,20 @@ def srp_buckets(embeddings: DataFrame, n_bits: int = 16, n_tables: int = 4,
     )
 
 
-def lsh_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5, n_bits: int = 8,
+def lsh_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5, n_bits: int = 16,
              n_tables: int = 8, id_col: str = "vec_id",
              vec_col: str = "embedding") -> DataFrame:
     """Approximate top-k: SRP bucket equi-join + exact cosine re-rank.
 
     The scale path: candidates come from bucket collisions only, so the
     join is an equi-join on (table, bucket) instead of a cross product.
+
+    Defaults are sized for large corpora: 16 bits = 65k buckets/table
+    keeps expected bucket occupancy ~n/65k (r1 defaulted to 8 bits =
+    256 buckets — near-all-pairs at 10^9 rows). Small corpora should
+    LOWER n_bits (e.g. 8) or recall collapses: expected collisions per
+    genuine neighbor scale with n_tables * P(collide) and P(collide)
+    shrinks exponentially in n_bits.
     """
     base = srp_buckets(embeddings, n_bits, n_tables, None, id_col, vec_col)
     q = srp_buckets(queries, n_bits, n_tables, None, id_col, vec_col).select(
@@ -123,10 +130,16 @@ def lsh_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5, n_bits: int 
     )
 
 
-def cosine_neardup_pairs(embeddings: DataFrame, threshold: float = 0.95, n_bits: int = 8,
+def cosine_neardup_pairs(embeddings: DataFrame, threshold: float = 0.95, n_bits: int = 16,
                          n_tables: int = 8, id_col: str = "vec_id",
                          vec_col: str = "embedding") -> DataFrame:
-    """Embedding near-duplicate pairs (cosine >= threshold) via SRP-LSH."""
+    """Embedding near-duplicate pairs (cosine >= threshold) via SRP-LSH.
+
+    16-bit buckets by default (see lsh_topk): near-dups at >=0.95
+    cosine collide with high probability even at 16 bits (each
+    hyperplane flips with prob acos(0.95)/pi ~ 0.10, and 8 tables
+    multi-probe), while the self-join stays O(n^2 / 65k) per table
+    instead of O(n^2 / 256)."""
     b = srp_buckets(embeddings, n_bits, n_tables, None, id_col, vec_col)
     pairs = (
         b.alias("l").join(b.alias("r"), ["table", "bucket"])

@@ -1,0 +1,124 @@
+"""Text-op and dedup unit tests: vectorized fingerprint vs per-byte
+reference, simhash block-combination candidates, hot-bucket cap."""
+
+import logging
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from irivermetrics_spark.operators import dedup, textops
+
+
+# ------------------------------------------------------- fingerprint
+
+def test_fingerprint_matches_perbyte_reference():
+    rng = np.random.default_rng(21)
+    texts = [
+        "",
+        "a",
+        "hello   world",  # normalization: collapses whitespace
+        "HELLO WORLD",
+        "x" * 4095,
+        "y" * 4096,  # exact block boundary
+        "z" * 4097,
+        "".join(chr(rng.integers(32, 1000)) for _ in range(10240)),
+    ]
+    got = textops.fingerprint_series(pd.Series(texts)).to_numpy()
+    for s, g in zip(texts, got):
+        norm = " ".join(str(s).lower().split()).encode("utf-8")
+        assert int(np.uint64(g)) == textops.fingerprint_ref(norm), repr(s[:20])
+
+
+def test_fingerprint_vectorized_speed():
+    """Bench note (VERDICT r1 item 4): the per-byte Python loop ran
+    ~1e6 bytes/s; the vectorized path must be >=10x on 10 kB docs."""
+    import time
+
+    docs = pd.Series(["word " * 2048] * 50)  # ~10 kB each
+
+    def perbyte(texts):
+        out = []
+        for s in texts:
+            data = " ".join(str(s).lower().split()).encode("utf-8")
+            out.append(textops.fingerprint_ref(data))
+        return out
+
+    t0 = time.time(); slow = perbyte(docs); t_slow = time.time() - t0
+    t0 = time.time(); fast = textops.fingerprint_series(docs); t_fast = time.time() - t0
+    assert [int(np.uint64(v)) for v in fast] == slow
+    assert t_slow / max(t_fast, 1e-9) >= 10, f"speedup only {t_slow / t_fast:.1f}x"
+
+
+def test_fingerprint_normalization_collisions(spark):
+    """Docs differing only in whitespace/case share a fingerprint."""
+    pdf = pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": ["Alpha  beta gamma", "alpha beta   GAMMA", "alpha beta gamma delta"],
+    })
+    got = textops.with_fingerprint(spark.createDataFrame(pdf)).toPandas()
+    fp = dict(zip(got.doc_id, got.fingerprint))
+    assert fp[0] == fp[1] and fp[0] != fp[2]
+
+
+# ---------------------------------------------------------- simhash
+
+def test_simhash_n_blocks_scaling():
+    assert dedup.simhash_n_blocks(10**6, max_hamming=3) == 4  # 16-bit keys fine
+    assert dedup.simhash_n_blocks(10**9, max_hamming=3) == 6  # ~32-bit keys
+    k = dedup.simhash_n_blocks(10**12, max_hamming=3)
+    assert 64 * (k - 3) // k >= 36  # key width grows with corpus
+
+
+def test_simhash_wider_blocks_same_pairs(spark):
+    """k=6 blocks (the 10^9-doc parameterization) must still satisfy the
+    pigeonhole guarantee: every pair within max_hamming survives."""
+    from tests.test_scale_ops import _dup_corpus
+
+    docs = spark.createDataFrame(_dup_corpus())
+    base = dedup.simhash_candidates(docs, max_hamming=6).toPandas()
+    wide = dedup.simhash_candidates(docs, max_hamming=6, n_blocks=10).toPandas()
+    assert set(zip(base.id_a, base.id_b)) == set(zip(wide.id_a, wide.id_b))
+
+
+def test_simhash_hot_bucket_cap_logged(spark, caplog):
+    """A corpus of identical docs makes one hot bucket; the cap skips it
+    and logs the skip (no silent caps)."""
+    rows = [(i, "identical hot bucket document content " * 6) for i in range(12)]
+    rows += [(100, "another thing entirely about partitions " * 6),
+             (101, "another thing entirely about partitions " * 6)]
+    docs = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    with caplog.at_level(logging.WARNING, logger="irivermetrics_spark.operators.dedup"):
+        got = dedup.simhash_candidates(docs, max_hamming=3, bucket_cap=5).toPandas()
+    pairs = set(zip(got.id_a, got.id_b))
+    assert (100, 101) in pairs  # small bucket survives
+    assert not any(a < 100 and b < 100 for a, b in pairs)  # hot bucket skipped
+    assert any("hot bucket" in r.message for r in caplog.records)
+
+
+def test_simhash_uncapped_finds_hot_bucket(spark):
+    rows = [(i, "identical hot bucket document content " * 6) for i in range(6)]
+    docs = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    got = dedup.simhash_candidates(docs, max_hamming=3).toPandas()
+    assert len(got) == 15  # all C(6,2) identical pairs
+
+
+# ------------------------------------------------- srp-lsh defaults
+
+def test_neardup_finds_exact_copies_at_scale_defaults(spark):
+    """Identical vectors collide in every SRP bucket regardless of
+    bit-width, so the scale-safe defaults must still find exact dups."""
+    from irivermetrics_spark.operators import similarity
+
+    rng = np.random.default_rng(5)
+    vecs = rng.standard_normal((40, 16))
+    pdf = pd.DataFrame({
+        "vec_id": np.arange(40),
+        "embedding": [v.astype(np.float32).tolist() for v in vecs],
+    })
+    em = spark.createDataFrame(pdf)
+    dup = em.filter(F.col("vec_id") < 4).withColumn("vec_id", F.col("vec_id") + 1000)
+    got = similarity.cosine_neardup_pairs(em.unionByName(dup), threshold=0.999).toPandas()
+    found = set(zip(got.id_a, got.id_b))
+    assert {(i, i + 1000) for i in range(4)} <= found
