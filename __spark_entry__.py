@@ -416,6 +416,14 @@ def _q_pixel_persistence(spark, sf):
     return _pipeline_result(spark)["persistence"]
 
 
+def _q_pixel_persistence_px(spark, sf):
+    """K2: the per-pixel persistence table (the reference's
+    Pixel_Persistence.tif, src/irm_main.py:228-233)."""
+    return _pipeline_result(spark)["persistence_px"].select(
+        "scene", "section", "px", "py", F.round("pp", 6).alias("pp")
+    )
+
+
 def _q_knn_pools(spark, sf):
     from irivermetrics_spark.operators import knn
 
@@ -631,6 +639,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zonal_join_rows": _q_zonal_join_rows,
         "tile_assign": _q_tile_assign,
         "pixel_persistence": _q_pixel_persistence,
+        "pixel_persistence_px": _q_pixel_persistence_px,
         "knn_pools": _q_knn_pools,
         "dedup_minhash": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,

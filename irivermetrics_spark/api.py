@@ -1,0 +1,216 @@
+"""Reference-shaped public API: the two entry points a user of
+tayerthiaggo/irivermetrics calls, re-expressed over Spark DataFrames.
+
+- ``waterdetect_batch``  (src/irm_main.py:18-114): module 1 — image
+  table -> water-mask point table, with the 1000 m buffered-AOI clip
+  around river lines (src/utils/wd_batch.py:425-447) and the band
+  order/count contract (src/utils/wd_batch.py:316-327) enforced.
+- ``calculate_metrics``  (src/irm_main.py:117-236): module 2 — mask
+  table (or image table directly) + river-corridor polygons ->
+  per-(date, section) intermittency metrics, optional vector exports
+  (export_shp) and per-pixel persistence (export_PP).
+
+Differences from the reference, by engine design:
+- inputs are DataFrames (the Iceberg/parquet image+caption table of
+  the engine contract) and reach/line tables, not file paths;
+- outputs are DataFrames (parquet-friendly), not GeoTIFF/shapefiles —
+  ``exports`` has the CSV / parquet / dense-raster sinks;
+- the water rule is the engine's deterministic NDWI/MNDWI threshold
+  (kernels/water.py) instead of the external waterdetect clustering.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+
+from .functions import geometry
+from .kernels import water
+from .operators import decode, exports
+from .plans import pipeline
+
+
+def validate_band_names(n_bands: int) -> list[str]:
+    """The reference's band-name contract (src/utils/wd_batch.py:316-327):
+    >= 4 bands stacked Blue,Green,Red,Nir[,Mir2,Band_6..]."""
+    if n_bands == 4:
+        return ["Blue", "Green", "Red", "Nir"]
+    if n_bands > 4:
+        return ["Blue", "Green", "Red", "Nir", "Mir2"] + [f"Band_{i + 6}" for i in range(n_bands - 5)]
+    raise ValueError("Unsupported number of bands. Expected at least 4 bands.")
+
+
+def _validate_images(images: DataFrame) -> int:
+    """Module-1 input validation (src/utils/wd_batch.py:151,316-327):
+    decode ONE image driver-side to read the band count and check the
+    contract; the kernel re-asserts per image so a mixed table still
+    fails loudly."""
+    from . import codecs
+
+    first = images.select("bytes").limit(1).collect()
+    if not first:
+        raise ValueError("empty image table")
+    n_bands = codecs.decode_image(bytes(first[0]["bytes"])).shape[0]
+    validate_band_names(n_bands)  # raises below 4
+    return n_bands
+
+
+def normalize_lines(r_lines) -> list[tuple[np.ndarray, np.ndarray]]:
+    """River lines as [(x array, y array)] from dicts/tuples/DataFrame."""
+    if isinstance(r_lines, DataFrame):
+        r_lines = [r.asDict() for r in r_lines.collect()]
+    out = []
+    for ln in r_lines:
+        if isinstance(ln, dict):
+            out.append((np.asarray(ln["x"], dtype=np.float64), np.asarray(ln["y"], dtype=np.float64)))
+        else:
+            out.append((np.asarray(ln[0], dtype=np.float64), np.asarray(ln[1], dtype=np.float64)))
+    return out
+
+
+def waterdetect_batch(
+    spark: SparkSession,
+    input_img: DataFrame,
+    r_lines=None,
+    grid: dict | None = None,
+    buffer: float = 1000.0,
+    res: int = 9,
+    reaches: list[dict] | None = None,
+    mask_path: str | None = None,
+    threshold: float = water.NDWI_THRESHOLD,
+) -> DataFrame:
+    """Module 1: image table -> water-mask point table.
+
+    Mirrors waterdetect_batch(input_img, r_lines, buffer=1000, ...)
+    (src/irm_main.py:18-114): validates band count, buffers the river
+    lines by ``buffer`` meters and clips the decode to that AOI
+    (src/utils/wd_batch.py:425-447 buffer_clip_aoi — here a per-pixel
+    distance predicate fused into the decode kernel, so the clip costs
+    no extra stage and no driver-side raster).
+
+    ``reaches`` (optional): passing the module-2 corridor polygons here
+    fuses the per-image validity summaries into the same decode pass,
+    so a later ``calculate_metrics`` on this mask table skips its
+    validity re-scan.
+
+    ``mask_path``: the K1 sink — write the mask table to parquet and
+    return the parquet-backed frame (the reference's export_tif analog).
+    """
+    if grid is None:
+        raise ValueError("grid=dict(gx0, gy0, ps, w, h) is required (uniform-grid contract)")
+    _validate_images(input_img)
+    decode.validate_uniform_grid(input_img)
+
+    aoi = None
+    if r_lines is not None:
+        aoi = (normalize_lines(r_lines), float(buffer))
+    rings = None
+    if reaches is not None:
+        rings = [(np.asarray(r["ring_x"]), np.asarray(r["ring_y"])) for r in reaches]
+
+    pts = decode.decode_points(input_img, grid, res=res, threshold=threshold,
+                               corridor_rings=rings, aoi=aoi)
+    if mask_path:
+        pts.write.mode("overwrite").parquet(mask_path)
+        return spark.read.parquet(mask_path)
+    return pts
+
+
+def calculate_metrics(
+    spark: SparkSession,
+    da_wmask: DataFrame,
+    rcor_extent,
+    grid: dict | None = None,
+    section_length: float | None = None,
+    min_pool_size: int = 2,
+    export_shp: bool = False,
+    export_PP: bool = False,
+    fill_nodata: bool = True,
+    res: int = 9,
+    fill_res: int | None = None,
+    outdir: str | None = None,
+    checkpoint_dir: str | None = None,
+) -> dict:
+    """Module 2: mask table (or image table) -> metrics.
+
+    Mirrors calculate_metrics(da_wmask, rcor_extent, section_length,
+    min_pool_size, export_shp, export_PP, fill_nodata)
+    (src/irm_main.py:117-236). ``da_wmask`` may be either the module-1
+    mask-point table or the raw image table (detected by the ``bytes``
+    column — the reference similarly accepts paths or arrays).
+
+    Returns {"metrics": DataFrame, ...pipeline intermediates...}; with
+    export_shp the polygons/lines/points frames are included (they are
+    always computed lazily — the flag controls the eager write when
+    ``outdir`` is given), with export_PP the per-pixel persistence
+    table ("persistence_px") is written/kept.
+    """
+    if grid is None:
+        raise ValueError("grid=dict(gx0, gy0, ps, w, h) is required (uniform-grid contract)")
+    reaches = rcor_extent
+    if isinstance(rcor_extent, str):
+        reaches = read_reaches(spark, rcor_extent)
+    elif isinstance(rcor_extent, DataFrame):
+        reaches = reaches_from_df(rcor_extent)
+
+    sl = float("nan") if section_length is None else float(section_length)
+    kwargs = dict(res=res, min_pool_size=min_pool_size, section_length=sl,
+                  checkpoint_dir=checkpoint_dir, fill_nodata=fill_nodata)
+    if fill_res is not None:
+        kwargs["fill_res"] = fill_res
+    if "bytes" in da_wmask.columns:
+        result = pipeline.run(spark, da_wmask, reaches, grid, **kwargs)
+    else:
+        result = pipeline.run(spark, None, reaches, grid, points=da_wmask, **kwargs)
+
+    if outdir:
+        exports.write_metrics_csv(result["metrics"], f"{outdir}/irm_metrics.csv")
+        if export_shp:
+            result["polygons"].write.mode("overwrite").parquet(f"{outdir}/irm_Polygons.parquet")
+            result["lines"].write.mode("overwrite").parquet(f"{outdir}/irm_Lines.parquet")
+            result["points"].write.mode("overwrite").parquet(f"{outdir}/irm_Points.parquet")
+        if export_PP:
+            exports.write_pixel_persistence(result["persistence_px"], f"{outdir}/pixel_persistence.parquet")
+    return result
+
+
+# ----------------------------------------------------------------- S4:
+# vector-layer ingest (reference: gpd.read_file + CRS checks,
+# src/utils/wd_batch.py:400-423) — the engine's vector container is a
+# parquet table (section string, ring_x array<double>, ring_y
+# array<double>); bbox and shoelace area are derived, not stored.
+
+def reaches_from_df(df: DataFrame) -> list[dict]:
+    out = []
+    for r in df.collect():
+        rx = np.asarray(r["ring_x"], dtype=np.float64)
+        ry = np.asarray(r["ring_y"], dtype=np.float64)
+        out.append(dict(
+            section=str(r["section"]),
+            ring_x=rx,
+            ring_y=ry,
+            area_m2=geometry.polygon_area_m2(rx[:-1], ry[:-1]) if rx[0] == rx[-1] and ry[0] == ry[-1]
+            else geometry.polygon_area_m2(rx, ry),
+            xmin=float(rx.min()), xmax=float(rx.max()),
+            ymin=float(ry.min()), ymax=float(ry.max()),
+        ))
+    return sorted(out, key=lambda d: d["section"])
+
+
+def read_reaches(spark: SparkSession, path: str) -> list[dict]:
+    """Read a reach-polygon layer from parquet (S4). The layer is tiny
+    (it broadcasts into every spatial join), so collecting it to plan
+    metadata is the scale-correct move, not a shortcut."""
+    return reaches_from_df(spark.read.parquet(path))
+
+
+def write_reaches(spark: SparkSession, reaches: list[dict], path: str) -> None:
+    import pandas as pd
+
+    pdf = pd.DataFrame([
+        dict(section=str(r["section"]),
+             ring_x=np.asarray(r["ring_x"], dtype=np.float64).tolist(),
+             ring_y=np.asarray(r["ring_y"], dtype=np.float64).tolist())
+        for r in reaches
+    ])
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(path)

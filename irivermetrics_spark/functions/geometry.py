@@ -39,6 +39,46 @@ def polygon_area_m2(ring_x: np.ndarray, ring_y: np.ndarray) -> float:
     return float(0.5 * np.abs(np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1))))
 
 
+def dist_to_polyline(px: np.ndarray, py: np.ndarray, line_x: np.ndarray,
+                     line_y: np.ndarray) -> np.ndarray:
+    """Min euclidean distance from each point to a polyline (vectorized
+    points x segments; segments are few, points are many). The geometry
+    primitive behind the module-1 buffered-AOI clip
+    (src/utils/wd_batch.py:425-447: shapely buffer + rio.clip)."""
+    px = np.asarray(px, dtype=np.float64)
+    py = np.asarray(py, dtype=np.float64)
+    lx = np.asarray(line_x, dtype=np.float64)
+    ly = np.asarray(line_y, dtype=np.float64)
+    if lx.shape[0] == 1:
+        return np.hypot(px - lx[0], py - ly[0])
+    ax, ay = lx[:-1], ly[:-1]
+    dx, dy = lx[1:] - ax, ly[1:] - ay
+    seg_l2 = dx * dx + dy * dy
+    rx = px[:, None] - ax[None, :]
+    ry = py[:, None] - ay[None, :]
+    t = rx * dx[None, :] + ry * dy[None, :]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = np.where(seg_l2[None, :] > 0, t / seg_l2[None, :], 0.0)
+    t = np.clip(t, 0.0, 1.0)
+    d2 = (rx - t * dx[None, :]) ** 2 + (ry - t * dy[None, :]) ** 2
+    return np.sqrt(d2.min(axis=1))
+
+
+def min_dist_to_polylines(px: np.ndarray, py: np.ndarray,
+                          lines: list[tuple[np.ndarray, np.ndarray]]) -> np.ndarray:
+    """Min distance over several polylines, chunked so the points x
+    segments matrix stays bounded regardless of mask density."""
+    px = np.asarray(px, dtype=np.float64)
+    py = np.asarray(py, dtype=np.float64)
+    out = np.full(px.shape, np.inf)
+    chunk = 65536
+    for s in range(0, px.shape[0], chunk):
+        sl = slice(s, s + chunk)
+        for lx, ly in lines:
+            out[sl] = np.minimum(out[sl], dist_to_polyline(px[sl], py[sl], lx, ly))
+    return out
+
+
 def point_in_polygon(px: np.ndarray, py: np.ndarray, ring_x: np.ndarray, ring_y: np.ndarray) -> np.ndarray:
     """Crossing-number PIP, vectorized over points (bool array).
 

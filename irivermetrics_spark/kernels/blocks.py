@@ -42,18 +42,24 @@ def summarize_clip(water: np.ndarray, min_pool_size: int, pixel_size: float) -> 
                 width_km=0.0,
                 area_km2=0.0,
                 perimeter_km=0.0,
+                centroid_py=float("nan"),
+                centroid_px=float("nan"),
                 path=None,
             )
         ]
 
-    # areas + Crofton perimeters, re-labeled 1..k by ascending rank
+    # areas + Crofton perimeters + true pixel centroids, re-labeled
+    # 1..k by ascending rank
     counts = np.bincount(labeled.ravel())
     area_rows = {}
     for rank, lab in enumerate(np.sort(present), start=1):
         region = labeled == lab
+        rys, rxs = np.nonzero(region)
         area_rows[rank] = (
             float(counts[lab]) * pixel_size**2 / 1e6,
             crofton.perimeter_crofton(region) * pixel_size / 1e3,
+            float(rys.mean()),
+            float(rxs.mean()),
         )
 
     # skeleton of the labeled (nonzero) image, relabeled in scan order
@@ -76,7 +82,9 @@ def summarize_clip(water: np.ndarray, min_pool_size: int, pixel_size: float) -> 
             width_km = float(widths.mean()) * pixel_size * 2.0 / 1e3
         else:
             width_km = float("nan")
-        area_km2, perim_km = area_rows.get(int(lab), (float("nan"), float("nan")))
+        area_km2, perim_km, cy, cx = area_rows.get(
+            int(lab), (float("nan"), float("nan"), float("nan"), float("nan"))
+        )
         rows.append(
             dict(
                 label=int(lab),
@@ -84,6 +92,8 @@ def summarize_clip(water: np.ndarray, min_pool_size: int, pixel_size: float) -> 
                 width_km=width_km,
                 area_km2=area_km2,
                 perimeter_km=perim_km,
+                centroid_py=cy,
+                centroid_px=cx,
                 path=path,
             )
         )

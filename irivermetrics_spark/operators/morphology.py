@@ -25,6 +25,7 @@ from ..kernels import blocks
 POOLS_SCHEMA = (
     "scene string, ds string, section string, label int, length_km double, "
     "width_km double, area_km2 double, perimeter_km double, "
+    "centroid_x double, centroid_y double, "
     "path_py array<int>, path_px array<int>"
 )
 
@@ -55,6 +56,8 @@ def pool_rows(water_joined: DataFrame, reaches: list[dict], grid: dict,
     offsets = clip_offsets(reaches, grid)
     pixel_size = grid["ps"]
 
+    gx0, gy0, ps = grid["gx0"], grid["gy0"], grid["ps"]
+
     def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
         scene, section, ds = key
         c0, r0, ncols, nrows = offsets[section]
@@ -71,6 +74,10 @@ def pool_rows(water_joined: DataFrame, reaches: list[dict], grid: dict,
             else:
                 ppy = (path[:, 0] + r0).astype(int).tolist()
                 ppx = (path[:, 1] + c0).astype(int).tolist()
+            # true pool-pixel centroid, clip frame -> CRS (pixel centers)
+            cy, cx = row.pop("centroid_py"), row.pop("centroid_px")
+            row["centroid_x"] = gx0 + (cx + c0 + 0.5) * ps
+            row["centroid_y"] = gy0 - (cy + r0 + 0.5) * ps
             out.append(dict(scene=scene, ds=ds, section=section, path_py=ppy, path_px=ppx, **row))
         return pd.DataFrame(out)
 

@@ -36,7 +36,7 @@ from ..operators import decode, fillop, metrics, morphology, zonal
 
 def run(
     spark: SparkSession,
-    images: DataFrame,
+    images: DataFrame | None,
     reaches: list[dict],
     grid: dict,
     res: int = 9,
@@ -45,45 +45,69 @@ def run(
     section_length: float = float("nan"),
     mask_path: str | None = None,
     checkpoint_dir: str | None = None,
+    points: DataFrame | None = None,
+    fill_nodata: bool = True,
 ) -> dict[str, DataFrame]:
     """Returns the named intermediate + final DataFrames (all lazy except
     the small date-dimension collects).
 
     checkpoint_dir: enable per-stage lineage checkpointing (P8) — a
     rerun with the same dir resumes after the last completed stage.
+
+    points: a pre-decoded mask-point table (the module-1 sink read
+    back, e.g. from ``api.waterdetect_batch``) — module 2 then starts
+    from points and never touches image bytes, mirroring the
+    reference's two-module split (src/irm_main.py:117: calculate_metrics
+    consumes da_wmask, not imagery). Points may or may not carry the
+    fused per-image summary rows; without them the >= 70 % validity
+    filter falls back to the corridor-join formulation (one extra pass
+    over nodata points only).
     """
     from . import lineage
 
     import numpy as np
 
-    decode.validate_uniform_grid(images)
-
     rings = [(np.asarray(r["ring_x"]), np.asarray(r["ring_y"])) for r in reaches]
-    points = decode.decode_points(images, grid, res=res, corridor_rings=rings)
-    if checkpoint_dir:
-        # module-1 sink (K1) as a lineage stage: decode runs once ever
-        points = lineage.run_stage(spark, points, checkpoint_dir, "mask_points",
-                                   partition_by=["date"])
-    elif mask_path:
-        # plain (unpartitioned) parquet: at local scale a per-date
-        # dynamic-partition write costs more in small-file commits than
-        # pruning saves; a cluster deployment with years of history
-        # would partitionBy("date") here (see lineage path)
-        points.write.mode("overwrite").parquet(mask_path)
-        points = spark.read.parquet(mask_path)
-    else:
-        points = points.persist()
+
+    if points is None:
+        decode.validate_uniform_grid(images)
+        points = decode.decode_points(images, grid, res=res, corridor_rings=rings)
+        if checkpoint_dir:
+            # module-1 sink (K1) as a lineage stage: decode runs once ever
+            points = lineage.run_stage(spark, points, checkpoint_dir, "mask_points",
+                                       partition_by=["date"])
+        elif mask_path:
+            # plain (unpartitioned) parquet: at local scale a per-date
+            # dynamic-partition write costs more in small-file commits than
+            # pruning saves; a cluster deployment with years of history
+            # would partitionBy("date") here (see lineage path)
+            points.write.mode("overwrite").parquet(mask_path)
+            points = spark.read.parquet(mask_path)
+        else:
+            points = points.persist()
 
     # fused summary rows carry per-image in-corridor invalid counts;
     # real mask points are everything else
     summaries = points.filter(F.col("value") == decode.SUMMARY_MARKER)
     points = points.filter(F.col("value") != decode.SUMMARY_MARKER)
 
-    dates = decode.with_scene_date(images.select("image_id")).select("scene", "date").distinct()
+    if images is not None:
+        dates = decode.with_scene_date(images.select("image_id")).select("scene", "date").distinct()
+    else:
+        # points-only input: the date dimension comes from the mask table
+        # (an all-nodata image has a summary row, so no date is lost)
+        dates = points.select("scene", "date").unionByName(
+            summaries.select("scene", "date")).distinct()
     corridor_cover = zonal.corridor_cover_df(spark, reaches, res)
     corridor_total = fillop.corridor_pixel_count(spark, corridor_cover, reaches, grid, res)
 
-    kept = fillop.keep_dates_fused(summaries, dates, corridor_total)
+    # the decode path always fuses summaries — only probe (one tiny
+    # pushdown scan) when the caller handed us a points table
+    has_summaries = images is not None or summaries.limit(1).count() > 0
+    if has_summaries:
+        kept = fillop.keep_dates_fused(summaries, dates, corridor_total)
+    else:
+        kept = fillop.keep_dates(points, dates, corridor_cover, reaches, grid, corridor_total)
     kept_rows = kept.collect()  # date dimension: small by construction
     kept_map: dict[str, list[str]] = {}
     for r in kept_rows:
@@ -92,7 +116,8 @@ def run(
         v.sort()
 
     points_kept = points.join(F.broadcast(kept), ["scene", "date"], "left_semi")
-    water = fillop.filled_water(points_kept, kept_map, reaches, grid, fill_res=fill_res)
+    water = fillop.filled_water(points_kept, kept_map, reaches, grid, fill_res=fill_res,
+                                fill_nodata=fill_nodata)
     if checkpoint_dir:
         water = lineage.run_stage(spark, water, checkpoint_dir, "water_filled")
 
@@ -105,6 +130,7 @@ def run(
     water_joined = zonal.zonal_join(water_keyed, cover, reaches, grid).persist()
 
     n_dates = {k: len(v) for k, v in kept_map.items()}
+    pers_px = metrics.pixel_persistence_px(water_joined, n_dates)
     pers = metrics.persistence(water_joined, n_dates, grid["ps"])
     pools = morphology.pool_rows(water_joined, reaches, grid, min_pool_size=min_pool_size)
     grid_df = metrics.dimension_grid(spark, kept, reaches)
@@ -122,6 +148,7 @@ def run(
         water=water,
         water_joined=water_joined,
         persistence=pers,
+        persistence_px=pers_px,
         pools=pools,
         metrics=final,
         kept_map=kept_map,
