@@ -42,7 +42,9 @@ def decode_points(images: DataFrame, grid: dict, res: int = 9,
                   threshold: float = water.NDWI_THRESHOLD,
                   corridor_rings: list | None = None,
                   aoi: tuple[list, float] | None = None,
-                  min_bands: int = 4) -> DataFrame:
+                  min_bands: int = 4,
+                  reproject: bool = False,
+                  resample_method: str = "nearest") -> DataFrame:
     """images -> sparse mask points with hex cell keys + scene/date cols.
 
     ``grid``: dict(gx0, gy0, ps) — uniform georeferencing (validated by
@@ -64,8 +66,17 @@ def decode_points(images: DataFrame, grid: dict, res: int = 9,
     (src/utils/wd_batch.py:316-327): fewer bands than Blue,Green,Red,
     Nir is a hard error, raised per image inside the kernel so a
     mis-shaped table fails loudly instead of producing wrong masks.
+
+    ``reproject``: S2 mixed-grid ingest (src/utils/wd_batch.py:329-373:
+    scenes off the reference CRS/resolution are reprojected before
+    detection). The image table must then carry per-row source-grid
+    columns (gx0 double, gy0 double, ps double); each decoded raster is
+    affine-resampled onto the target ``grid`` inside the same kernel —
+    map-side, no extra stage, mixed and already-aligned rows can share
+    one table (aligned rows short-circuit through kernels.resample).
     """
     gx0, gy0, ps = grid["gx0"], grid["gy0"], grid["ps"]
+    expected_hw = (grid["h"], grid["w"]) if "h" in grid and "w" in grid else None
     aoi_lines = None
     if aoi is not None:
         aoi_lines = [(np.asarray(lx, dtype=np.float64), np.asarray(ly, dtype=np.float64))
@@ -75,14 +86,33 @@ def decode_points(images: DataFrame, grid: dict, res: int = 9,
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from ..functions import geometry
 
+        from ..kernels import resample as resamplek
+
         for pdf in batches:
             out = []
-            for image_id, buf in zip(pdf["image_id"], pdf["bytes"]):
+            src_grids = None
+            if reproject:
+                src_grids = list(zip(pdf["gx0"], pdf["gy0"], pdf["ps"]))
+            for i, (image_id, buf) in enumerate(zip(pdf["image_id"], pdf["bytes"])):
                 arr = codecs.decode_image(bytes(buf))
                 if arr.shape[0] < min_bands:
                     raise ValueError(
                         f"{image_id}: {arr.shape[0]} bands < required {min_bands} "
                         "(band order contract: Blue,Green,Red,Nir[,Mir2])"
+                    )
+                if src_grids is None and expected_hw is not None and arr.shape[1:] != expected_hw:
+                    # S1 uniformity, asserted map-side per image — no
+                    # separate driver-side distinct() action barrier
+                    raise ValueError(
+                        f"{image_id}: raster shape {arr.shape[1:]} != grid {expected_hw} "
+                        "(uniform-grid contract; pass reproject=True for mixed grids)"
+                    )
+                if src_grids is not None:
+                    sgx0, sgy0, sps = src_grids[i]
+                    arr = resamplek.resample(
+                        arr, dict(gx0=float(sgx0), gy0=float(sgy0), ps=float(sps)),
+                        dict(gx0=gx0, gy0=gy0, ps=ps, w=grid["w"], h=grid["h"]),
+                        method=resample_method,
                     )
                 mask = water.water_mask(arr, threshold)
                 ys, xs = np.nonzero(mask != 0)
@@ -131,7 +161,8 @@ def decode_points(images: DataFrame, grid: dict, res: int = 9,
                      cell=pd.Series(dtype="int64"))
             )
 
-    pts = images.select("image_id", "bytes").mapInPandas(kernel, schema=POINTS_SCHEMA)
+    cols = ["image_id", "bytes"] + (["gx0", "gy0", "ps"] if reproject else [])
+    pts = images.select(*cols).mapInPandas(kernel, schema=POINTS_SCHEMA)
     return with_scene_date(pts)
 
 

@@ -63,14 +63,21 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text", n_hashes: int = 
 
 
 def lsh_candidates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-                   n_hashes: int = 64, bands: int = 16, shingle_k: int = 5) -> DataFrame:
+                   n_hashes: int = 64, bands: int = 16, shingle_k: int = 5,
+                   signatures: DataFrame | None = None) -> DataFrame:
     """Candidate near-duplicate pairs via MinHash banding.
 
     Returns (id_a, id_b, est_jaccard) with id_a < id_b; est_jaccard is
     the fraction of agreeing minhashes (computed in the pair join).
+
+    ``signatures``: pass a precomputed ``minhash_signatures`` frame to
+    reuse across calls. Either way the banded table is persisted before
+    the self-join — otherwise Catalyst re-runs the signature UDF for
+    BOTH sides of the join (the dominant cost of the whole operator).
     """
     rows = n_hashes // bands
-    with_sig = minhash_signatures(docs.select(id_col, text_col), text_col, n_hashes, shingle_k)
+    with_sig = signatures if signatures is not None else minhash_signatures(
+        docs.select(id_col, text_col), text_col, n_hashes, shingle_k)
     banded = with_sig.select(
         F.col(id_col).alias("id"),
         "minhash",
@@ -79,7 +86,7 @@ def lsh_candidates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "tex
                 F.xxhash64(F.lit(i), F.slice("minhash", i * rows + 1, rows)) for i in range(bands)
             ])
         ).alias("band", "bucket"),
-    )
+    ).persist()
     pairs = (
         banded.alias("l")
         .join(banded.alias("r"), ["band", "bucket"])
@@ -198,7 +205,9 @@ def simhash_candidates(docs: DataFrame, id_col: str = "doc_id", text_col: str = 
     key_exprs = [
         F.xxhash64(F.lit(ci), *[block_cols[b] for b in combo]) for ci, combo in enumerate(combos)
     ]
-    banded = d.select("id", "simhash", F.posexplode(F.array(*key_exprs)).alias("combo", "bucket"))
+    # persisted: the self-join below would otherwise run the simhash
+    # signature UDF once per join side
+    banded = d.select("id", "simhash", F.posexplode(F.array(*key_exprs)).alias("combo", "bucket")).persist()
 
     if bucket_cap is not None:
         counts = banded.groupBy("combo", "bucket").agg(F.count("*").alias("n_in_bucket"))

@@ -198,10 +198,14 @@ def filled_water(points: DataFrame, kept_dates: dict[str, list[str]], reaches: l
     Output: (scene, date string 'ds', px, py) water pixels after fill.
     """
     rings = [(np.asarray(r["ring_x"]), np.asarray(r["ring_y"])) for r in reaches]
+    # torrent-broadcast the scene->dates map: a closure-captured dict
+    # serializes into EVERY task; at 10^6 scenes that's the task-size
+    # bottleneck (VERDICT r1), a broadcast variable ships once per executor
+    bc_dates = points.sparkSession.sparkContext.broadcast(kept_dates)
 
     def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
         scene, cell = key[0], int(key[1])
-        dates = kept_dates.get(scene)
+        dates = bc_dates.value.get(scene)
         if not dates:
             return pd.DataFrame({"scene": [], "ds": [], "px": [], "py": []})
         ux, uy = _cell_universe(cell, rings, grid)

@@ -45,12 +45,25 @@ def pixel_persistence_px(water_joined: DataFrame, n_dates: dict[str, int]) -> Da
     the distributed form of the reference's Pixel_Persistence.tif
     raster (src/irm_main.py:228-233, src/utils/calc_metrics.py:295-304)
     — ``exports.persistence_raster`` reassembles the dense raster.
+
+    The scene -> kept-date-count dimension joins as a broadcast table,
+    not a literal create_map expression — a map literal grows the plan
+    linearly with scene count (10^6 scenes = 10^6-entry expression in
+    every task).
     """
-    n_map = F.create_map(*[F.lit(v) for kv in n_dates.items() for v in kv])
+    nd = water_joined.sparkSession.createDataFrame(
+        [(k, int(v)) for k, v in n_dates.items()],
+        T.StructType([
+            T.StructField("scene", T.StringType(), False),
+            T.StructField("n_kept", T.IntegerType(), False),
+        ]),
+    )
     return (
         water_joined.groupBy("scene", "section", "px", "py")
         .agg(F.count("*").alias("wet"))
-        .withColumn("pp", F.col("wet") / n_map[F.col("scene")])
+        .join(F.broadcast(nd), "scene")
+        .withColumn("pp", F.col("wet") / F.col("n_kept"))
+        .drop("n_kept")
     )
 
 

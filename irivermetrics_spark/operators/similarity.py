@@ -139,8 +139,9 @@ def cosine_neardup_pairs(embeddings: DataFrame, threshold: float = 0.95, n_bits:
     cosine collide with high probability even at 16 bits (each
     hyperplane flips with prob acos(0.95)/pi ~ 0.10, and 8 tables
     multi-probe), while the self-join stays O(n^2 / 65k) per table
-    instead of O(n^2 / 256)."""
-    b = srp_buckets(embeddings, n_bits, n_tables, None, id_col, vec_col)
+    instead of O(n^2 / 256). Buckets are persisted so the self-join
+    doesn't run the projection UDF once per side."""
+    b = srp_buckets(embeddings, n_bits, n_tables, None, id_col, vec_col).persist()
     pairs = (
         b.alias("l").join(b.alias("r"), ["table", "bucket"])
         .where(F.col("l.id") < F.col("r.id"))

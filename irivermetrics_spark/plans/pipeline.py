@@ -70,7 +70,8 @@ def run(
     rings = [(np.asarray(r["ring_x"]), np.asarray(r["ring_y"])) for r in reaches]
 
     if points is None:
-        decode.validate_uniform_grid(images)
+        # S1 uniformity is asserted per image inside the decode kernel
+        # (map-side) — no separate validate action barrier
         points = decode.decode_points(images, grid, res=res, corridor_rings=rings)
         if checkpoint_dir:
             # module-1 sink (K1) as a lineage stage: decode runs once ever
