@@ -104,8 +104,16 @@ def dimension_grid(spark: SparkSession, kept_dates: dict[str, list[str]] | DataF
 
 
 def fold(pools: DataFrame, grid_df: DataFrame, persistence_df: DataFrame,
-         section_length: float = NAN) -> DataFrame:
-    """A7: pool rows -> final metrics table (one row per scene/date/section)."""
+         section_length: float = NAN, broadcast_dims: bool = True) -> DataFrame:
+    """A7: pool rows -> final metrics table (one row per scene/date/section).
+
+    broadcast_dims: hint the per-(scene,date,section) aggregate and the
+    per-(scene,section) persistence table as broadcast sides. Correct
+    whenever the keyspace is bounded (the fixture/bench regime); at
+    10^12-image scale the aggregate is NOT bounded — the caller gates
+    the hint on the estimated group count and lets AQE pick the join
+    strategy beyond it (r1 VERDICT: an unconditional hint there would
+    OOM the driver)."""
     area = F.col("area_km2")
     safe = lambda expr: F.when(area > 0, expr).otherwise(F.lit(0.0))  # noqa: E731
     agg = pools.groupBy("scene", "ds", "section").agg(
@@ -121,11 +129,12 @@ def fold(pools: DataFrame, grid_df: DataFrame, persistence_df: DataFrame,
         F.sum(F.when(area > 0, 1).otherwise(0)).alias("npools_real"),
     )
     # both right sides are per-(scene,date,section) / per-(scene,section)
-    # aggregates — tiny relative to pool rows; broadcast them so the fold
-    # never sort-merges
+    # aggregates — tiny relative to pool rows in the bounded regime
+    agg_side = F.broadcast(agg) if broadcast_dims else agg
+    pers_side = F.broadcast(persistence_df) if broadcast_dims else persistence_df
     j = (
-        grid_df.join(F.broadcast(agg), ["scene", "ds", "section"], "left")
-        .join(F.broadcast(persistence_df), ["scene", "section"], "left")
+        grid_df.join(agg_side, ["scene", "ds", "section"], "left")
+        .join(pers_side, ["scene", "section"], "left")
     )
     nonzero = F.col("sum_area").isNotNull() & (F.col("sum_area") > 0)
     L = F.lit(section_length)

@@ -116,6 +116,14 @@ def run(
     for v in kept_map.values():
         v.sort()
 
+    # date-pruning prefilter ahead of the exact (scene, date) semi-join:
+    # an isin on the (small, already-collected) distinct kept-date list
+    # pushes into the parquet scan as row-group min/max pruning — the
+    # semi-join alone can't prune the mask-table scan (r1 serial-floor
+    # item). Skipped when the date list is large enough to bloat the plan.
+    kept_dates_all = sorted({r["date"] for r in kept_rows})
+    if 0 < len(kept_dates_all) <= 1000:
+        points = points.filter(F.col("date").isin(kept_dates_all))
     points_kept = points.join(F.broadcast(kept), ["scene", "date"], "left_semi")
     water = fillop.filled_water(points_kept, kept_map, reaches, grid, fill_res=fill_res,
                                 fill_nodata=fill_nodata)
@@ -135,7 +143,10 @@ def run(
     pers = metrics.persistence(water_joined, n_dates, grid["ps"])
     pools = morphology.pool_rows(water_joined, reaches, grid, min_pool_size=min_pool_size)
     grid_df = metrics.dimension_grid(spark, kept, reaches)
-    final = metrics.fold(pools, grid_df, pers, section_length=section_length)
+    # broadcast the fold's dim sides only while the keyspace is bounded
+    n_groups = sum(len(v) for v in kept_map.values()) * max(len(reaches), 1)
+    final = metrics.fold(pools, grid_df, pers, section_length=section_length,
+                         broadcast_dims=n_groups <= 2_000_000)
 
     from ..operators import exports as exports_op
 

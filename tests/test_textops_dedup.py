@@ -62,6 +62,34 @@ def test_fingerprint_normalization_collisions(spark):
     assert fp[0] == fp[1] and fp[0] != fp[2]
 
 
+# ---------------------------------------------------------- minhash
+
+def test_mod_mersenne61_equals_hardware_mod():
+    rng = np.random.default_rng(31)
+    x = rng.integers(0, np.iinfo(np.uint64).max, 10000, dtype=np.uint64)
+    x = np.concatenate([x, np.array([0, 1, (1 << 61) - 1, 1 << 61, (1 << 61) + 1,
+                                     np.iinfo(np.uint64).max], dtype=np.uint64)])
+    M = np.uint64((1 << 61) - 1)
+    np.testing.assert_array_equal(dedup._mod_mersenne61(x), x % M)
+
+
+def test_minhash_fold_matches_hardware_mod_formula(spark):
+    """The shift-fold kernel must emit the same signatures as the plain
+    hardware-mod formula."""
+    texts = ["alpha beta gamma " * 30, "x", "", "totally different content here " * 10]
+    a, b = dedup._minhash_params(64)
+    expected = []
+    for t in texts:
+        sh = dedup._shingles(t, 5)
+        with np.errstate(over="ignore"):
+            vals = (sh[None, :] * a[:, None] + b[:, None]) % dedup._MERSENNE
+        expected.append(vals.min(axis=1).astype(np.int64).tolist())
+    pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    got = dedup.minhash_signatures(spark.createDataFrame(pdf)).toPandas()
+    got = [list(map(int, v)) for v in got.sort_values("doc_id").minhash]
+    assert got == expected
+
+
 # ---------------------------------------------------------- simhash
 
 def test_simhash_n_blocks_scaling():
