@@ -365,6 +365,28 @@ def _q_text_langid(spark, sf):  # marker-ngram language heuristic
     )
 
 
+def _q_text_tokens_bpe(spark, sf):  # BPE-ish regex token budgeting
+    from irivermetrics_spark.operators import textops
+
+    d = _t(spark, sf, "documents")
+    n = textops.bpe_like_token_count(F.col("text"))
+    return d.groupBy("lang").agg(
+        F.sum(n).cast("bigint").alias("total_bpe_tokens"),
+        F.round(F.avg(n), 6).alias("avg_bpe_tokens"),
+    )
+
+
+def _q_text_langid_argmax(spark, sf):  # multi-language marker argmax
+    from irivermetrics_spark.operators import textops
+
+    d = _t(spark, sf, "documents")
+    return (
+        d.select(textops.langid_argmax(F.col("text")).alias("pred_lang"))
+        .groupBy("pred_lang")
+        .agg(F.count("*").cast("bigint").alias("n_docs"))
+    )
+
+
 def _q_ann_brute(spark, sf):  # brute-force cosine top-k
     from pyspark.sql import Window
 
@@ -633,6 +655,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q_dedup_exact,
         "text_quality": _q_text_quality,
         "text_langid": _q_text_langid,
+        "text_tokens_bpe": _q_text_tokens_bpe,
+        "text_langid_argmax": _q_text_langid_argmax,
         "ann_brute": _q_ann_brute,
         # engine / spatial / scale ops (rows-only; numpy-oracle-tested)
         "flagship_metrics": _q_flagship_metrics,
@@ -868,6 +892,51 @@ def oracle_sql() -> dict[str, str]:
               FROM documents
             )
             SELECT source, ROUND(AVG(score), 6) AS avg_marker_score FROM m GROUP BY source
+        """,
+        "text_tokens_bpe": """
+            WITH t AS (
+              SELECT lang,
+                     len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]|\\s+')) AS n
+              FROM documents
+            )
+            SELECT lang,
+                   CAST(SUM(n) AS BIGINT) AS total_bpe_tokens,
+                   ROUND(AVG(n), 6) AS avg_bpe_tokens
+            FROM t GROUP BY lang
+        """,
+        "text_langid_argmax": """
+            WITH s AS (
+              SELECT
+                ((length(text) - length(replace(text, ' der ', ''))) / 5.0
+                 + (length(text) - length(replace(text, ' und ', ''))) / 5.0
+                 + (length(text) - length(replace(text, ' die ', ''))) / 5.0
+                 + (length(text) - length(replace(text, ' ist ', ''))) / 5.0
+                ) * 100.0 / GREATEST(length(text), 1) AS s_de,
+                ((length(text) - length(replace(text, ' the ', ''))) / 5.0
+                 + (length(text) - length(replace(text, ' and ', ''))) / 5.0
+                 + (length(text) - length(replace(text, ' of ', ''))) / 4.0
+                 + (length(text) - length(replace(text, ' a ', ''))) / 3.0
+                ) * 100.0 / GREATEST(length(text), 1) AS s_en,
+                ((length(text) - length(replace(text, ' el ', ''))) / 4.0
+                 + (length(text) - length(replace(text, ' y ', ''))) / 3.0
+                 + (length(text) - length(replace(text, ' los ', ''))) / 5.0
+                 + (length(text) - length(replace(text, ' es ', ''))) / 4.0
+                ) * 100.0 / GREATEST(length(text), 1) AS s_es,
+                ((length(text) - length(replace(text, ' le ', ''))) / 4.0
+                 + (length(text) - length(replace(text, ' et ', ''))) / 4.0
+                 + (length(text) - length(replace(text, ' les ', ''))) / 5.0
+                 + (length(text) - length(replace(text, ' est ', ''))) / 5.0
+                ) * 100.0 / GREATEST(length(text), 1) AS s_fr
+              FROM documents
+            )
+            SELECT pred_lang, CAST(COUNT(*) AS BIGINT) AS n_docs FROM (
+              SELECT CASE
+                WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+                WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+                WHEN s_es >= s_fr THEN 'es'
+                ELSE 'fr' END AS pred_lang
+              FROM s
+            ) GROUP BY pred_lang
         """,
         "ann_brute": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 3),

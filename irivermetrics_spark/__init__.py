@@ -22,4 +22,7 @@ scipy / skimage / h3, and the point of the engine is Spark-first
 design, not a port.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
+
+# Reference-shaped entry points (waterdetect_batch / calculate_metrics)
+# live in irivermetrics_spark.api: ``from irivermetrics_spark import api``.

@@ -23,6 +23,43 @@ def token_count(text: Column) -> Column:
     return F.size(F.split(text, " ", -1)).cast("bigint")
 
 
+BPE_LIKE_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]|\s+"
+
+
+def bpe_like_token_count(text: Column) -> Column:
+    """GPT-2-style pre-tokenizer segment count (letters run | single
+    digit | punctuation char | whitespace run) — the cheap stand-in for
+    a real BPE vocab when budgeting token counts at corpus scale. Pure
+    JVM regexp (codegen'd), DuckDB-oracle-expressible."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_LIKE_PATTERN), 0)).cast("bigint")
+
+
+# per-language marker lexicons for argmax language-ID (n-gram heuristic)
+LANG_MARKERS = {
+    "en": [" the ", " and ", " of ", " a "],
+    "de": [" der ", " und ", " die ", " ist "],
+    "fr": [" le ", " et ", " les ", " est "],
+    "es": [" el ", " y ", " los ", " es "],
+}
+
+
+def langid_argmax(text: Column, markers: dict[str, list[str]] | None = None) -> Column:
+    """Best-scoring language among the marker lexicons (ties break by
+    language-code order, deterministic). A 4-way greatest() over pure
+    SQL expressions — no UDF, pushes through codegen."""
+    markers = markers or LANG_MARKERS
+    langs = sorted(markers)
+    scores = [marker_score(text, markers[lg]) for lg in langs]
+    pairs = [F.struct(s.alias("score"), F.lit(lg).alias("lang")) for lg, s in zip(langs, scores)]
+    # greatest on struct compares score first, then lang — ties pick the
+    # LAST lang alphabetically; invert by comparing on (score, neg-rank)
+    ranked = [
+        F.struct(s.alias("score"), F.lit(-i).alias("rank"), F.lit(lg).alias("lang"))
+        for i, (lg, s) in enumerate(zip(langs, scores))
+    ]
+    return F.greatest(*ranked)["lang"] if len(ranked) > 1 else pairs[0]["lang"]
+
+
 def punct_ratio(text: Column) -> Column:
     """Fraction of punctuation characters."""
     stripped = F.regexp_replace(text, r"[^\w\s]", "")
