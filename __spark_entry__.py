@@ -434,6 +434,127 @@ def _q_tile_assign(spark, sf):
     return out
 
 
+def _q_tile_assign_oracle(spark, sf):
+    """Exact hex tile assignment, DuckDB-oracle-checked: the engine's
+    from-scratch H3-style cell math (functions/cellindex.py: axial
+    transform + cube rounding + int64 packing) re-derived in pure SQL.
+    The north rule grades exact tile-assignment parity — this pins the
+    cell index itself, not just row counts."""
+    import pandas as pd
+
+    from irivermetrics_spark.functions import cellindex
+
+    e = _t(spark, sf, "events").filter(F.col("value").isNotNull())
+    pts = e.select(
+        (F.col("value") * 131.07 + 17.3).alias("x"),
+        (F.col("value") * 53.21 - 1000.9).alias("y"),
+    )
+
+    def _cell9(x, y):
+        return pd.Series(cellindex.hex_cell(x.to_numpy(), y.to_numpy(), 9))
+
+    cell9 = F.pandas_udf(_cell9, "long")
+
+    return (
+        pts.withColumn("cell", cell9("x", "y"))
+        .groupBy("cell")
+        .agg(F.count("*").cast("bigint").alias("n_points"),
+             F.round(F.sum("x"), 4).alias("sum_x"))
+    )
+
+
+PIP_RING_X = [0.3, 120.4, 60.1, 110.7, 5.2]
+PIP_RING_Y = [0.7, 10.2, 55.3, 95.9, 80.1]
+
+
+def _q_pip_oracle(spark, sf):
+    """Exact ray-casting point-in-polygon, DuckDB-oracle-checked: the
+    engine's crossing-number rule (functions/geometry.py:point_in_polygon
+    — half-open (ya>py)!=(yb>py) edges, strict px<xint) re-derived as a
+    points x edges SQL aggregate over a fixed concave ring. Pins the
+    PIP refinement semantics the zonal join depends on."""
+    import numpy as np
+    import pandas as pd
+
+    from irivermetrics_spark.functions import geometry
+
+    e = _t(spark, sf, "events").filter(F.col("value").isNotNull())
+    pts = e.select(
+        F.col("event_id"),
+        (F.col("value") * 0.27).alias("x"),
+        ((F.col("event_id") % 101) * 1.01).alias("y"),
+    )
+    rx, ry = np.asarray(PIP_RING_X), np.asarray(PIP_RING_Y)
+
+    def _pip(x, y):
+        return pd.Series(geometry.point_in_polygon(x.to_numpy(), y.to_numpy(), rx, ry))
+
+    pip = F.pandas_udf(_pip, "boolean")
+    return (
+        pts.withColumn("inside", pip("x", "y"))
+        .groupBy("inside")
+        .agg(F.count("*").cast("bigint").alias("n_points"),
+             F.round(F.sum("x"), 4).alias("sum_x"))
+    )
+
+
+def _q_haversine_oracle(spark, sf):
+    """Exact haversine + planar->lonlat bridge, DuckDB-oracle-checked —
+    the kNN re-rank distance (functions/geometry.py:haversine_m,
+    planar_to_lonlat) re-derived in SQL trigonometry."""
+    import pandas as pd
+
+    from irivermetrics_spark.functions import geometry
+
+    e = _t(spark, sf, "events").filter(F.col("value").isNotNull())
+    pts = e.select(
+        (F.col("value") * 11.3).alias("x1"),
+        ((F.col("event_id") % 211) * 13.7).alias("y1"),
+        (F.col("value") * 5.9 + 1500.0).alias("x2"),
+        ((F.col("event_id") % 173) * 23.1).alias("y2"),
+    )
+
+    def _hav(x1, y1, x2, y2):
+        lon1, lat1 = geometry.planar_to_lonlat(x1.to_numpy(), y1.to_numpy())
+        lon2, lat2 = geometry.planar_to_lonlat(x2.to_numpy(), y2.to_numpy())
+        return pd.Series(geometry.haversine_m(lat1, lon1, lat2, lon2))
+
+    hav = F.pandas_udf(_hav, "double")
+    return pts.select(F.round(hav("x1", "y1", "x2", "y2"), 4).alias("dist_m")).agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.round(F.avg("dist_m"), 4).alias("avg_dist_m"),
+        F.round(F.max("dist_m"), 4).alias("max_dist_m"),
+        F.round(F.min("dist_m"), 4).alias("min_dist_m"),
+    )
+
+
+def _q_pathlen_oracle(spark, sf):
+    """C6/C8: per-user ordered value series as an array column, path
+    length = sum of |step| via JVM array lambdas (transform/aggregate)
+    — the exports' euclidean path-length shape, DuckDB-oracle-checked."""
+    e = _t(spark, sf, "events").filter(F.col("value").isNotNull())
+    per = (
+        e.groupBy("user_id")
+        .agg(F.array_sort(F.collect_list(F.struct("ts", "event_id", "value"))).alias("s"))
+        .withColumn("a", F.expr("transform(s, r -> r.value)"))
+        .withColumn(
+            "path_len",
+            F.when(
+                F.size("a") >= 2,  # sequence(0, -1) would run DESCENDING
+                F.expr(
+                    "aggregate(transform(sequence(0, size(a) - 2), i -> abs(a[i+1] - a[i])),"
+                    " cast(0.0 as double), (acc, x) -> acc + x)"
+                ),
+            ).otherwise(F.lit(0.0)),
+        )
+    )
+    return per.select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.size("a").cast("bigint").alias("n_points"),
+        F.round("path_len", 4).alias("path_len"),
+    )
+
+
 def _q_pixel_persistence(spark, sf):
     return _pipeline_result(spark)["persistence"]
 
@@ -662,6 +783,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "flagship_metrics": _q_flagship_metrics,
         "zonal_join_rows": _q_zonal_join_rows,
         "tile_assign": _q_tile_assign,
+        "tile_assign_oracle": _q_tile_assign_oracle,
+        "pip_oracle": _q_pip_oracle,
+        "haversine_oracle": _q_haversine_oracle,
+        "pathlen_oracle": _q_pathlen_oracle,
         "pixel_persistence": _q_pixel_persistence,
         "pixel_persistence_px": _q_pixel_persistence_px,
         "knn_pools": _q_knn_pools,
@@ -892,6 +1017,104 @@ def oracle_sql() -> dict[str, str]:
               FROM documents
             )
             SELECT source, ROUND(AVG(score), 6) AS avg_marker_score FROM m GROUP BY source
+        """,
+        "tile_assign_oracle": """
+            WITH pts AS (
+              SELECT value * 131.07 + 17.3 AS x, value * 53.21 - 1000.9 AS y
+              FROM events WHERE value IS NOT NULL
+            ), ax AS (
+              -- pointy-top axial coords at res 9 (edge = 1000 / 2^(9-7) = 250 m)
+              SELECT x, y,
+                     (sqrt(3.0)/3.0 * x - y/3.0) / 250.0 AS qf,
+                     (2.0/3.0 * y) / 250.0 AS rf
+              FROM pts
+            ), rnd AS (
+              SELECT x, qf, rf, -qf - rf AS sf2,
+                     round(qf) AS q0, round(rf) AS r0, round(-qf - rf) AS s0
+              FROM ax
+            ), fx AS (
+              SELECT x, q0, r0, s0,
+                     abs(q0 - qf) AS dq, abs(r0 - rf) AS dr, abs(s0 - sf2) AS ds
+              FROM rnd
+            ), cube AS (
+              -- cube rounding: fix the axis with the largest rounding error
+              SELECT x,
+                     CAST(CASE WHEN dq > dr AND dq > ds THEN -r0 - s0 ELSE q0 END AS BIGINT) AS q,
+                     CAST(CASE WHEN NOT (dq > dr AND dq > ds) AND dr > ds THEN -q0 - s0 ELSE r0 END AS BIGINT) AS r
+              FROM fx
+            ), packed AS (
+              -- (kind=0)<<61 | res<<56 | (q+2^26)<<28 | (r+2^26)
+              SELECT x, CAST(9 AS BIGINT) * 72057594037927936
+                       + (q + 67108864) * 268435456
+                       + (r + 67108864) AS cell
+              FROM cube
+            )
+            SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_points,
+                   ROUND(SUM(x), 4) AS sum_x
+            FROM packed GROUP BY cell
+        """,
+        "pathlen_oracle": """
+            WITH per AS (
+              SELECT user_id, list(value ORDER BY ts, event_id, value) AS a
+              FROM events WHERE value IS NOT NULL GROUP BY user_id
+            )
+            SELECT CAST(user_id AS BIGINT) AS user_id,
+                   CAST(len(a) AS BIGINT) AS n_points,
+                   ROUND(COALESCE(list_sum(list_transform(range(1, len(a)), i -> abs(a[i+1] - a[i]))), 0.0), 4) AS path_len
+            FROM per
+        """,
+        "pip_oracle": """
+            WITH pts AS (
+              SELECT event_id, value * 0.27 AS x, (event_id % 101) * 1.01 AS y
+              FROM events WHERE value IS NOT NULL
+            ), edges(xa, ya, xb, yb) AS (
+              VALUES (0.3, 0.7, 120.4, 10.2),
+                     (120.4, 10.2, 60.1, 55.3),
+                     (60.1, 55.3, 110.7, 95.9),
+                     (110.7, 95.9, 5.2, 80.1),
+                     (5.2, 80.1, 0.3, 0.7)
+            ), hits AS (
+              -- crossing-number rule, exactly the engine's half-open
+              -- (ya>py)!=(yb>py) edges with strict px < xint
+              SELECT p.event_id, p.x,
+                     SUM(CASE WHEN ((e.ya > p.y) <> (e.yb > p.y))
+                               AND p.x < e.xa + (p.y - e.ya) * (e.xb - e.xa) / (e.yb - e.ya)
+                              THEN 1 ELSE 0 END) AS crossings
+              FROM pts p CROSS JOIN edges e
+              GROUP BY p.event_id, p.x
+            )
+            SELECT (crossings % 2 = 1) AS inside,
+                   CAST(COUNT(*) AS BIGINT) AS n_points,
+                   ROUND(SUM(x), 4) AS sum_x
+            FROM hits GROUP BY 1
+        """,
+        "haversine_oracle": """
+            WITH pts AS (
+              SELECT value * 11.3 AS x1, (event_id % 211) * 13.7 AS y1,
+                     value * 5.9 + 1500.0 AS x2, (event_id % 173) * 23.1 AS y2
+              FROM events WHERE value IS NOT NULL
+            ), ll AS (
+              SELECT 120.0 + x1 / (((pi() * 6371008.8) / 180.0) * cos(-18.0 * (pi() / 180.0))) AS lon1,
+                     -18.0 + y1 / ((pi() * 6371008.8) / 180.0) AS lat1,
+                     120.0 + x2 / (((pi() * 6371008.8) / 180.0) * cos(-18.0 * (pi() / 180.0))) AS lon2,
+                     -18.0 + y2 / ((pi() * 6371008.8) / 180.0) AS lat2
+              FROM pts
+            ), r AS (
+              SELECT lat1 * (pi() / 180.0) AS la1, lon1 * (pi() / 180.0) AS lo1,
+                     lat2 * (pi() / 180.0) AS la2, lon2 * (pi() / 180.0) AS lo2
+              FROM ll
+            ), d AS (
+              SELECT ROUND(2.0 * 6371008.8 * asin(sqrt(LEAST(GREATEST(
+                       sin((la2 - la1) / 2.0) * sin((la2 - la1) / 2.0)
+                       + (cos(la1) * cos(la2)) * (sin((lo2 - lo1) / 2.0) * sin((lo2 - lo1) / 2.0)),
+                     0.0), 1.0))), 4) AS dist_m
+              FROM r
+            )
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                   ROUND(AVG(dist_m), 4) AS avg_dist_m,
+                   ROUND(MAX(dist_m), 4) AS max_dist_m,
+                   ROUND(MIN(dist_m), 4) AS min_dist_m
+            FROM d
         """,
         "text_tokens_bpe": """
             WITH t AS (
