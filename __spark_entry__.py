@@ -338,6 +338,29 @@ def _q_dedup_exact(spark, sf):  # exact dedup: hash-groupBy
     )
 
 
+def _q_dedup_clusters(spark, sf):
+    """Transitive duplicate clustering, oracle-checked: chain pairs
+    (consecutive ids within each exact-dup md5 group) must resolve to
+    min-id clusters — DuckDB computes the same clusters directly from
+    the md5 groups, so the component resolution is verified by value."""
+    from pyspark.sql import Window
+
+    from irivermetrics_spark.operators import dedup
+
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    dup = d.filter(F.col("doc_id") % 17 == 0).withColumn("doc_id", F.col("doc_id") + 1000000)
+    u = d.unionByName(dup).withColumn("h", F.md5("text"))
+    w = Window.partitionBy("h").orderBy("doc_id")
+    pairs = (
+        u.withColumn("prev", F.lag("doc_id").over(w))
+        .filter(F.col("prev").isNotNull())
+        .select(F.col("prev").alias("id_a"), F.col("doc_id").alias("id_b"))
+    )
+    clusters = dedup.cluster_duplicates(pairs)
+    return clusters.select(F.col("id").cast("bigint").alias("id"),
+                           F.col("cluster").cast("bigint").alias("cluster"))
+
+
 def _q_text_quality(spark, sf):  # token counts + quality features
     from irivermetrics_spark.operators import textops
 
@@ -570,10 +593,8 @@ def _q_pixel_persistence_px(spark, sf):
 def _q_knn_pools(spark, sf):
     from irivermetrics_spark.operators import knn
 
-    fx = _fixture()
-    grid = dict(gx0=fx.gx0, gy0=fx.gy0, ps=fx.pixel_size, w=fx.w, h=fx.h)
     res = _pipeline_result(spark)
-    cents = knn.pool_centroids(res["water_joined"], res["pools"], grid)
+    cents = knn.pool_centroids(res["pools"])
     return knn.knn_pools(cents, k=3)
 
 
@@ -774,6 +795,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a9_stats": _q_a9_stats,
         "p13_salted_agg": _q_p13_salted_agg,
         "dedup_exact": _q_dedup_exact,
+        "dedup_clusters": _q_dedup_clusters,
         "text_quality": _q_text_quality,
         "text_langid": _q_text_langid,
         "text_tokens_bpe": _q_text_tokens_bpe,
@@ -998,6 +1020,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n_copies,
                    CAST(MIN(doc_id) AS BIGINT) AS keeper
             FROM u GROUP BY md5(text) HAVING COUNT(*) > 1
+        """,
+        "dedup_clusters": """
+            WITH u AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 17 = 0
+            ), g AS (
+              SELECT doc_id, md5(text) AS h FROM u
+            ), c AS (
+              SELECT doc_id,
+                     MIN(doc_id) OVER (PARTITION BY h) AS cluster,
+                     COUNT(*) OVER (PARTITION BY h) AS n
+              FROM g
+            )
+            SELECT CAST(doc_id AS BIGINT) AS id, CAST(cluster AS BIGINT) AS cluster
+            FROM c WHERE n > 1
         """,
         "text_quality": """
             SELECT lang, source,

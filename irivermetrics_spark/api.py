@@ -130,6 +130,8 @@ def calculate_metrics(
     fill_res: int | None = None,
     outdir: str | None = None,
     checkpoint_dir: str | None = None,
+    r_lines=None,
+    buffer: float = 1000.0,
 ) -> dict:
     """Module 2: mask table (or image table) -> metrics.
 
@@ -144,18 +146,29 @@ def calculate_metrics(
     always computed lazily — the flag controls the eager write when
     ``outdir`` is given), with export_PP the per-pixel persistence
     table ("persistence_px") is written/kept.
+
+    ``r_lines``/``buffer``: pass the SAME river lines + buffer used in
+    module 1 when ``da_wmask`` was AOI-clipped — the reference clips
+    before validating, so clipped-away corridor pixels count as invalid
+    in the >= 70 % gate; without these the engine would treat them as
+    valid and keep dates the reference drops.
     """
     if grid is None:
         raise ValueError("grid=dict(gx0, gy0, ps, w, h) is required (uniform-grid contract)")
-    reaches = rcor_extent
     if isinstance(rcor_extent, str):
         reaches = read_reaches(spark, rcor_extent)
     elif isinstance(rcor_extent, DataFrame):
         reaches = reaches_from_df(rcor_extent)
+    else:
+        # list-of-dicts: enrich minimal (section, ring_x, ring_y) dicts
+        # with the bbox/area keys the pipeline requires — a bare list
+        # previously crashed clip_offsets with KeyError('xmin')
+        reaches = normalize_reaches(rcor_extent)
 
     sl = float("nan") if section_length is None else float(section_length)
+    aoi = (normalize_lines(r_lines), float(buffer)) if r_lines is not None else None
     kwargs = dict(res=res, min_pool_size=min_pool_size, section_length=sl,
-                  checkpoint_dir=checkpoint_dir, fill_nodata=fill_nodata)
+                  checkpoint_dir=checkpoint_dir, fill_nodata=fill_nodata, aoi=aoi)
     if fill_res is not None:
         kwargs["fill_res"] = fill_res
     if "bytes" in da_wmask.columns:
@@ -180,20 +193,37 @@ def calculate_metrics(
 # parquet table (section string, ring_x array<double>, ring_y
 # array<double>); bbox and shoelace area are derived, not stored.
 
-def reaches_from_df(df: DataFrame) -> list[dict]:
+def _enrich_reach(section, rx, ry) -> dict:
+    rx = np.asarray(rx, dtype=np.float64)
+    ry = np.asarray(ry, dtype=np.float64)
+    closed = rx.shape[0] > 1 and rx[0] == rx[-1] and ry[0] == ry[-1]
+    return dict(
+        section=str(section),
+        ring_x=rx,
+        ring_y=ry,
+        area_m2=geometry.polygon_area_m2(rx[:-1], ry[:-1]) if closed
+        else geometry.polygon_area_m2(rx, ry),
+        xmin=float(rx.min()), xmax=float(rx.max()),
+        ymin=float(ry.min()), ymax=float(ry.max()),
+    )
+
+
+def normalize_reaches(reaches: list[dict]) -> list[dict]:
+    """Fill in derived keys (bbox, shoelace area) for reach dicts that
+    carry only (section, ring_x, ring_y); dicts that already have every
+    key pass through unchanged (bbox/area stay consistent with rings)."""
+    need = ("area_m2", "xmin", "xmax", "ymin", "ymax")
     out = []
-    for r in df.collect():
-        rx = np.asarray(r["ring_x"], dtype=np.float64)
-        ry = np.asarray(r["ring_y"], dtype=np.float64)
-        out.append(dict(
-            section=str(r["section"]),
-            ring_x=rx,
-            ring_y=ry,
-            area_m2=geometry.polygon_area_m2(rx[:-1], ry[:-1]) if rx[0] == rx[-1] and ry[0] == ry[-1]
-            else geometry.polygon_area_m2(rx, ry),
-            xmin=float(rx.min()), xmax=float(rx.max()),
-            ymin=float(ry.min()), ymax=float(ry.max()),
-        ))
+    for r in reaches:
+        if all(k in r for k in need):
+            out.append(r)
+        else:
+            out.append(_enrich_reach(r["section"], r["ring_x"], r["ring_y"]))
+    return out
+
+
+def reaches_from_df(df: DataFrame) -> list[dict]:
+    out = [_enrich_reach(r["section"], r["ring_x"], r["ring_y"]) for r in df.collect()]
     return sorted(out, key=lambda d: d["section"])
 
 

@@ -50,11 +50,15 @@ def decode_points(images: DataFrame, grid: dict, res: int = 9,
     ``grid``: dict(gx0, gy0, ps) — uniform georeferencing (validated by
     `validate_uniform_grid`).
 
-    When ``corridor_rings`` is given (list of (ring_x, ring_y) arrays),
-    the kernel ALSO emits one fused summary row per image
-    (px=py=-1, value=SUMMARY_MARKER, cell=<n invalid in corridor>) so
-    the >= 70 % validity filter needs no second pass over the points —
-    the map-side fusion that removes a whole stage from the pipeline.
+    The kernel emits one fused summary row per image (px=py=-1,
+    value=SUMMARY_MARKER). With ``corridor_rings`` (list of (ring_x,
+    ring_y) arrays) its ``cell`` carries the in-corridor invalid count,
+    so the >= 70 % validity filter needs no second pass over the points
+    — the map-side fusion that removes a whole stage from the pipeline.
+    Without rings, ``cell`` = -1: a presence-only marker that keeps the
+    (scene, date) dimension complete even for images that emitted zero
+    mask points (an all-dry valid image must still produce its
+    zero-branch metrics row downstream).
 
     ``aoi``: (lines, buffer_m) — the module-1 buffered-AOI clip
     (src/utils/wd_batch.py:425-447): only pixels within ``buffer_m`` of
@@ -149,12 +153,15 @@ def decode_points(images: DataFrame, grid: dict, res: int = 9,
                                 break
                             member[todo] = geometry.point_in_polygon(mx[todo], my[todo], ring_x, ring_y)
                         n_invalid = int(member.sum())
-                    out.append(
-                        pd.DataFrame(
-                            dict(image_id=[image_id], px=np.int32(-1), py=np.int32(-1),
-                                 value=np.int8(SUMMARY_MARKER), cell=np.int64(n_invalid))
-                        )
+                    summary_cell = np.int64(n_invalid)
+                else:
+                    summary_cell = np.int64(-1)  # presence marker only
+                out.append(
+                    pd.DataFrame(
+                        dict(image_id=[image_id], px=np.int32(-1), py=np.int32(-1),
+                             value=np.int8(SUMMARY_MARKER), cell=summary_cell)
                     )
+                )
             yield pd.concat(out, ignore_index=True) if out else pd.DataFrame(
                 dict(image_id=pd.Series(dtype="str"), px=pd.Series(dtype="int32"),
                      py=pd.Series(dtype="int32"), value=pd.Series(dtype="int8"),

@@ -147,6 +147,47 @@ def exact_jaccard_pairs(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id
     return both.select("id_a", "id_b", "est_jaccard", jac("txt_a", "txt_b").alias("jaccard"))
 
 
+def cluster_duplicates(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
+                       edge_limit: int = 1_000_000) -> DataFrame:
+    """Near-dup pairs -> (id, cluster) connected components.
+
+    A real dedup pipeline keeps ONE doc per duplicate CLUSTER, not per
+    pair — pairs (a,b),(b,c) must collapse to one keeper even though
+    (a,c) was never emitted. Components resolve through the shared
+    two-level machinery (driver union-find under ``edge_limit``,
+    distributed min-label propagation above it); cluster id = min doc
+    id in the component. Only ids that appear in a pair are returned.
+    """
+    from .distccl import resolve_components
+
+    edges = pairs.select(F.lit("g").alias("g"), F.col(id_a).cast("long").alias("la"),
+                         F.col(id_b).cast("long").alias("lb"))
+    remap = resolve_components(edges, ["g"], edge_limit)
+    members = (
+        pairs.select(F.col(id_a).cast("long").alias("id"))
+        .unionByName(pairs.select(F.col(id_b).cast("long").alias("id")))
+        .distinct()
+    )
+    if remap is None:
+        return members.withColumn("cluster", F.col("id"))
+    return (
+        members.join(remap.select(F.col("glabel").alias("id"), "component"), "id", "left")
+        .select("id", F.coalesce("component", "id").alias("cluster"))
+    )
+
+
+def keep_canonical(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
+                   edge_limit: int = 1_000_000) -> DataFrame:
+    """Drop every duplicate except the min-id doc of each cluster — the
+    keeper-selection step after any candidate generator (exact groupBy,
+    MinHash-LSH, SimHash). Docs in no pair pass through untouched."""
+    clusters = cluster_duplicates(pairs, edge_limit=edge_limit)
+    losers = clusters.filter(F.col("id") != F.col("cluster")).select(
+        F.col("id").alias(id_col)
+    )
+    return docs.join(losers, id_col, "left_anti")
+
+
 def simhash64(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
               shingle_k: int = 5) -> DataFrame:
     """64-bit SimHash over shingle hashes -> (id, simhash)."""

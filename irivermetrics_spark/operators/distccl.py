@@ -103,6 +103,52 @@ def _minlabel_propagation(edges: DataFrame, key_cols: list[str], max_iters: int 
     return comp.select(*key_cols, F.col("node").alias("glabel"), "component")
 
 
+def resolve_components(edges: DataFrame, key_cols: list[str],
+                       edge_limit: int = 1_000_000) -> DataFrame | list:
+    """Shared equivalence resolution over a (keys..., la, lb) edge list.
+
+    Returns a (keys..., glabel, component) DataFrame. Small graphs
+    (<= edge_limit edges) resolve with a driver union-find; larger ones
+    switch to the distributed min-label propagation. Used by the
+    cross-tile CCL stitch AND the dedup pair-clustering operator."""
+    edges = edges.persist()
+    n_edges = edges.count()
+    if n_edges > edge_limit:
+        out = _minlabel_propagation(edges, key_cols)
+        edges.unpersist()  # sym/comp are checkpointed; edges is done
+        return out
+
+    edge_rows = edges.collect()
+    edges.unpersist()
+    parent: dict = {}
+
+    def find(a):
+        root = a
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(a, a) != root:
+            parent[a], a = root, parent.get(a, a)
+        return root
+
+    for r in edge_rows:
+        key = tuple(r[k] for k in key_cols)
+        a, b = (key, r["la"]), (key, r["lb"])
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if ra < rb:
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+
+    remap = [(*k[0], int(k[1]), int(find(k)[1])) for k in list(parent.keys())]
+    if not remap:
+        return None
+    # driver-path remap fit in driver memory by construction -> safe to
+    # broadcast-hint regardless of Catalyst's size estimate (the
+    # distributed path above returns an unhinted frame on purpose)
+    return F.broadcast(edges.sparkSession.createDataFrame(remap, [*key_cols, "glabel", "component"]))
+
+
 def label_components(points: DataFrame, tile: int = 256,
                      keys: tuple[str, ...] = ("scene", "ds"),
                      edge_limit: int = 1_000_000) -> DataFrame:
@@ -162,45 +208,13 @@ def label_components(points: DataFrame, tile: int = 256,
         .persist()
     )
 
-    n_edges = edges.count()
-    if n_edges > edge_limit:
-        # scale-safe path: fully distributed label-graph resolution
-        remap_df = _minlabel_propagation(edges, key_cols)
+    remap_df = resolve_components(edges, key_cols, edge_limit)
+    if remap_df is None:
+        result = labeled.withColumn("component", F.col("glabel"))
+    else:
+        # no broadcast hint: the driver-path remap is a tiny local list
+        # (auto-broadcast), the distributed-path remap may be huge
         result = labeled.join(remap_df, [*key_cols, "glabel"], "left").withColumn(
             "component", F.coalesce("component", "glabel")
         )
-        return result.select(*key_cols, "px", "py", "component")
-
-    # two-level reduction: union-find over the (small) label graph
-    edge_rows = edges.collect()
-    parent: dict = {}
-
-    def find(a):
-        root = a
-        while parent.get(root, root) != root:
-            root = parent[root]
-        while parent.get(a, a) != root:
-            parent[a], a = root, parent.get(a, a)
-        return root
-
-    for r in edge_rows:
-        key = tuple(r[k] for k in key_cols)
-        a, b = (key, r["la"]), (key, r["lb"])
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            if ra < rb:
-                parent[rb] = ra
-            else:
-                parent[ra] = rb
-
-    remap = [(*k[0], int(k[1]), int(find(k)[1])) for k in list(parent.keys())]
-    if remap:
-        remap_df = points.sparkSession.createDataFrame(
-            remap, [*key_cols, "glabel", "component"]
-        )
-        result = labeled.join(F.broadcast(remap_df), [*key_cols, "glabel"], "left").withColumn(
-            "component", F.coalesce("component", "glabel")
-        )
-    else:
-        result = labeled.withColumn("component", F.col("glabel"))
     return result.select(*key_cols, "px", "py", "component")

@@ -90,21 +90,53 @@ def rings_content_key(reaches: list[dict]) -> str:
 
 
 def corridor_pixel_count(spark: SparkSession, corridor_cover: DataFrame, reaches: list[dict], grid: dict,
-                         res: int = 9) -> int:
+                         res: int = 9, aoi: tuple[list, float] | None = None) -> int:
     """Total corridor pixel count — distributed sum of per-cell universes.
 
-    Memoized per (reaches content hash, grid, res): the count is a
+    Memoized per (reaches content hash, grid, res, aoi): the count is a
     constant of the polygon layer + grid, so reruns (warmup, resumes)
     skip the job.
+
+    ``aoi``: (lines, buffer_m) — count only corridor pixels within the
+    module-1 buffered AOI. The F6 gate on AOI-clipped masks treats
+    corridor pixels OUTSIDE the buffer as invalid (the reference's
+    rio.clip makes them nodata before validation); the caller derives
+    that constant offset as full_count - aoi_count.
     """
-    key = (rings_content_key(reaches), tuple(sorted(grid.items())), res)
+    aoi_key = None
+    if aoi is not None:
+        import hashlib
+
+        h = hashlib.sha1()
+        for lx, ly in aoi[0]:
+            h.update(np.ascontiguousarray(lx, dtype=np.float64).tobytes())
+            h.update(np.ascontiguousarray(ly, dtype=np.float64).tobytes())
+        aoi_key = (h.hexdigest(), float(aoi[1]))
+    key = (rings_content_key(reaches), tuple(sorted(grid.items())), res, aoi_key)
     if key in _CORRIDOR_COUNT_CACHE:
         return _CORRIDOR_COUNT_CACHE[key]
     rings = [(np.asarray(r["ring_x"]), np.asarray(r["ring_y"])) for r in reaches]
+    aoi_lines = None
+    if aoi is not None:
+        aoi_lines = [(np.asarray(lx, dtype=np.float64), np.asarray(ly, dtype=np.float64))
+                     for lx, ly in aoi[0]]
+        aoi_buffer = float(aoi[1])
+    gx0, gy0, ps = grid["gx0"], grid["gy0"], grid["ps"]
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions import geometry
+
         for pdf in batches:
-            counts = [int(_cell_universe(int(c), rings, grid)[0].shape[0]) for c in pdf["cell"]]
+            counts = []
+            for c in pdf["cell"]:
+                ux, uy = _cell_universe(int(c), rings, grid)
+                if aoi_lines is not None and ux.shape[0]:
+                    cxs = gx0 + (ux + 0.5) * ps
+                    cys = gy0 - (uy + 0.5) * ps
+                    keep = geometry.min_dist_to_polylines(cxs, cys, aoi_lines) <= aoi_buffer
+                    counts.append(int(keep.sum()))
+                else:
+                    counts.append(int(ux.shape[0]))
             yield pd.DataFrame({"n": counts})
 
     n = corridor_cover.select("cell").mapInPandas(kernel, "n long").agg(F.sum("n")).collect()[0][0] or 0
@@ -126,13 +158,24 @@ def hex_cell_udf(res: int, grid: dict):
 
 
 def keep_dates_fused(summaries: DataFrame, dates: DataFrame, corridor_total: int,
-                     threshold: float = 0.7) -> DataFrame:
+                     threshold: float = 0.7, invalid_offset: int = 0) -> DataFrame:
     """F6 from decode-fused per-image summary rows (cell = n invalid
-    in corridor): no second pass over the point table."""
-    invalid = summaries.groupBy("scene", "date").agg(F.sum("cell").alias("n_invalid"))
+    in corridor): no second pass over the point table.
+
+    Presence-only summary rows (cell == -1, emitted when module 1 ran
+    without corridor polygons) are excluded from the count.
+
+    ``invalid_offset``: constant per-date invalid pixels added on top —
+    the corridor-outside-AOI pixel count when masks were AOI-clipped
+    (reference semantics: clip first, then validate on the clipped cube,
+    so clipped-away corridor pixels are nodata)."""
+    invalid = (
+        summaries.filter(F.col("cell") >= 0)
+        .groupBy("scene", "date").agg(F.sum("cell").alias("n_invalid"))
+    )
     return (
         dates.join(invalid, ["scene", "date"], "left")
-        .withColumn("n_invalid", F.coalesce("n_invalid", F.lit(0)))
+        .withColumn("n_invalid", F.coalesce("n_invalid", F.lit(0)) + F.lit(int(invalid_offset)))
         .withColumn("ratio", (F.lit(corridor_total) - F.col("n_invalid")) / F.lit(corridor_total))
         .filter(F.col("ratio") >= threshold)
         .select("scene", "date")
@@ -141,18 +184,19 @@ def keep_dates_fused(summaries: DataFrame, dates: DataFrame, corridor_total: int
 
 def keep_dates(points: DataFrame, dates: DataFrame, corridor_cover: DataFrame,
                reaches: list[dict], grid: dict, corridor_total: int,
-               threshold: float = 0.7) -> DataFrame:
+               threshold: float = 0.7, invalid_offset: int = 0) -> DataFrame:
     """F6: (scene, date) rows passing the >= 70 % in-corridor validity bar.
 
     ``dates`` is the full (scene, date) dimension from the image table
     (dates with zero nodata points must survive the left join).
+    ``invalid_offset``: see keep_dates_fused (AOI-clipped masks).
     """
     nodata = points.filter(F.col("value") == -1)
     in_corr = zonal.corridor_join(nodata, corridor_cover, reaches, grid)
     invalid = in_corr.groupBy("scene", "date").agg(F.count("*").alias("n_invalid"))
     return (
         dates.join(invalid, ["scene", "date"], "left")
-        .withColumn("n_invalid", F.coalesce("n_invalid", F.lit(0)))
+        .withColumn("n_invalid", F.coalesce("n_invalid", F.lit(0)) + F.lit(int(invalid_offset)))
         .withColumn("ratio", (F.lit(corridor_total) - F.col("n_invalid")) / F.lit(corridor_total))
         .filter(F.col("ratio") >= threshold)
         .select("scene", "date")

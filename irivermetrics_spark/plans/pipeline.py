@@ -47,6 +47,7 @@ def run(
     checkpoint_dir: str | None = None,
     points: DataFrame | None = None,
     fill_nodata: bool = True,
+    aoi: tuple[list, float] | None = None,
 ) -> dict[str, DataFrame]:
     """Returns the named intermediate + final DataFrames (all lazy except
     the small date-dimension collects).
@@ -58,10 +59,18 @@ def run(
     back, e.g. from ``api.waterdetect_batch``) — module 2 then starts
     from points and never touches image bytes, mirroring the
     reference's two-module split (src/irm_main.py:117: calculate_metrics
-    consumes da_wmask, not imagery). Points may or may not carry the
-    fused per-image summary rows; without them the >= 70 % validity
-    filter falls back to the corridor-join formulation (one extra pass
-    over nodata points only).
+    consumes da_wmask, not imagery). Every mask table carries per-image
+    presence rows, so the (scene, date) dimension is complete even for
+    all-dry images; when those rows lack in-corridor invalid COUNTS
+    (module 1 ran without reaches) the >= 70 % validity filter falls
+    back to the corridor-join formulation (one extra pass over nodata
+    points only).
+
+    aoi: (lines, buffer_m) — REQUIRED when ``points`` came from an
+    AOI-clipped module-1 run and reference clip semantics matter:
+    corridor pixels outside the buffer were clipped away (the reference
+    turns them into nodata before validating), so they count as invalid
+    in the F6 ratio via a constant per-date offset.
     """
     from . import lineage
 
@@ -101,14 +110,23 @@ def run(
             summaries.select("scene", "date")).distinct()
     corridor_cover = zonal.corridor_cover_df(spark, reaches, res)
     corridor_total = fillop.corridor_pixel_count(spark, corridor_cover, reaches, grid, res)
+    invalid_offset = 0
+    if aoi is not None:
+        # AOI-clipped masks: corridor pixels outside the module-1 buffer
+        # were clipped away -> invalid (reference clips, THEN validates)
+        corridor_in_aoi = fillop.corridor_pixel_count(spark, corridor_cover, reaches, grid, res, aoi=aoi)
+        invalid_offset = corridor_total - corridor_in_aoi
 
-    # the decode path always fuses summaries — only probe (one tiny
-    # pushdown scan) when the caller handed us a points table
-    has_summaries = images is not None or summaries.limit(1).count() > 0
-    if has_summaries:
-        kept = fillop.keep_dates_fused(summaries, dates, corridor_total)
+    # the decode path always fuses in-corridor invalid counts — only
+    # probe (one tiny pushdown scan) when the caller handed us a points
+    # table, whose summary rows may be presence-only (cell == -1)
+    has_counts = images is not None or summaries.filter(F.col("cell") >= 0).limit(1).count() > 0
+    if has_counts:
+        kept = fillop.keep_dates_fused(summaries, dates, corridor_total,
+                                       invalid_offset=invalid_offset)
     else:
-        kept = fillop.keep_dates(points, dates, corridor_cover, reaches, grid, corridor_total)
+        kept = fillop.keep_dates(points, dates, corridor_cover, reaches, grid, corridor_total,
+                                 invalid_offset=invalid_offset)
     kept_rows = kept.collect()  # date dimension: small by construction
     kept_map: dict[str, list[str]] = {}
     for r in kept_rows:

@@ -56,15 +56,17 @@ DEDUP_STATE_SCHEMA = T.StructType([T.StructField("seen", T.ArrayType(T.StringTyp
 
 def _dedup_state_fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
     seen = set(state.get[0]) if state.exists else set()
-    for pdf in pdfs:
-        pdf = pdf.sort_values("doc_id")  # deterministic keeper within a batch
-        fresh_rows = []
-        for doc_id, md5 in zip(pdf["doc_id"], pdf["text_md5"]):
-            if md5 not in seen:
-                seen.add(md5)
-                fresh_rows.append((int(doc_id), md5))
-        if fresh_rows:
-            yield pd.DataFrame(fresh_rows, columns=["doc_id", "text_md5"])
+    # buffer ALL Arrow chunks of the group before choosing keepers — a
+    # group split across chunks would otherwise pick a per-chunk-first
+    # doc_id, making the emitted keeper depend on Arrow batch sizing
+    pdf = pd.concat(list(pdfs), ignore_index=True).sort_values("doc_id")
+    fresh_rows = []
+    for doc_id, md5 in zip(pdf["doc_id"], pdf["text_md5"]):
+        if md5 not in seen:
+            seen.add(md5)
+            fresh_rows.append((int(doc_id), md5))
+    if fresh_rows:
+        yield pd.DataFrame(fresh_rows, columns=["doc_id", "text_md5"])
     state.update((sorted(seen),))
 
 

@@ -91,6 +91,10 @@ def test_aoi_buffer_clips_points(spark):
                                   buffer=5 * fx.pixel_size)
     wide = api.waterdetect_batch(spark, images, r_lines=lines, grid=grid,
                                  buffer=60 * fx.pixel_size)
+    from irivermetrics_spark.operators import decode as decode_op
+
+    tight = tight.filter(F.col("value") != decode_op.SUMMARY_MARKER)
+    wide = wide.filter(F.col("value") != decode_op.SUMMARY_MARKER)
     n_tight, n_wide = tight.count(), wide.count()
     assert 0 < n_tight < n_wide
 
@@ -165,6 +169,87 @@ def test_pixel_persistence_export(spark, tmp_path):
     path = str(tmp_path / "pp.parquet")
     exports.write_pixel_persistence(res["persistence_px"], path)
     assert spark.read.parquet(path).count() == len(pp)
+
+
+def test_all_dry_date_survives_points_only_path(spark):
+    """An all-dry valid image emits zero mask points; its (scene, date)
+    must still reach the metrics dimension grid through the points-only
+    module-2 path (presence summary rows), producing the reference's
+    zero-branch row."""
+    fx, grid = _fx()
+    # make the 3rd date all-dry: re-encode bands for an all-zero mask
+    rng = np.random.default_rng(99)
+    dry = synth.bands_for_mask(np.zeros((fx.h, fx.w), dtype=np.int8), rng)
+    pdf = fx.images.copy()
+    idx = pdf.index[2]
+    pdf.loc[idx, "bytes"] = codecs.encode_image(dry)
+    pdf.loc[idx, "phash"] = codecs.phash64(dry)
+    images = pipeline.images_df(spark, pdf)
+
+    # module 1 WITHOUT reaches (presence-only summaries), then module 2
+    masks = api.waterdetect_batch(spark, images, grid=grid)
+    res = api.calculate_metrics(spark, masks, fx.reaches, grid=grid)
+    m = res["metrics"].toPandas()
+    dry_date = pdf.loc[idx, "image_id"].split("_", 1)[1]
+    rows = m[m.date == dry_date]
+    assert len(rows) == len(fx.reaches)  # one zero-branch row per section
+    assert (rows.npools == 0).all() and (rows.wet_area_km2 == 0).all()
+
+
+def test_aoi_clip_f6_counts_clipped_corridor_as_invalid(spark):
+    """Reference semantics: clip first, validate after — corridor pixels
+    outside the module-1 buffer are nodata in the clipped cube and must
+    count against the >= 70 % gate. Verified against a numpy oracle of
+    the kept-date set."""
+    from irivermetrics_spark.functions import geometry
+
+    fx, grid = _fx()
+    lines = synth.river_lines(fx)
+    buffer_m = 6 * fx.pixel_size  # tight: clips real corridor area
+    images = pipeline.images_df(spark, fx.images)
+
+    masks = api.waterdetect_batch(spark, images, r_lines=lines, grid=grid,
+                                  buffer=buffer_m, reaches=fx.reaches)
+    res = api.calculate_metrics(spark, masks, fx.reaches, grid=grid,
+                                r_lines=lines, buffer=buffer_m)
+    got_kept = set(res["kept_map"].get("scene0", []))
+
+    # numpy oracle over the fixture truth masks
+    xs = fx.px_x(np.arange(fx.w))
+    ys = fx.px_y(np.arange(fx.h))
+    CX, CY = np.meshgrid(xs, ys)
+    corridor = np.zeros((fx.h, fx.w), dtype=bool)
+    for r in fx.reaches:
+        corridor |= geometry.point_in_polygon(
+            CX.ravel(), CY.ravel(), np.asarray(r["ring_x"]), np.asarray(r["ring_y"])
+        ).reshape(fx.h, fx.w)
+    lx, ly = lines[0]["x"], lines[0]["y"]
+    in_aoi = (geometry.min_dist_to_polylines(CX.ravel(), CY.ravel(), [(lx, ly)])
+              <= buffer_m).reshape(fx.h, fx.w)
+    N = int(corridor.sum())
+    offset = int((corridor & ~in_aoi).sum())
+    assert offset > 0  # the tight buffer really clips corridor pixels
+    expect_kept = set()
+    for i, d in enumerate(fx.dates):
+        invalid = int(((fx.masks[0, i] == -1) & corridor & in_aoi).sum()) + offset
+        if (N - invalid) / N >= 0.7:
+            expect_kept.add(d.isoformat())
+    assert got_kept == expect_kept
+    # and the un-clipped run keeps at least as many dates
+    res_unclipped = api.calculate_metrics(spark, masks, fx.reaches, grid=grid)
+    assert set(res_unclipped["kept_map"].get("scene0", [])) >= got_kept
+
+
+def test_minimal_reach_dicts_normalized(spark):
+    """calculate_metrics must accept reach dicts carrying only
+    (section, ring_x, ring_y) — bbox/area are derived."""
+    fx, grid = _fx()
+    minimal = [dict(section=r["section"], ring_x=r["ring_x"], ring_y=r["ring_y"])
+               for r in fx.reaches]
+    images = pipeline.images_df(spark, fx.images)
+    direct = _metrics_pdf(pipeline.run(spark, images, fx.reaches, grid))
+    via_min = _metrics_pdf(api.calculate_metrics(spark, images, minimal, grid=grid))
+    pd.testing.assert_frame_equal(via_min, direct)
 
 
 def test_fill_nodata_false_skips_fill(spark):

@@ -132,6 +132,30 @@ def test_simhash_uncapped_finds_hot_bucket(spark):
     assert len(got) == 15  # all C(6,2) identical pairs
 
 
+# ------------------------------------------------- cluster + keeper
+
+def test_cluster_duplicates_transitive_chain(spark):
+    """(a,b),(b,c),(c,d) must collapse into ONE cluster keyed by min id,
+    on both the driver union-find and the distributed path."""
+    pairs = spark.createDataFrame(
+        pd.DataFrame({"id_a": [10, 20, 30, 77], "id_b": [20, 30, 40, 99]})
+    )
+    for limit in (1_000_000, 0):  # driver path / distributed path
+        got = dedup.cluster_duplicates(pairs, edge_limit=limit).toPandas()
+        m = dict(zip(got.id, got.cluster))
+        assert m == {10: 10, 20: 10, 30: 10, 40: 10, 77: 77, 99: 77}
+
+
+def test_keep_canonical_drops_losers(spark):
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5],
+        "text": ["x", "x", "x", "unique", "also unique"],
+    }))
+    pairs = spark.createDataFrame(pd.DataFrame({"id_a": [1, 2], "id_b": [2, 3]}))
+    kept = dedup.keep_canonical(docs, pairs).toPandas()
+    assert sorted(kept.doc_id) == [1, 4, 5]
+
+
 # ------------------------------------------------- srp-lsh defaults
 
 def test_neardup_finds_exact_copies_at_scale_defaults(spark):
