@@ -738,6 +738,17 @@ def _q_ann_ivf(spark, sf):
     return ivf.ivf_topk(em, q, C, k=5, nprobe=4)
 
 
+def _q_ann_pq(spark, sf):
+    """Product-quantization ANN (ADC + exact rerank) — the memory-bound
+    scale path next to SRP-LSH and IVF."""
+    from irivermetrics_spark.operators import pq
+
+    em = _t(spark, sf, "embeddings")
+    books = pq.train_pq(em, m=8, k=64, sample=1024, iters=6)
+    q = em.filter(F.col("vec_id") < 3)
+    return pq.pq_topk(em, q, books, topk=5, shortlist=6)
+
+
 def _q_multimodal_stats(spark, sf):
     """Opaque-binary multimodal column handling: decode + per-image
     feature extraction inside mapInPandas (schema/plumbing real; heavy
@@ -823,6 +834,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dist_ccl": _q_dist_ccl,
         "emb_neardup": _q_emb_neardup,
         "ann_ivf": _q_ann_ivf,
+        "ann_pq": _q_ann_pq,
         "multimodal_resize": _q_multimodal_resize,
         "multimodal_frames": _q_multimodal_frames,
     }

@@ -1,0 +1,162 @@
+"""Product-quantization ANN (Jégou et al., PAMI 2011) over embeddings.
+
+The third scale path next to SRP-LSH (similarity.py) and IVF (ivf.py):
+at 10^9+ vectors the dominant cost is MEMORY — raw float32x128 is
+512 B/vector; PQ stores m single-byte codes (m=8 -> 64x compression),
+and queries score candidates with an asymmetric-distance lookup table
+(ADC) instead of full dot products.
+
+Spark shape:
+1. **train** (driver): per-subspace k-means codebooks from a sampled
+   fraction — the model is (m, k, dsub) floats, tiny; broadcast.
+2. **encode** (one pass, vectorized pandas UDF): vector -> m uint8
+   codes; the encoded table is the only thing kept at scale.
+3. **search**: per query, an (m, k) table of partial squared distances
+   to every codebook entry; candidate score = m table lookups
+   (numpy fancy-indexing over the whole Arrow batch at once). A PQ
+   shortlist (``shortlist`` x k) is exactly re-ranked by cosine
+   against the raw vectors of just those candidates — the standard
+   ADC + rerank recipe.
+
+All vectors are L2-normalized before training/encoding, so squared L2
+order == cosine order (||a-b||^2 = 2 - 2cos on the unit sphere).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .similarity import cosine_expr
+
+
+def _normalize(X: np.ndarray) -> np.ndarray:
+    return X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+
+
+def _kmeans(X: np.ndarray, k: int, iters: int, rng: np.random.Generator) -> np.ndarray:
+    k = min(k, X.shape[0])
+    cents = X[rng.choice(X.shape[0], size=k, replace=False)]
+    for _ in range(iters):
+        d2 = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = np.argmin(d2, axis=1)
+        for j in range(k):
+            members = X[assign == j]
+            if members.shape[0]:
+                cents[j] = members.mean(axis=0)
+    return cents
+
+
+def train_pq(embeddings: DataFrame, m: int = 8, k: int = 256, sample: int = 4096,
+             iters: int = 8, seed: int = 17, vec_col: str = "embedding",
+             total: int | None = None) -> np.ndarray:
+    """Per-subspace codebooks, shape (m, k, dim/m). Sampled like
+    ivf.train_centroids (fraction scan, never a full sort)."""
+    if total is None:
+        total = embeddings.count()
+    frac = min(1.0, 3.0 * sample / max(total, 1))
+    pdf = embeddings.select(vec_col).sample(fraction=frac, seed=seed).limit(sample).toPandas()
+    X = _normalize(np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]))
+    dim = X.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    rng = np.random.default_rng(seed)
+    books = np.stack([
+        _kmeans(X[:, j * dsub:(j + 1) * dsub].copy(), k, iters, rng) for j in range(m)
+    ])
+    if books.shape[1] < k:
+        # tiny corpus: pad duplicate rows so the (m, k, dsub) shape holds
+        pad = np.repeat(books[:, :1, :], k - books.shape[1], axis=1)
+        books = np.concatenate([books, pad], axis=1)
+    return books
+
+
+def pq_encode(embeddings: DataFrame, books: np.ndarray, id_col: str = "vec_id",
+              vec_col: str = "embedding") -> DataFrame:
+    """(id, codes array<int>) — m nearest-codeword ids per vector."""
+    m, k, dsub = books.shape
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def enc(vecs: pd.Series) -> pd.Series:
+        X = _normalize(np.stack([np.asarray(v, dtype=np.float64) for v in vecs]))
+        codes = np.empty((X.shape[0], m), dtype=np.int32)
+        for j in range(m):
+            sub = X[:, j * dsub:(j + 1) * dsub]
+            d2 = ((sub[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+            codes[:, j] = np.argmin(d2, axis=1)
+        return pd.Series([row.tolist() for row in codes])
+
+    return embeddings.select(F.col(id_col).alias("id"), enc(vec_col).alias("codes"))
+
+
+def pq_topk(embeddings: DataFrame, queries: DataFrame, books: np.ndarray, topk: int = 5,
+            shortlist: int = 4, id_col: str = "vec_id", vec_col: str = "embedding",
+            encoded: DataFrame | None = None) -> DataFrame:
+    """ADC search + exact rerank: (query_id, neighbor_id, cosine, rank).
+
+    ``encoded``: pass a persisted pq_encode output to amortize encoding
+    across queries/calls (at scale the encoded table IS the index).
+    ``shortlist``: ADC shortlist size as a multiple of ``topk`` before
+    the exact rerank joins back the raw vectors of just the shortlist.
+    """
+    m, k, dsub = books.shape
+    if encoded is None:
+        encoded = pq_encode(embeddings, books, id_col, vec_col)
+    q_rows = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")).collect()
+    if not q_rows:
+        raise ValueError("empty query set")
+    qids = np.array([r["query_id"] for r in q_rows])
+    Q = _normalize(np.stack([np.asarray(r["qvec"], dtype=np.float64) for r in q_rows]))
+    # per-query (m, k) partial squared-distance tables
+    luts = np.stack([
+        np.stack([((books[j] - q[j * dsub:(j + 1) * dsub]) ** 2).sum(axis=1) for j in range(m)])
+        for q in Q
+    ])  # (nq, m, k)
+    n_short = shortlist * topk
+
+    out_schema = "query_id long, id long, adist double"
+
+    def score(batches):
+        cols = np.arange(m)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            codes = np.stack([np.asarray(c, dtype=np.int64) for c in pdf["codes"]])  # (n, m)
+            ids = pdf["id"].to_numpy()
+            outs = []
+            for qi in range(luts.shape[0]):
+                d = luts[qi][cols[None, :], codes].sum(axis=1)  # ADC: m lookups/row
+                keep = np.argsort(d)[: n_short]  # per-partition shortlist
+                outs.append(pd.DataFrame({
+                    "query_id": np.int64(qids[qi]),
+                    "id": ids[keep].astype(np.int64),
+                    "adist": d[keep],
+                }))
+            yield pd.concat(outs, ignore_index=True)
+
+    scored = encoded.mapInPandas(score, out_schema)
+    w_short = Window.partitionBy("query_id").orderBy(F.asc("adist"), F.asc("id"))
+    short = (
+        scored.withColumn("srank", F.row_number().over(w_short))
+        .where(F.col("srank") <= n_short)
+        .drop("srank", "adist")
+    )
+    # exact rerank on the shortlist only
+    base = embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("nvec"))
+    qdf = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+    rer = (
+        short.join(base, "id")
+        .join(F.broadcast(qdf), "query_id")
+        .where(F.col("id") != F.col("query_id"))
+        .withColumn("cosine", cosine_expr("qvec", "nvec"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("id"))
+    return (
+        rer.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= topk)
+        .select("query_id", F.col("id").alias("neighbor_id"), "cosine", "rank")
+    )

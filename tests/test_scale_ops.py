@@ -98,6 +98,44 @@ def test_lsh_ann_recall_vs_brute(spark):
     assert recall_hits / 25 >= 0.6  # clustered data, generous LSH params
 
 
+def test_pq_ann_recall_vs_brute(spark):
+    from irivermetrics_spark.operators import pq
+
+    rng = np.random.default_rng(14)
+    centers = rng.standard_normal((6, 32))
+    vecs = np.concatenate([c + 0.12 * rng.standard_normal((30, 32)) for c in centers])
+    pdf = pd.DataFrame({"vec_id": np.arange(len(vecs)),
+                        "embedding": [v.astype(np.float32).tolist() for v in vecs]})
+    em = spark.createDataFrame(pdf)
+    q = em.filter(F.col("vec_id") < 5)
+    books = pq.train_pq(em, m=8, k=32, sample=256, iters=6)
+    assert books.shape == (8, 32, 4)
+    brute = similarity.brute_topk(em, q, k=5).toPandas()
+    approx = pq.pq_topk(em, q, books, topk=5, shortlist=6).toPandas()
+    hits = 0
+    for qid in range(5):
+        b = set(brute[brute.query_id == qid].neighbor_id)
+        a = set(approx[approx.query_id == qid].neighbor_id)
+        hits += len(a & b)
+    assert hits / 25 >= 0.8  # ADC shortlist + exact rerank
+
+
+def test_pq_encode_shape_and_determinism(spark):
+    from irivermetrics_spark.operators import pq
+
+    rng = np.random.default_rng(15)
+    vecs = rng.standard_normal((40, 16))
+    pdf = pd.DataFrame({"vec_id": np.arange(40),
+                        "embedding": [v.astype(np.float32).tolist() for v in vecs]})
+    em = spark.createDataFrame(pdf)
+    books = pq.train_pq(em, m=4, k=16, sample=64, iters=4)
+    a = pq.pq_encode(em, books).toPandas().sort_values("id").reset_index(drop=True)
+    b = pq.pq_encode(em, books).toPandas().sort_values("id").reset_index(drop=True)
+    assert all(len(c) == 4 for c in a.codes)
+    assert [list(c) for c in a.codes] == [list(c) for c in b.codes]
+    assert all(0 <= v < 16 for c in a.codes for v in c)
+
+
 def test_ivf_ann_recall_vs_brute(spark):
     from irivermetrics_spark.operators import ivf
 
