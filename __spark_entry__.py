@@ -361,6 +361,26 @@ def _q_dedup_clusters(spark, sf):
                            F.col("cluster").cast("bigint").alias("cluster"))
 
 
+def _q_dedup_pipeline(spark, sf):
+    """The full near-dup pipeline composed end-to-end: MinHash-LSH
+    candidates -> exact-Jaccard verify -> transitive clustering ->
+    min-id keeper -> surviving docs per lang. The shape a real corpus
+    dedup job runs (candidates never all-pairs, keeper per CLUSTER)."""
+    from irivermetrics_spark.operators import dedup
+
+    d = _t(spark, sf, "documents").select("doc_id", "text", "lang")
+    dup = (
+        d.filter(F.col("doc_id") % 11 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 3000000)
+        .withColumn("text", F.concat(F.col("text"), F.lit(" tiny suffix")))
+    )
+    u = d.unionByName(dup)
+    cand = dedup.lsh_candidates(u, "doc_id", "text")
+    pairs = dedup.exact_jaccard_pairs(u, cand, "doc_id", "text").filter(F.col("jaccard") >= 0.8)
+    kept = dedup.keep_canonical(u, pairs)
+    return kept.groupBy("lang").agg(F.count("*").cast("bigint").alias("n_kept_docs"))
+
+
 def _q_text_quality(spark, sf):  # token counts + quality features
     from irivermetrics_spark.operators import textops
 
@@ -807,6 +827,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p13_salted_agg": _q_p13_salted_agg,
         "dedup_exact": _q_dedup_exact,
         "dedup_clusters": _q_dedup_clusters,
+        "dedup_pipeline": _q_dedup_pipeline,
         "text_quality": _q_text_quality,
         "text_langid": _q_text_langid,
         "text_tokens_bpe": _q_text_tokens_bpe,
