@@ -506,6 +506,63 @@ def _q_tile_assign_oracle(spark, sf):
     )
 
 
+def _q_quad_assign_oracle(spark, sf):
+    """Exact S2-style quadtree (Morton) tile assignment, DuckDB-oracle-
+    checked: the engine's bit-interleave cell id (cellindex.quad_cell)
+    re-derived in SQL as a per-bit sum — the second cell family the
+    north rule names (H3 AND S2)."""
+    import pandas as pd
+
+    from irivermetrics_spark.functions import cellindex
+
+    e = _t(spark, sf, "events").filter(F.col("value").isNotNull())
+    pts = e.select(
+        (F.col("value") * 1000.0).alias("x"),
+        ((F.col("event_id") % 1000) * 977.0).alias("y"),
+    )
+
+    def _cell(x, y):
+        return pd.Series(cellindex.quad_cell(x.to_numpy(), y.to_numpy(), 20))
+
+    cell20 = F.pandas_udf(_cell, "long")
+    return (
+        pts.withColumn("cell", cell20("x", "y"))
+        .groupBy("cell")
+        .agg(F.count("*").cast("bigint").alias("n_points"),
+             F.round(F.sum("x"), 4).alias("sum_x"))
+    )
+
+
+def _quad_oracle_sql(level: int = 20) -> str:
+    morton = " + ".join(
+        f"(((xi >> {b}) & 1) * {1 << (2 * b)}) + (((yi >> {b}) & 1) * {1 << (2 * b + 1)})"
+        for b in range(level)
+    )
+    n = 1 << level
+    return f"""
+        WITH pts AS (
+          SELECT value * 1000.0 AS x, (event_id % 1000) * 977.0 AS y
+          FROM events WHERE value IS NOT NULL
+        ), ij AS (
+          -- world box (-2e7, -2e7, extent 4e7); trunc == floor for the
+          -- positive offsets here (numpy astype truncates)
+          SELECT x,
+                 LEAST(GREATEST(CAST(trunc((x - (-2.0e7)) / 4.0e7 * {n}) AS BIGINT), 0), {n - 1}) AS xi,
+                 LEAST(GREATEST(CAST(trunc((y - (-2.0e7)) / 4.0e7 * {n}) AS BIGINT), 0), {n - 1}) AS yi
+          FROM pts
+        ), packed AS (
+          -- kind=1 << 61 | level << 56 | morton(xi, yi)
+          SELECT x, CAST(2305843009213693952 AS BIGINT)
+                   + CAST({level} AS BIGINT) * 72057594037927936
+                   + ({morton}) AS cell
+          FROM ij
+        )
+        SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_points,
+               ROUND(SUM(x), 4) AS sum_x
+        FROM packed GROUP BY cell
+    """
+
+
 PIP_RING_X = [0.3, 120.4, 60.1, 110.7, 5.2]
 PIP_RING_Y = [0.7, 10.2, 55.3, 95.9, 80.1]
 
@@ -838,6 +895,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zonal_join_rows": _q_zonal_join_rows,
         "tile_assign": _q_tile_assign,
         "tile_assign_oracle": _q_tile_assign_oracle,
+        "quad_assign_oracle": _q_quad_assign_oracle,
         "pip_oracle": _q_pip_oracle,
         "haversine_oracle": _q_haversine_oracle,
         "pathlen_oracle": _q_pathlen_oracle,
@@ -1124,6 +1182,7 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(SUM(x), 4) AS sum_x
             FROM packed GROUP BY cell
         """,
+        "quad_assign_oracle": _quad_oracle_sql(20),
         "pathlen_oracle": """
             WITH per AS (
               SELECT user_id, list(value ORDER BY ts, event_id, value) AS a
