@@ -365,18 +365,28 @@ def _q_dedup_pipeline(spark, sf):
     """The full near-dup pipeline composed end-to-end: MinHash-LSH
     candidates -> exact-Jaccard verify -> transitive clustering ->
     min-id keeper -> surviving docs per lang. The shape a real corpus
-    dedup job runs (candidates never all-pairs, keeper per CLUSTER)."""
+    dedup job runs (candidates never all-pairs, keeper per CLUSTER).
+
+    DuckDB-value-pinned via exact-copy salt: verified pairs are
+    filtered to normalized-identical texts (see _norm_md5 — jaccard
+    alone is not cross-engine computable), so the keeper census per
+    lang equals the SQL min-id-per-normalized-md5-group census. The
+    clustering/keeper machinery is the same distccl-backed resolver
+    the dedup_clusters entry value-pins on chained pairs."""
     from irivermetrics_spark.operators import dedup
 
     d = _t(spark, sf, "documents").select("doc_id", "text", "lang")
-    dup = (
-        d.filter(F.col("doc_id") % 11 == 0)
-        .withColumn("doc_id", F.col("doc_id") + 3000000)
-        .withColumn("text", F.concat(F.col("text"), F.lit(" tiny suffix")))
-    )
+    dup = d.filter(F.col("doc_id") % 11 == 0).withColumn("doc_id", F.col("doc_id") + 3000000)
     u = d.unionByName(dup)
     cand = dedup.lsh_candidates(u, "doc_id", "text")
-    pairs = dedup.exact_jaccard_pairs(u, cand, "doc_id", "text").filter(F.col("jaccard") >= 0.8)
+    verified = dedup.exact_jaccard_pairs(u, cand, "doc_id", "text").filter(F.col("jaccard") >= 1.0)
+    norm = u.select(F.col("doc_id"), _norm_md5(F.col("text")).alias("h"))
+    pairs = (
+        verified.join(norm.select(F.col("doc_id").alias("id_a"), F.col("h").alias("ha")), "id_a")
+        .join(norm.select(F.col("doc_id").alias("id_b"), F.col("h").alias("hb")), "id_b")
+        .filter(F.col("ha") == F.col("hb"))
+        .select("id_a", "id_b")
+    )
     kept = dedup.keep_canonical(u, pairs)
     return kept.groupBy("lang").agg(F.count("*").cast("bigint").alias("n_kept_docs"))
 
@@ -463,18 +473,6 @@ def _q_flagship_metrics(spark, sf):
 
 def _q_zonal_join_rows(spark, sf):
     return _pipeline_result(spark)["water_joined"].select("ds", "section", "px", "py", "cell")
-
-
-def _q_tile_assign(spark, sf):
-    from irivermetrics_spark.operators import fillop
-
-    fx = _fixture()
-    grid = dict(gx0=fx.gx0, gy0=fx.gy0, ps=fx.pixel_size, w=fx.w, h=fx.h)
-    pts = _pipeline_result(spark)["water_joined"].select("px", "py").distinct()
-    out = pts
-    for res in (7, 9, 11):
-        out = out.withColumn(f"cell_r{res}", fillop.hex_cell_udf(res, grid)("px", "py"))
-    return out
 
 
 def _q_tile_assign_oracle(spark, sf):
@@ -655,49 +653,135 @@ def _q_pathlen_oracle(spark, sf):
     )
 
 
-def _q_pixel_persistence(spark, sf):
-    return _pipeline_result(spark)["persistence"]
-
-
 def _q_pixel_persistence_px(spark, sf):
-    """K2: the per-pixel persistence table (the reference's
-    Pixel_Persistence.tif, src/irm_main.py:228-233)."""
-    return _pipeline_result(spark)["persistence_px"].select(
-        "scene", "section", "px", "py", F.round("pp", 6).alias("pp")
+    """K2 per-pixel persistence (the reference's Pixel_Persistence.tif,
+    src/irm_main.py:228-233), DuckDB-value-pinned on a deterministic
+    generated wet-point set: pp = wet-date-count / n_kept_dates through
+    the REAL operator (metrics.pixel_persistence_px — groupBy + n_dates
+    broadcast dim join). The full image-pipeline variant stays parity-
+    pytested (tests/test_pipeline_parity.py); n_kept=7 keeps every
+    rounded 6-dp value away from cross-engine rounding boundaries
+    (k/7 repeats 142857 — never ...5 exactly at the 6th place)."""
+    from irivermetrics_spark.operators import metrics
+
+    e = _t(spark, sf, "events")
+    wet = e.select(
+        F.lit("s").alias("scene"),
+        F.concat(F.lit("sec"), (F.col("event_id") % 3).cast("string")).alias("section"),
+        (F.col("event_id") % 23).cast("int").alias("px"),
+        (F.col("event_id") % 19).cast("int").alias("py"),
+        F.concat(F.lit("d"), (F.col("event_id") % 7).cast("string")).alias("ds"),
+    ).distinct()
+    pp = metrics.pixel_persistence_px(wet, {"s": 7})
+    return pp.select(
+        "scene", "section",
+        F.col("px").cast("bigint").alias("px"),
+        F.col("py").cast("bigint").alias("py"),
+        F.col("wet").cast("bigint").alias("wet"),
+        F.round("pp", 6).alias("pp"),
     )
 
 
 def _q_knn_pools(spark, sf):
+    """J7 kNN pools (k-ring candidate expansion + haversine re-rank),
+    DuckDB-value-pinned on a deterministic generated centroid set: the
+    point extent (~2.7 km) fits inside a ring_k=3 res-7 k-ring
+    (3*sqrt(3)*1000 m), so the hex-bucketed candidate join provably
+    covers the true top-k and the re-rank must equal the SQL brute
+    cross-join ranking (haversine re-derived in SQL trig, same formula
+    haversine_oracle pins). The real-pipeline pool variant stays
+    brute-oracle pytested (tests/test_knn.py)."""
     from irivermetrics_spark.operators import knn
 
-    res = _pipeline_result(spark)
-    cents = knn.pool_centroids(res["pools"])
-    return knn.knn_pools(cents, k=3)
+    e = _t(spark, sf, "events").filter(F.col("event_id") % 100 == 0)
+    cents = e.select(
+        F.lit("s").alias("scene"),
+        F.lit("d").alias("ds"),
+        F.lit("p").alias("section"),
+        F.col("event_id").alias("label"),
+        ((F.col("event_id") % 37) * 53.0).alias("x"),
+        ((F.col("event_id") % 41) * 47.0).alias("y"),
+    )
+    out = knn.knn_pools(cents, k=3, res=7, ring_k=3, round_to=4)
+    return out.select(
+        "query_id", "neighbor_id",
+        F.col("dist_m"),
+        F.col("rank").cast("bigint").alias("rank"),
+    )
+
+
+def _norm_md5(col):
+    """md5 of the shingle normalization (lowercase + whitespace
+    collapse, dedup._shingles semantics) — the cross-engine duplicate
+    identity used by the value-pinned dedup oracles. NOTE: jaccard==1.0
+    alone is NOT this identity: the synthetic corpus contains pairs
+    with different texts but identical 5-gram shingle SETS (repeated
+    word soup), which DuckDB can't recompute — so the oracle-checked
+    entries pin on normalized-text equality and require the LSH path
+    to have surfaced those pairs."""
+    return F.md5(F.lower(F.regexp_replace(F.trim(col), r"\s+", " ")))
 
 
 def _q_dedup_minhash(spark, sf):
+    """MinHash-LSH recall on salted duplicates, DuckDB-value-pinned:
+    every exact copy (incl. an UPPERCASED copy — pins the shingle
+    normalization) MUST surface through signatures -> banding ->
+    bucket join -> exact-Jaccard verify with est_jaccard == jaccard
+    == 1.0. Identical shingle sets give identical signatures, so the
+    banded join is guaranteed-recall for this class; the oracle is the
+    normalized-md5 self-join."""
     from irivermetrics_spark.operators import dedup
 
-    d = _t(spark, sf, "documents")
-    cand = dedup.lsh_candidates(d, "doc_id", "text")
-    return dedup.exact_jaccard_pairs(d, cand).filter(F.col("jaccard") >= 0.5)
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    dup1 = d.filter(F.col("doc_id") % 17 == 0).withColumn("doc_id", F.col("doc_id") + 1000000)
+    dup2 = (
+        d.filter(F.col("doc_id") % 23 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 2000000)
+        .withColumn("text", F.upper("text"))
+    )
+    u = d.unionByName(dup1).unionByName(dup2)
+    cand = dedup.lsh_candidates(u, "doc_id", "text")
+    pairs = dedup.exact_jaccard_pairs(u, cand, "doc_id", "text")
+    norm = u.select(F.col("doc_id"), _norm_md5(F.col("text")).alias("h"))
+    return (
+        pairs.join(norm.select(F.col("doc_id").alias("id_a"), F.col("h").alias("ha")), "id_a")
+        .join(norm.select(F.col("doc_id").alias("id_b"), F.col("h").alias("hb")), "id_b")
+        .filter((F.col("jaccard") >= 1.0) & (F.col("ha") == F.col("hb")))
+        .select(
+            F.col("id_a").cast("bigint").alias("id_a"),
+            F.col("id_b").cast("bigint").alias("id_b"),
+            F.round("est_jaccard", 6).alias("est_jaccard"),
+            F.round("jaccard", 6).alias("jaccard"),
+        )
+    )
 
 
 def _q_dedup_simhash(spark, sf):
+    """SimHash pigeonhole recall on salted duplicates, DuckDB-value-
+    pinned: identical normalized texts have identical 64-bit simhash,
+    so every salted copy MUST surface at hamming 0 through the block
+    combo join. (Near-identical raw pairs can also collide at hamming
+    0 — the normalized-md5 equality filter keeps the comparison set
+    cross-engine computable; the full candidate list at hamming<=3
+    stays pytest-covered.)"""
     from irivermetrics_spark.operators import dedup
 
-    d = _t(spark, sf, "documents")
-    return dedup.simhash_candidates(d, "doc_id", "text", max_hamming=3)
-
-
-def _q_ann_lsh(spark, sf):
-    from irivermetrics_spark.operators import similarity
-
-    em = _t(spark, sf, "embeddings")
-    q = em.filter(F.col("vec_id") < 3)
-    # n_bits=8 for the tiny sf corpus (the 16-bit scale default would
-    # leave most buckets singleton here and collapse recall)
-    return similarity.lsh_topk(em, q, k=5, n_bits=8)
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    dup = d.filter(F.col("doc_id") % 19 == 0).withColumn("doc_id", F.col("doc_id") + 4000000)
+    u = d.unionByName(dup)
+    cand = dedup.simhash_candidates(u, "doc_id", "text", max_hamming=3)
+    norm = u.select(F.col("doc_id"), _norm_md5(F.col("text")).alias("h"))
+    return (
+        cand.filter(F.col("hamming") == 0)
+        .join(norm.select(F.col("doc_id").alias("id_a"), F.col("h").alias("ha")), "id_a")
+        .join(norm.select(F.col("doc_id").alias("id_b"), F.col("h").alias("hb")), "id_b")
+        .filter(F.col("ha") == F.col("hb"))
+        .select(
+            F.col("id_a").cast("bigint").alias("id_a"),
+            F.col("id_b").cast("bigint").alias("id_b"),
+            F.col("hamming").cast("bigint").alias("hamming"),
+        )
+    )
 
 
 def _q_text_fingerprint(spark, sf):
@@ -729,29 +813,35 @@ def _geom_csv(col: str):
     return F.concat_ws(",", F.transform(col, lambda v: F.format_string("%.4f", v)))
 
 
-def _q_export_polygons(spark, sf):
-    p = _pipeline_result(spark)["polygons"]
-    return p.select(
-        "scene", "Date", "Section", "Type",
-        F.round("area_m2", 4).alias("area_m2"),
-        F.round("area_km2", 8).alias("area_km2"),
-        _geom_csv("ring_x").alias("ring_x_csv"),
-        _geom_csv("ring_y").alias("ring_y_csv"),
+def _q_export_vectors(spark, sf):
+    """K4/M8/M10 vector sinks in one surface: polygons + centerlines +
+    start/end/mid points unioned on a common (kind, scene, date,
+    section, label, value, gx_csv, gy_csv) projection. Each shape
+    family is numpy-parity pytested (tests/test_exports_spark.py); one
+    entry keeps all three inside the driver's 50-entry check window."""
+    res = _pipeline_result(spark)
+    poly = res["polygons"].select(
+        F.lit("polygon").alias("kind"), "scene",
+        F.col("Date").alias("date"), F.col("Section").alias("section"),
+        F.col("Type").alias("label"),
+        F.round("area_m2", 4).alias("value"),
+        _geom_csv("ring_x").alias("gx_csv"), _geom_csv("ring_y").alias("gy_csv"),
     )
-
-
-def _q_export_lines(spark, sf):
-    ln = _pipeline_result(spark)["lines"]
-    return ln.select(
-        "scene", "date", "section", "label",
-        F.round("length_km", 6).alias("length_km"),
-        _geom_csv("line_x").alias("line_x_csv"),
-        _geom_csv("line_y").alias("line_y_csv"),
+    line = res["lines"].select(
+        F.lit("line").alias("kind"), "scene", "date", "section",
+        F.col("label").cast("string").alias("label"),
+        F.round("length_km", 6).alias("value"),
+        _geom_csv("line_x").alias("gx_csv"), _geom_csv("line_y").alias("gy_csv"),
     )
-
-
-def _q_export_points(spark, sf):
-    return _pipeline_result(spark)["points"]
+    pt = res["points"].select(
+        F.lit("point").alias("kind"), "scene",
+        F.col("Date").alias("date"), "section",
+        F.concat_ws("/", F.col("line").cast("string"), "Type").alias("label"),
+        F.round("x", 4).alias("value"),
+        F.format_string("%.4f", "x").alias("gx_csv"),
+        F.format_string("%.4f", "y").alias("gy_csv"),
+    )
+    return poly.unionByName(line).unionByName(pt)
 
 
 def _q_dist_ccl(spark, sf):
@@ -775,44 +865,73 @@ def _q_emb_neardup(spark, sf):
     em = _t(spark, sf, "embeddings")
     dup = em.filter(F.col("vec_id") < 8).withColumn("vec_id", F.col("vec_id") + 1000000)
     u = em.unionByName(dup)
-    return similarity.cosine_neardup_pairs(u, threshold=0.95)
+    # round_to=6 pins the value cross-engine; identical vectors collide
+    # in every SRP bucket so LSH recall is guaranteed for this class,
+    # and the corpus max off-diagonal cosine (~0.51 at small sf) keeps
+    # the 0.95 threshold unambiguous — the DuckDB brute-force pair scan
+    # must find exactly the salted pairs
+    return similarity.cosine_neardup_pairs(u, threshold=0.95, round_to=6).select(
+        F.col("id_a").cast("bigint").alias("id_a"),
+        F.col("id_b").cast("bigint").alias("id_b"),
+        F.col("cosine"),
+    )
 
 
-def _q_multimodal_resize(spark, sf):
-    """Opaque-binary resize: decode -> block-mean downsample -> re-encode."""
+def _q_multimodal_transform(spark, sf):
+    """Multimodal opaque-binary transforms in one surface: image resize
+    (decode -> block-mean downsample -> re-encode) + video frame
+    sampling (every 4th frame exploded to image rows), unioned on a
+    common (kind, item_id, idx, w, h, n_bytes) projection. Both kernels
+    are pytest-covered (tests/test_multimodal.py); one entry keeps both
+    inside the driver's 50-entry check window."""
+    import numpy as np
+    import pandas as pd
+
     from irivermetrics_spark.operators import multimodal
     from irivermetrics_spark.plans import pipeline
 
     fx = _fixture()
     images = pipeline.images_df(spark, fx.images).select("image_id", "bytes", "fmt")
-    out = multimodal.resize_images(images, 40, 20)
-    return out.select("image_id", "w", "h", "fmt", F.length("bytes").cast("bigint").alias("n_bytes"))
-
-
-def _q_multimodal_frames(spark, sf):
-    """Video frame sampling: every 4th frame exploded to image rows."""
-    import numpy as np
-    import pandas as pd
-
-    from irivermetrics_spark.operators import multimodal
-
+    rs = multimodal.resize_images(images, 40, 20).select(
+        F.lit("resize").alias("kind"), F.col("image_id").alias("item_id"),
+        F.lit(0).cast("bigint").alias("idx"),
+        F.col("w").cast("bigint").alias("w"), F.col("h").cast("bigint").alias("h"),
+        F.length("bytes").cast("bigint").alias("n_bytes"),
+    )
     rng = np.random.default_rng(5)
     rows = []
     for v in range(3):
         frames = rng.integers(0, 20000, (10, 4, 8, 12), dtype=np.uint16)
         rows.append(dict(video_id=f"v{v}", bytes=multimodal.encode_video(frames)))
     videos = spark.createDataFrame(pd.DataFrame(rows))
-    return multimodal.frame_sample(videos, every_k=4).select("video_id", "frame_idx", "w", "h")
+    fr = multimodal.frame_sample(videos, every_k=4).select(
+        F.lit("frame").alias("kind"), F.col("video_id").alias("item_id"),
+        F.col("frame_idx").cast("bigint").alias("idx"),
+        F.col("w").cast("bigint").alias("w"), F.col("h").cast("bigint").alias("h"),
+        F.lit(0).cast("bigint").alias("n_bytes"),
+    )
+    return rs.unionByName(fr)
 
 
 def _q_ann_ivf(spark, sf):
-    """IVF coarse-quantizer ANN (the non-LSH scale path)."""
+    """IVF coarse-quantizer ANN (the non-LSH scale path), DuckDB-value-
+    pinned: nprobe == n_lists probes every inverted list, so the
+    assign -> probe -> list equi-join -> exact-cosine re-rank pipeline
+    must return the true top-k (= the SQL brute-force ranking).
+    Approximate-recall behavior at nprobe < n_lists stays pytest-gated
+    (tests vs the brute oracle on clustered data)."""
     from irivermetrics_spark.operators import ivf
 
     em = _t(spark, sf, "embeddings")
     C = ivf.train_centroids(em, n_lists=16, sample=512, iters=6)
-    q = em.filter(F.col("vec_id") < 3)
-    return ivf.ivf_topk(em, q, C, k=5, nprobe=4)
+    q = em.filter(F.col("vec_id") % 100 == 5)
+    out = ivf.ivf_topk(em, q, C, k=5, nprobe=16, round_to=6)
+    return out.select(
+        F.col("query_id").cast("bigint").alias("query_id"),
+        F.col("neighbor_id").cast("bigint").alias("neighbor_id"),
+        F.round("cosine", 4).alias("cosine"),
+        F.col("rank").cast("bigint").alias("rk"),
+    )
 
 
 def _q_image_embed_neardup(spark, sf):
@@ -840,13 +959,27 @@ def _q_image_embed_neardup(spark, sf):
 
 def _q_ann_pq(spark, sf):
     """Product-quantization ANN (ADC + exact rerank) — the memory-bound
-    scale path next to SRP-LSH and IVF."""
+    scale path next to SRP-LSH and IVF. DuckDB-value-pinned: with a
+    generous ADC shortlist (20x topk over the small-sf corpus) the
+    exact rerank recovers the true top-k, so encode -> broadcast-LUT
+    ADC -> shortlist -> rerank must equal the SQL brute ranking.
+    Tight-shortlist recall stays pytest-gated."""
     from irivermetrics_spark.operators import pq
 
     em = _t(spark, sf, "embeddings")
-    books = pq.train_pq(em, m=8, k=64, sample=1024, iters=6)
-    q = em.filter(F.col("vec_id") < 3)
-    return pq.pq_topk(em, q, books, topk=5, shortlist=6)
+    # m=16 subquantizers: the synthetic embeddings are near-isotropic,
+    # so 8-byte codes rank the true top-5 only into ADC top-~190 at
+    # small sf — 16 bytes puts the worst true-5 ADC rank at <=61 vs a
+    # 120-deep shortlist (measured at sf0.001 and sf0.01)
+    books = pq.train_pq(em, m=16, k=64, sample=1024, iters=6)
+    q = em.filter(F.col("vec_id") % 100 == 7)
+    out = pq.pq_topk(em, q, books, topk=5, shortlist=24, round_to=6)
+    return out.select(
+        F.col("query_id").cast("bigint").alias("query_id"),
+        F.col("neighbor_id").cast("bigint").alias("neighbor_id"),
+        F.round("cosine", 4).alias("cosine"),
+        F.col("rank").cast("bigint").alias("rk"),
+    )
 
 
 def _q_multimodal_stats(spark, sf):
@@ -881,8 +1014,13 @@ def _q_multimodal_stats(spark, sf):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Exactly 50 entries (the driver's CORRECTNESS gate checks the
+    first 50 — r2 shipped 56 and the last 6 got zero verification).
+    All 42 DuckDB-oracle-backed entries come first; the 8 rows-only
+    entries (full-raster/geometry/binary surfaces with no SQL form,
+    each numpy-parity pytested) close the list."""
     return {
-        # relational operators (oracle-checked)
+        # ---- DuckDB-value-pinned (every key has an oracle_sql entry) ----
         "f1_clamp": _q_f1_clamp,
         "f4_range": _q_f4_range,
         "f5_anti": _q_f5_anti,
@@ -908,39 +1046,66 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q_dedup_exact,
         "dedup_clusters": _q_dedup_clusters,
         "dedup_pipeline": _q_dedup_pipeline,
+        "dedup_minhash": _q_dedup_minhash,
+        "dedup_simhash": _q_dedup_simhash,
         "text_quality": _q_text_quality,
         "text_langid": _q_text_langid,
         "text_tokens_bpe": _q_text_tokens_bpe,
         "text_langid_argmax": _q_text_langid_argmax,
         "ann_brute": _q_ann_brute,
-        # engine / spatial / scale ops (rows-only; numpy-oracle-tested)
-        "flagship_metrics": _q_flagship_metrics,
-        "zonal_join_rows": _q_zonal_join_rows,
-        "tile_assign": _q_tile_assign,
+        "ann_ivf": _q_ann_ivf,
+        "ann_pq": _q_ann_pq,
+        "emb_neardup": _q_emb_neardup,
+        "knn_pools": _q_knn_pools,
+        "pixel_persistence_px": _q_pixel_persistence_px,
         "tile_assign_oracle": _q_tile_assign_oracle,
         "quad_assign_oracle": _q_quad_assign_oracle,
         "pip_oracle": _q_pip_oracle,
         "haversine_oracle": _q_haversine_oracle,
         "pathlen_oracle": _q_pathlen_oracle,
-        "pixel_persistence": _q_pixel_persistence,
-        "pixel_persistence_px": _q_pixel_persistence_px,
-        "knn_pools": _q_knn_pools,
-        "dedup_minhash": _q_dedup_minhash,
-        "dedup_simhash": _q_dedup_simhash,
-        "ann_lsh": _q_ann_lsh,
+        # ---- rows-only (no SQL form; numpy-parity pytested) ----
+        "flagship_metrics": _q_flagship_metrics,
+        "zonal_join_rows": _q_zonal_join_rows,
         "text_fingerprint": _q_text_fingerprint,
         "multimodal_stats": _q_multimodal_stats,
-        "export_polygons": _q_export_polygons,
-        "export_lines": _q_export_lines,
-        "export_points": _q_export_points,
-        "dist_ccl": _q_dist_ccl,
-        "emb_neardup": _q_emb_neardup,
-        "ann_ivf": _q_ann_ivf,
-        "ann_pq": _q_ann_pq,
+        "multimodal_transform": _q_multimodal_transform,
         "image_embed_neardup": _q_image_embed_neardup,
-        "multimodal_resize": _q_multimodal_resize,
-        "multimodal_frames": _q_multimodal_frames,
+        "export_vectors": _q_export_vectors,
+        "dist_ccl": _q_dist_ccl,
     }
+
+
+def _ann_brute_sql(query_pred: str, k: int = 5) -> str:
+    """Brute-force cosine top-k ranking in DuckDB — the shared oracle
+    for ann_brute (literally brute), ann_ivf (exhaustive-probe config)
+    and ann_pq (generous-shortlist config): in those configurations the
+    ANN paths provably return the true ranking, so the whole bucketed
+    machinery is value-pinned; approximate-recall behavior at tight
+    settings stays pytest-gated. Ranks on the 6-dp-rounded cosine with
+    id tie-break (cross-engine float determinism)."""
+    return f"""
+        WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE {query_pred}),
+        scored AS (
+          SELECT q.query_id, e.vec_id AS neighbor_id,
+                 ROUND((
+                    SELECT SUM(CAST(a AS DOUBLE) * CAST(b AS DOUBLE))
+                    FROM (SELECT UNNEST(q.qvec) AS a, UNNEST(e.embedding) AS b)
+                 ) / (
+                    SQRT((SELECT SUM(CAST(a AS DOUBLE) * CAST(a AS DOUBLE)) FROM (SELECT UNNEST(q.qvec) AS a)))
+                    * SQRT((SELECT SUM(CAST(b AS DOUBLE) * CAST(b AS DOUBLE)) FROM (SELECT UNNEST(e.embedding) AS b)))
+                 ), 6) AS cos6
+          FROM embeddings e, q
+          WHERE e.vec_id <> q.query_id
+        )
+        SELECT CAST(query_id AS BIGINT) AS query_id,
+               CAST(neighbor_id AS BIGINT) AS neighbor_id,
+               ROUND(cos6, 4) AS cosine,
+               CAST(rk AS BIGINT) AS rk
+        FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos6 DESC, neighbor_id ASC) AS rk
+          FROM scored
+        ) WHERE rk <= {k}
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1315,27 +1480,105 @@ def oracle_sql() -> dict[str, str]:
               FROM s
             ) GROUP BY pred_lang
         """,
-        "ann_brute": """
-            WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 3),
-            scored AS (
-              SELECT q.query_id, e.vec_id AS neighbor_id,
-                     ROUND((
-                        SELECT SUM(CAST(a AS DOUBLE) * CAST(b AS DOUBLE))
-                        FROM (SELECT UNNEST(q.qvec) AS a, UNNEST(e.embedding) AS b)
-                     ) / (
-                        SQRT((SELECT SUM(CAST(a AS DOUBLE) * CAST(a AS DOUBLE)) FROM (SELECT UNNEST(q.qvec) AS a)))
-                        * SQRT((SELECT SUM(CAST(b AS DOUBLE) * CAST(b AS DOUBLE)) FROM (SELECT UNNEST(e.embedding) AS b)))
-                     ), 6) AS cos6
-              FROM embeddings e, q
-              WHERE e.vec_id <> q.query_id
+        "ann_brute": _ann_brute_sql("vec_id < 3"),
+        # ---- r3 conversions: formerly rows-only entries, now value-pinned ----
+        "dedup_minhash": """
+            WITH u AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 17 = 0
+              UNION ALL
+              SELECT doc_id + 2000000, upper(text) FROM documents WHERE doc_id % 23 = 0
+            ), n AS (
+              SELECT doc_id, md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS h FROM u
             )
-            SELECT CAST(query_id AS BIGINT) AS query_id,
-                   CAST(neighbor_id AS BIGINT) AS neighbor_id,
-                   ROUND(cos6, 4) AS cosine,
-                   CAST(rk AS BIGINT) AS rk
-            FROM (
-              SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos6 DESC, neighbor_id ASC) AS rk
-              FROM scored
-            ) WHERE rk <= 5
+            SELECT CAST(a.doc_id AS BIGINT) AS id_a, CAST(b.doc_id AS BIGINT) AS id_b,
+                   1.0 AS est_jaccard, 1.0 AS jaccard
+            FROM n a JOIN n b ON a.h = b.h AND a.doc_id < b.doc_id
+        """,
+        "dedup_simhash": """
+            WITH u AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 4000000, text FROM documents WHERE doc_id % 19 = 0
+            ), n AS (
+              SELECT doc_id, md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS h FROM u
+            )
+            SELECT CAST(a.doc_id AS BIGINT) AS id_a, CAST(b.doc_id AS BIGINT) AS id_b,
+                   CAST(0 AS BIGINT) AS hamming
+            FROM n a JOIN n b ON a.h = b.h AND a.doc_id < b.doc_id
+        """,
+        "dedup_pipeline": """
+            WITH u AS (
+              SELECT doc_id, text, lang FROM documents
+              UNION ALL
+              SELECT doc_id + 3000000, text, lang FROM documents WHERE doc_id % 11 = 0
+            ), n AS (
+              SELECT doc_id, lang, md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS h FROM u
+            ), kept AS (
+              SELECT doc_id, lang FROM n
+              QUALIFY doc_id = MIN(doc_id) OVER (PARTITION BY h)
+            )
+            SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_kept_docs FROM kept GROUP BY lang
+        """,
+        "ann_ivf": _ann_brute_sql("vec_id % 100 = 5"),
+        "ann_pq": _ann_brute_sql("vec_id % 100 = 7"),
+        "emb_neardup": """
+            WITH u AS (
+              SELECT vec_id, embedding FROM embeddings
+              UNION ALL
+              SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id < 8
+            ), pairs AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     ROUND((
+                        SELECT SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+                        FROM (SELECT UNNEST(a.embedding) AS x, UNNEST(b.embedding) AS y)
+                     ) / (
+                        SQRT((SELECT SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) FROM (SELECT UNNEST(a.embedding) AS x)))
+                        * SQRT((SELECT SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) FROM (SELECT UNNEST(b.embedding) AS y)))
+                     ), 6) AS cosine
+              FROM u a JOIN u b ON a.vec_id < b.vec_id
+            )
+            SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b, cosine
+            FROM pairs WHERE cosine >= 0.95
+        """,
+        "knn_pools": """
+            WITH pts AS (
+              SELECT 'p/' || CAST(event_id AS VARCHAR) AS pool_id,
+                     (event_id % 37) * 53.0 AS x, (event_id % 41) * 47.0 AS y
+              FROM events WHERE event_id % 100 = 0
+            ), ll AS (
+              SELECT pool_id,
+                     120.0 + x / (((pi() * 6371008.8) / 180.0) * cos(-18.0 * (pi() / 180.0))) AS lon,
+                     -18.0 + y / ((pi() * 6371008.8) / 180.0) AS lat
+              FROM pts
+            ), r AS (
+              SELECT pool_id, lat * (pi() / 180.0) AS la, lon * (pi() / 180.0) AS lo FROM ll
+            ), d AS (
+              SELECT a.pool_id AS query_id, b.pool_id AS neighbor_id,
+                     ROUND(2.0 * 6371008.8 * asin(sqrt(LEAST(GREATEST(
+                       sin((b.la - a.la) / 2.0) * sin((b.la - a.la) / 2.0)
+                       + (cos(a.la) * cos(b.la)) * (sin((b.lo - a.lo) / 2.0) * sin((b.lo - a.lo) / 2.0)),
+                     0.0), 1.0))), 4) AS dist_m
+              FROM r a JOIN r b ON a.pool_id <> b.pool_id
+            )
+            SELECT query_id, neighbor_id, dist_m, CAST(rank AS BIGINT) AS rank FROM (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dist_m ASC, neighbor_id ASC) AS rank
+              FROM d
+            ) WHERE rank <= 3
+        """,
+        "pixel_persistence_px": """
+            WITH wet AS (
+              SELECT DISTINCT 'sec' || CAST(event_id % 3 AS VARCHAR) AS section,
+                     event_id % 23 AS px, event_id % 19 AS py, event_id % 7 AS d
+              FROM events
+            ), per AS (
+              SELECT section, px, py, COUNT(*) AS wet FROM wet GROUP BY 1, 2, 3
+            )
+            SELECT 's' AS scene, section,
+                   CAST(px AS BIGINT) AS px, CAST(py AS BIGINT) AS py,
+                   CAST(wet AS BIGINT) AS wet,
+                   ROUND(wet / 7.0, 6) AS pp
+            FROM per
         """,
     }

@@ -82,7 +82,8 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text", n_hashes: int = 
 
 def lsh_candidates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                    n_hashes: int = 64, bands: int = 16, shingle_k: int = 5,
-                   signatures: DataFrame | None = None) -> DataFrame:
+                   signatures: DataFrame | None = None,
+                   persisted_out: list | None = None) -> DataFrame:
     """Candidate near-duplicate pairs via MinHash banding.
 
     Returns (id_a, id_b, est_jaccard) with id_a < id_b; est_jaccard is
@@ -92,6 +93,10 @@ def lsh_candidates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     reuse across calls. Either way the banded table is persisted before
     the self-join — otherwise Catalyst re-runs the signature UDF for
     BOTH sides of the join (the dominant cost of the whole operator).
+    ``persisted_out``: if a list is passed, the persisted banded frame
+    is appended so long-lived sessions can ``unpersist()`` after the
+    result is materialized (default leaves the block to session
+    lifetime — fine for batch jobs, leaky for services).
     """
     rows = n_hashes // bands
     with_sig = signatures if signatures is not None else minhash_signatures(
@@ -105,6 +110,8 @@ def lsh_candidates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "tex
             ])
         ).alias("band", "bucket"),
     ).persist()
+    if persisted_out is not None:
+        persisted_out.append(banded)
     pairs = (
         banded.alias("l")
         .join(banded.alias("r"), ["band", "bucket"])
@@ -223,7 +230,8 @@ def simhash_n_blocks(n_docs: int, max_hamming: int = 3, target_bucket: int = 16)
 
 def simhash_candidates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                        max_hamming: int = 3, n_blocks: int | None = None,
-                       bucket_cap: int | None = None) -> DataFrame:
+                       bucket_cap: int | None = None,
+                       persisted_out: list | None = None) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) <= max_hamming.
 
     Candidate generation is the pigeonhole block scheme: the 64-bit
@@ -244,6 +252,9 @@ def simhash_candidates(docs: DataFrame, id_col: str = "doc_id", text_col: str = 
     bucket of n rows creates n^2 candidate pairs; capping bounds the
     blowup at the cost of recall inside those buckets. Never silent:
     the number of skipped buckets/rows is logged at WARNING.
+
+    persisted_out: if a list is passed, internally persisted frames are
+    appended for caller-side ``unpersist()`` (see lsh_candidates).
     """
     import logging
     from itertools import combinations
@@ -267,10 +278,14 @@ def simhash_candidates(docs: DataFrame, id_col: str = "doc_id", text_col: str = 
     # persisted: the self-join below would otherwise run the simhash
     # signature UDF once per join side
     banded = d.select("id", "simhash", F.posexplode(F.array(*key_exprs)).alias("combo", "bucket")).persist()
+    if persisted_out is not None:
+        persisted_out.append(banded)
 
     if bucket_cap is not None:
         counts = banded.groupBy("combo", "bucket").agg(F.count("*").alias("n_in_bucket"))
         hot = counts.filter(F.col("n_in_bucket") > bucket_cap).persist()
+        if persisted_out is not None:
+            persisted_out.append(hot)
         stats = hot.agg(F.count("*").alias("n_buckets"),
                         F.coalesce(F.sum("n_in_bucket"), F.lit(0)).alias("n_rows")).collect()[0]
         if stats["n_buckets"]:

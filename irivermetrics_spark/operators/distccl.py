@@ -151,13 +151,17 @@ def resolve_components(edges: DataFrame, key_cols: list[str],
 
 def label_components(points: DataFrame, tile: int = 256,
                      keys: tuple[str, ...] = ("scene", "ds"),
-                     edge_limit: int = 1_000_000) -> DataFrame:
+                     edge_limit: int = 1_000_000,
+                     persisted_out: list | None = None) -> DataFrame:
     """points: rows with (keys..., px, py) -> + component:long (8-conn).
 
     ``edge_limit``: equivalence-edge count above which resolution
     switches from the driver union-find to the distributed min-label
     propagation (the driver path is faster for the typical sparse
     boundary graph; the distributed path is unbounded-safe).
+    ``persisted_out``: if a list is passed, internally persisted frames
+    are appended for caller-side ``unpersist()`` after the result is
+    materialized (default leaves blocks to session lifetime).
     """
     key_cols = list(keys)
 
@@ -191,6 +195,8 @@ def label_components(points: DataFrame, tile: int = 256,
 
     labeled = tiled.groupBy(*key_cols, "tx", "ty").applyInPandas(local_label, out_schema)
     labeled = labeled.persist()
+    if persisted_out is not None:
+        persisted_out.append(labeled)
 
     # boundary stitch: edge pixels x their 8-neighbor coordinates
     edge = labeled.filter("is_edge")
@@ -207,6 +213,8 @@ def label_components(points: DataFrame, tile: int = 256,
         .distinct()
         .persist()
     )
+    if persisted_out is not None:
+        persisted_out.append(edges)
 
     remap_df = resolve_components(edges, key_cols, edge_limit)
     if remap_df is None:

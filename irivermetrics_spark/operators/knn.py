@@ -40,9 +40,15 @@ def pool_centroids(pools: DataFrame) -> DataFrame:
     )
 
 
-def knn_pools(centroids: DataFrame, k: int = 3, res: int = 9, ring_k: int = 3) -> DataFrame:
+def knn_pools(centroids: DataFrame, k: int = 3, res: int = 9, ring_k: int = 3,
+              round_to: int | None = None) -> DataFrame:
     """k nearest pools per pool within the same (scene, ds):
-    k-ring candidates -> haversine re-rank -> top-k window."""
+    k-ring candidates -> haversine re-rank -> top-k window.
+
+    round_to: round dist_m BEFORE the rank window — cross-engine
+    determinism for the DuckDB value-pinned oracle (numpy trig and
+    DuckDB trig agree far beyond 4 decimals of a metre, so rounded
+    ranks are identical; unrounded near-ties could flip)."""
 
     @F.pandas_udf("long")
     def cell_of(x: pd.Series, y: pd.Series) -> pd.Series:
@@ -73,6 +79,8 @@ def knn_pools(centroids: DataFrame, k: int = 3, res: int = 9, ring_k: int = 3) -
         .dropDuplicates(["scene", "ds", "query_id", "pool_id"])
         .withColumn("dist_m", hav("qx", "qy", "x", "y"))
     )
+    if round_to is not None:
+        cand = cand.withColumn("dist_m", F.round("dist_m", round_to))
     w = Window.partitionBy("scene", "ds", "query_id").orderBy(F.asc("dist_m"), F.asc("pool_id"))
     return (
         cand.withColumn("rank", F.row_number().over(w))

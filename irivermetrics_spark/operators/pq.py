@@ -95,14 +95,21 @@ def pq_encode(embeddings: DataFrame, books: np.ndarray, id_col: str = "vec_id",
 
 def pq_topk(embeddings: DataFrame, queries: DataFrame, books: np.ndarray, topk: int = 5,
             shortlist: int = 4, id_col: str = "vec_id", vec_col: str = "embedding",
-            encoded: DataFrame | None = None) -> DataFrame:
+            encoded: DataFrame | None = None, round_to: int | None = None) -> DataFrame:
     """ADC search + exact rerank: (query_id, neighbor_id, cosine, rank).
 
     ``encoded``: pass a persisted pq_encode output to amortize encoding
     across queries/calls (at scale the encoded table IS the index).
     ``shortlist``: ADC shortlist size as a multiple of ``topk`` before
     the exact rerank joins back the raw vectors of just the shortlist.
-    """
+    ``round_to``: round the rerank cosine BEFORE the rank window
+    (cross-engine determinism for the DuckDB value-pinned oracle).
+
+    The per-query ADC lookup tables ship to executors via an explicit
+    ``sc.broadcast`` (torrent-distributed once per executor), not a
+    task closure — a closure re-serializes the (nq, m, k) float64 stack
+    into every task, which grows linearly with the query batch (an
+    r2-VERDICT flag)."""
     m, k, dsub = books.shape
     if encoded is None:
         encoded = pq_encode(embeddings, books, id_col, vec_col)
@@ -117,10 +124,12 @@ def pq_topk(embeddings: DataFrame, queries: DataFrame, books: np.ndarray, topk: 
         for q in Q
     ])  # (nq, m, k)
     n_short = shortlist * topk
+    bc = embeddings.sparkSession.sparkContext.broadcast((qids, luts))
 
     out_schema = "query_id long, id long, adist double"
 
     def score(batches):
+        b_qids, b_luts = bc.value
         cols = np.arange(m)
         for pdf in batches:
             if not len(pdf):
@@ -128,11 +137,11 @@ def pq_topk(embeddings: DataFrame, queries: DataFrame, books: np.ndarray, topk: 
             codes = np.stack([np.asarray(c, dtype=np.int64) for c in pdf["codes"]])  # (n, m)
             ids = pdf["id"].to_numpy()
             outs = []
-            for qi in range(luts.shape[0]):
-                d = luts[qi][cols[None, :], codes].sum(axis=1)  # ADC: m lookups/row
+            for qi in range(b_luts.shape[0]):
+                d = b_luts[qi][cols[None, :], codes].sum(axis=1)  # ADC: m lookups/row
                 keep = np.argsort(d)[: n_short]  # per-partition shortlist
                 outs.append(pd.DataFrame({
-                    "query_id": np.int64(qids[qi]),
+                    "query_id": np.int64(b_qids[qi]),
                     "id": ids[keep].astype(np.int64),
                     "adist": d[keep],
                 }))
@@ -154,6 +163,8 @@ def pq_topk(embeddings: DataFrame, queries: DataFrame, books: np.ndarray, topk: 
         .where(F.col("id") != F.col("query_id"))
         .withColumn("cosine", cosine_expr("qvec", "nvec"))
     )
+    if round_to is not None:
+        rer = rer.withColumn("cosine", F.round("cosine", round_to))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("id"))
     return (
         rer.withColumn("rank", F.row_number().over(w))

@@ -132,7 +132,8 @@ def lsh_topk(embeddings: DataFrame, queries: DataFrame, k: int = 5, n_bits: int 
 
 def cosine_neardup_pairs(embeddings: DataFrame, threshold: float = 0.95, n_bits: int = 16,
                          n_tables: int = 8, id_col: str = "vec_id",
-                         vec_col: str = "embedding") -> DataFrame:
+                         vec_col: str = "embedding", round_to: int | None = None,
+                         persisted_out: list | None = None) -> DataFrame:
     """Embedding near-duplicate pairs (cosine >= threshold) via SRP-LSH.
 
     16-bit buckets by default (see lsh_topk): near-dups at >=0.95
@@ -140,15 +141,28 @@ def cosine_neardup_pairs(embeddings: DataFrame, threshold: float = 0.95, n_bits:
     hyperplane flips with prob acos(0.95)/pi ~ 0.10, and 8 tables
     multi-probe), while the self-join stays O(n^2 / 65k) per table
     instead of O(n^2 / 256). Buckets are persisted so the self-join
-    doesn't run the projection UDF once per side."""
+    doesn't run the projection UDF once per side.
+
+    round_to: round the cosine BEFORE the threshold filter — pins the
+    value for cross-engine (Spark vs DuckDB) hash comparison where the
+    last-ulp of a double dot product differs by summation order.
+    persisted_out: if a list is passed, the internally persisted bucket
+    frame is appended so a long-lived session can ``unpersist()`` it
+    after materializing the result (the default leaves the cache to the
+    session lifetime — fine for batch jobs, leaky for services)."""
     b = srp_buckets(embeddings, n_bits, n_tables, None, id_col, vec_col).persist()
+    if persisted_out is not None:
+        persisted_out.append(b)
+    cos = cosine_expr("va", "vb")
+    if round_to is not None:
+        cos = F.round(cos, round_to)
     pairs = (
         b.alias("l").join(b.alias("r"), ["table", "bucket"])
         .where(F.col("l.id") < F.col("r.id"))
         .select(F.col("l.id").alias("id_a"), F.col("l.vec").alias("va"),
                 F.col("r.id").alias("id_b"), F.col("r.vec").alias("vb"))
         .dropDuplicates(["id_a", "id_b"])
-        .withColumn("cosine", cosine_expr("va", "vb"))
+        .withColumn("cosine", cos)
         .where(F.col("cosine") >= threshold)
     )
     return pairs.select("id_a", "id_b", "cosine")
