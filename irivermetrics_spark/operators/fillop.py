@@ -227,60 +227,68 @@ def drop_low_postfill(points: DataFrame, keys: list[str] | tuple[str, ...] = ("s
     return per.filter(F.col("postfill_ratio") >= threshold)
 
 
-def filled_water(points: DataFrame, kept_dates: dict[str, list[str]], reaches: list[dict],
+def filled_water(points: DataFrame, kept_idx: DataFrame, reaches: list[dict],
                  grid: dict, fill_res: int = FILL_RES_DEFAULT,
                  fill_nodata: bool = True) -> DataFrame:
     """Temporal fill + binarize -> water point rows (value==1 only).
 
-    points: decode output (scene, date, px, py, value in {1,-1}),
-    already restricted to kept dates by the caller.
-    kept_dates: scene -> sorted ISO date strings (the time axis; small,
-    broadcast via closure).
+    points: decode output (scene, px, py, value in {1,-1}) already
+    joined to the kept dimension so every row carries its scene-local
+    time index ``t_idx`` and scene axis length ``n_t`` (two ints per
+    row — the time axis itself never leaves the cluster; r2 VERDICT:
+    the old scene->dates dict collected the FULL kept dimension onto
+    the driver, GBs at 10^6 scenes x years of dates).
+    kept_idx: the (scene, ds, t_idx) dimension frame used to translate
+    the kernel's t_idx output back to date strings (broadcast join —
+    dimension-sized).
     fill_nodata: the reference's calculate_metrics(fill_nodata=...)
     switch (src/irm_main.py:126) — False skips the temporal fill and
     just binarizes (nodata pixels stay dry).
     Output: (scene, date string 'ds', px, py) water pixels after fill.
     """
     rings = [(np.asarray(r["ring_x"]), np.asarray(r["ring_y"])) for r in reaches]
-    # torrent-broadcast the scene->dates map: a closure-captured dict
-    # serializes into EVERY task; at 10^6 scenes that's the task-size
-    # bottleneck (VERDICT r1), a broadcast variable ships once per executor
-    bc_dates = points.sparkSession.sparkContext.broadcast(kept_dates)
 
     def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
         scene, cell = key[0], int(key[1])
-        dates = bc_dates.value.get(scene)
-        if not dates:
-            return pd.DataFrame({"scene": [], "ds": [], "px": [], "py": []})
+        empty = pd.DataFrame({"scene": pd.Series(dtype="str"),
+                              "t_idx": pd.Series(dtype="int32"),
+                              "px": pd.Series(dtype="int32"),
+                              "py": pd.Series(dtype="int32")})
         ux, uy = _cell_universe(cell, rings, grid)
         n_px = ux.shape[0]
         if n_px == 0:
-            return pd.DataFrame({"scene": [], "ds": [], "px": [], "py": []})
-        n_t = len(dates)
-        date_idx = {d: i for i, d in enumerate(dates)}
-        pix_idx = {(int(x), int(y)): i for i, (x, y) in enumerate(zip(ux, uy))}
+            return empty
+        n_t = int(pdf["n_t"].iloc[0])
+        # vectorized (px, py) -> universe index: sorted packed-key lookup
+        ukey = ux.astype(np.int64) << np.int64(32) | uy.astype(np.int64)
+        order = np.argsort(ukey)
+        su = ukey[order]
+        px_a = pdf["px"].to_numpy(dtype=np.int64)
+        py_a = pdf["py"].to_numpy(dtype=np.int64)
+        pkey = px_a << np.int64(32) | py_a
+        pos = np.minimum(np.searchsorted(su, pkey), su.size - 1)
+        ok = su[pos] == pkey  # points outside the corridor universe drop
+        j = order[pos[ok]]
+        t_a = pdf["t_idx"].to_numpy(dtype=np.int64)[ok]
+        v_a = pdf["value"].to_numpy()[ok]
         mat = np.zeros((n_t, n_px), dtype=np.int8)
-        for ds, px, py, v in zip(pdf["ds"], pdf["px"], pdf["py"], pdf["value"]):
-            j = pix_idx.get((int(px), int(py)))
-            i = date_idx.get(ds)
-            if j is None or i is None:
-                continue  # point outside corridor universe (or date raced out)
-            mat[i, j] = 1 if v == 1 else 2  # -1 inside corridor -> fillable 2
+        mat[t_a, j] = np.where(v_a == 1, 1, 2)  # -1 in corridor -> fillable 2
         out = fillk.binarize(fillk.fill_series(mat) if fill_nodata else mat)
         ti, pi = np.nonzero(out)
         return pd.DataFrame(
             {
                 "scene": scene,
-                "ds": np.asarray(dates, dtype=object)[ti],
+                "t_idx": ti.astype(np.int32),
                 "px": ux[pi].astype(np.int32),
                 "py": uy[pi].astype(np.int32),
             }
         )
 
     cell_of = hex_cell_udf(fill_res, grid)
-    prepared = points.withColumn("ds", F.date_format("date", "yyyy-MM-dd")).withColumn(
-        "fill_cell", cell_of("px", "py")
+    prepared = points.withColumn("fill_cell", cell_of("px", "py"))
+    filled = prepared.groupBy("scene", "fill_cell").applyInPandas(
+        kernel, "scene string, t_idx int, px int, py int"
     )
-    return prepared.groupBy("scene", "fill_cell").applyInPandas(
-        kernel, "scene string, ds string, px int, py int"
-    )
+    return filled.join(
+        F.broadcast(kept_idx.select("scene", "t_idx", "ds")), ["scene", "t_idx"]
+    ).select("scene", "ds", "px", "py")

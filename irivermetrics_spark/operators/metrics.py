@@ -37,7 +37,7 @@ from pyspark.sql import types as T
 NAN = float("nan")
 
 
-def pixel_persistence_px(water_joined: DataFrame, n_dates: dict[str, int]) -> DataFrame:
+def pixel_persistence_px(water_joined: DataFrame, n_dates: dict[str, int] | DataFrame) -> DataFrame:
     """K2: the per-pixel persistence table (scene, section, px, py, pp).
 
     pp = wet-date-count / n_kept_dates per pixel; only ever-wet pixels
@@ -49,15 +49,21 @@ def pixel_persistence_px(water_joined: DataFrame, n_dates: dict[str, int]) -> Da
     The scene -> kept-date-count dimension joins as a broadcast table,
     not a literal create_map expression — a map literal grows the plan
     linearly with scene count (10^6 scenes = 10^6-entry expression in
-    every task).
+    every task). Pass it as a DataFrame with (scene, n_kept) columns to
+    keep it fully distributed (the flagship plan derives it from the
+    kept dimension without any driver collect); the dict form remains
+    for small/test use.
     """
-    nd = water_joined.sparkSession.createDataFrame(
-        [(k, int(v)) for k, v in n_dates.items()],
-        T.StructType([
-            T.StructField("scene", T.StringType(), False),
-            T.StructField("n_kept", T.IntegerType(), False),
-        ]),
-    )
+    if isinstance(n_dates, DataFrame):
+        nd = n_dates.select("scene", F.col("n_kept").cast("int").alias("n_kept"))
+    else:
+        nd = water_joined.sparkSession.createDataFrame(
+            [(k, int(v)) for k, v in n_dates.items()],
+            T.StructType([
+                T.StructField("scene", T.StringType(), False),
+                T.StructField("n_kept", T.IntegerType(), False),
+            ]),
+        )
     return (
         water_joined.groupBy("scene", "section", "px", "py")
         .agg(F.count("*").alias("wet"))
@@ -67,7 +73,8 @@ def pixel_persistence_px(water_joined: DataFrame, n_dates: dict[str, int]) -> Da
     )
 
 
-def persistence(water_joined: DataFrame, n_dates: dict[str, int], pixel_size: float) -> DataFrame:
+def persistence(water_joined: DataFrame, n_dates: dict[str, int] | DataFrame,
+                pixel_size: float) -> DataFrame:
     """(scene, section, pp_mean, ra_area) from zonal-joined water points."""
     px_area_km2 = pixel_size**2 / 1e6
     pp = pixel_persistence_px(water_joined, n_dates)

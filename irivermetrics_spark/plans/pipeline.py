@@ -28,10 +28,83 @@ reference's two-module split.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..operators import decode, fillop, metrics, morphology, zonal
+
+
+class LazyKeptMap(dict):
+    """scene -> sorted ISO kept-date list, materialized on first read.
+
+    The flagship plan no longer needs this map driver-side (the fill
+    time axis is a distributed (t_idx, n_t) join against the kept
+    dimension); tests and notebook callers reading
+    ``result['kept_map']`` trigger a one-off collect of the small kept
+    dimension, and callers that never read it pay nothing."""
+
+    def __init__(self, kept_df: DataFrame):
+        super().__init__()
+        self._df = kept_df
+        self._loaded = False
+
+    def _load(self):
+        if self._loaded:
+            return
+        self._loaded = True
+        for r in self._df.collect():
+            self.setdefault(r["scene"], []).append(r["date"].isoformat())
+        for v in super().values():
+            v.sort()
+
+    def __getitem__(self, k):
+        self._load()
+        return super().__getitem__(k)
+
+    def get(self, k, default=None):
+        self._load()
+        return super().get(k, default)
+
+    def __contains__(self, k):
+        self._load()
+        return super().__contains__(k)
+
+    def __len__(self):
+        self._load()
+        return super().__len__()
+
+    def __iter__(self):
+        self._load()
+        return super().__iter__()
+
+    def keys(self):
+        self._load()
+        return super().keys()
+
+    def values(self):
+        self._load()
+        return super().values()
+
+    def items(self):
+        self._load()
+        return super().items()
+
+    def __eq__(self, other):
+        self._load()
+        return dict(self) == other
+
+    def __ne__(self, other):
+        return not self.__eq__(other)
+
+    def __bool__(self):
+        self._load()
+        return super().__len__() > 0
+
+    def __repr__(self):
+        self._load()
+        return dict.__repr__(self)
+
+    __hash__ = None
 
 
 def run(
@@ -80,8 +153,12 @@ def run(
 
     if points is None:
         # S1 uniformity is asserted per image inside the decode kernel
-        # (map-side) — no separate validate action barrier
-        points = decode.decode_points(images, grid, res=res, corridor_rings=rings)
+        # (map-side) — no separate validate action barrier. The aoi clip
+        # passes through so the fused invalid counts and the emitted
+        # points agree with the constant invalid_offset below (ADVICE
+        # r2: clipping only in the offset double-counted out-of-AOI
+        # nodata and leaked out-of-AOI pixels downstream).
+        points = decode.decode_points(images, grid, res=res, corridor_rings=rings, aoi=aoi)
         if checkpoint_dir:
             # module-1 sink (K1) as a lineage stage: decode runs once ever
             points = lineage.run_stage(spark, points, checkpoint_dir, "mask_points",
@@ -119,31 +196,62 @@ def run(
 
     # the decode path always fuses in-corridor invalid counts — only
     # probe (one tiny pushdown scan) when the caller handed us a points
-    # table, whose summary rows may be presence-only (cell == -1)
-    has_counts = images is not None or summaries.filter(F.col("cell") >= 0).limit(1).count() > 0
+    # table, whose summary rows may be presence-only (cell == -1).
+    # Mixed tables (counted AND presence-only summaries unioned from
+    # different module-1 runs) are rejected: the fused path would
+    # silently treat presence-only dates as zero-invalid (ADVICE r2).
+    if images is not None:
+        has_counts = True
+    else:
+        kinds = {bool(r["counted"]) for r in summaries.select(
+            (F.col("cell") >= 0).alias("counted")).distinct().collect()}
+        if len(kinds) == 2:
+            raise ValueError(
+                "mixed mask table: both counted (cell >= 0) and presence-only "
+                "(cell == -1) summary rows present — re-run module 1 uniformly "
+                "(with or without reaches) or split the table per run"
+            )
+        has_counts = kinds == {True}
     if has_counts:
         kept = fillop.keep_dates_fused(summaries, dates, corridor_total,
                                        invalid_offset=invalid_offset)
     else:
         kept = fillop.keep_dates(points, dates, corridor_cover, reaches, grid, corridor_total,
                                  invalid_offset=invalid_offset)
-    kept_rows = kept.collect()  # date dimension: small by construction
-    kept_map: dict[str, list[str]] = {}
-    for r in kept_rows:
-        kept_map.setdefault(r["scene"], []).append(r["date"].isoformat())
-    for v in kept_map.values():
-        v.sort()
+    # the kept (scene, date) dimension stays DISTRIBUTED: the only
+    # driver action is one tiny agg for the distinct-date pruning list
+    # + row count (r2 VERDICT: the old kept.collect() scene->dates map
+    # is GBs at 10^6 scenes x years of dates)
+    kept = kept.persist()
+    stats = kept.agg(
+        F.collect_set("date").alias("d_all"),
+        F.count("*").alias("n_rows"),
+    ).collect()[0]
+    kept_dates_all = sorted(stats["d_all"])
+    n_kept_rows = int(stats["n_rows"])
 
-    # date-pruning prefilter ahead of the exact (scene, date) semi-join:
-    # an isin on the (small, already-collected) distinct kept-date list
-    # pushes into the parquet scan as row-group min/max pruning — the
-    # semi-join alone can't prune the mask-table scan (r1 serial-floor
-    # item). Skipped when the date list is large enough to bloat the plan.
-    kept_dates_all = sorted({r["date"] for r in kept_rows})
+    # date-pruning prefilter ahead of the exact (scene, date) join: an
+    # isin on the (small) distinct kept-date list pushes into the
+    # parquet scan as row-group min/max pruning — the join alone can't
+    # prune the mask-table scan (r1 serial-floor item). Skipped when
+    # the date list is large enough to bloat the plan.
     if 0 < len(kept_dates_all) <= 1000:
         points = points.filter(F.col("date").isin(kept_dates_all))
-    points_kept = points.join(F.broadcast(kept), ["scene", "date"], "left_semi")
-    water = fillop.filled_water(points_kept, kept_map, reaches, grid, fill_res=fill_res,
+
+    # scene-local time axis as data, not driver state: every kept
+    # (scene, date) gets its ordinal t_idx + the scene's axis length
+    # n_t; points carry two ints through the fill shuffle and the fill
+    # kernel sizes its matrix from them. Broadcast: dimension-sized.
+    kept_idx = kept.select(
+        "scene", "date",
+        F.date_format("date", "yyyy-MM-dd").alias("ds"),
+        (F.row_number().over(Window.partitionBy("scene").orderBy("date")) - 1).alias("t_idx"),
+        F.count("*").over(Window.partitionBy("scene")).alias("n_t"),
+    )
+    points_kept = points.join(
+        F.broadcast(kept_idx.select("scene", "date", "t_idx", "n_t")), ["scene", "date"]
+    )
+    water = fillop.filled_water(points_kept, kept_idx, reaches, grid, fill_res=fill_res,
                                 fill_nodata=fill_nodata)
     if checkpoint_dir:
         water = lineage.run_stage(spark, water, checkpoint_dir, "water_filled")
@@ -156,13 +264,14 @@ def run(
     # this subtree — without a persist Spark recomputes fill+join per branch
     water_joined = zonal.zonal_join(water_keyed, cover, reaches, grid).persist()
 
-    n_dates = {k: len(v) for k, v in kept_map.items()}
-    pers_px = metrics.pixel_persistence_px(water_joined, n_dates)
-    pers = metrics.persistence(water_joined, n_dates, grid["ps"])
+    # per-scene kept-date counts as a distributed dim (broadcast inside)
+    nd_df = kept.groupBy("scene").agg(F.count("*").alias("n_kept"))
+    pers_px = metrics.pixel_persistence_px(water_joined, nd_df)
+    pers = metrics.persistence(water_joined, nd_df, grid["ps"])
     pools = morphology.pool_rows(water_joined, reaches, grid, min_pool_size=min_pool_size)
     grid_df = metrics.dimension_grid(spark, kept, reaches)
     # broadcast the fold's dim sides only while the keyspace is bounded
-    n_groups = sum(len(v) for v in kept_map.values()) * max(len(reaches), 1)
+    n_groups = n_kept_rows * max(len(reaches), 1)
     final = metrics.fold(pools, grid_df, pers, section_length=section_length,
                          broadcast_dims=n_groups <= 2_000_000)
 
@@ -181,7 +290,7 @@ def run(
         persistence_px=pers_px,
         pools=pools,
         metrics=final,
-        kept_map=kept_map,
+        kept_map=LazyKeptMap(kept),
         corridor_total=corridor_total,
     )
 
