@@ -10,9 +10,20 @@ canonical Spark mechanisms:
   ones are dropped deterministically.
 - ``stream_dedup_exact``: a custom stateful operator via
   ``applyInPandasWithState`` — exactly-once exact dedup of a document
-  stream across micro-batches. State is the set of seen content hashes
-  per hash-prefix bucket (256-way partitioned so no single state blob
-  grows with the corpus; at larger scale widen the prefix).
+  stream across micro-batches. State is keyed by the FULL content hash:
+  one O(1) existence row per distinct document ever seen. Per-batch
+  state writes are bounded by the number of NEW hashes in that batch —
+  nothing proportional to the corpus is ever re-serialized (r2 shipped
+  a 256-bucket design whose full sorted seen-list was rewritten every
+  micro-batch: O(corpus/256) serialization per batch, growing forever).
+  Total state-store size still grows with the distinct corpus — that is
+  inherent to exact global dedup — but it lives in the state store
+  (use the RocksDB provider at scale: incremental snapshots, spill to
+  disk), not in any single group's blob.
+- ``stream_dedup_watermarked``: the bounded-state alternative when
+  "duplicate" only needs to hold within an event-time horizon —
+  watermarked ``dropDuplicates``; Spark evicts state older than the
+  watermark, so state is O(distinct docs per horizon).
 """
 
 from __future__ import annotations
@@ -51,42 +62,65 @@ DEDUP_OUT_SCHEMA = T.StructType([
     T.StructField("doc_id", T.LongType()),
     T.StructField("text_md5", T.StringType()),
 ])
-DEDUP_STATE_SCHEMA = T.StructType([T.StructField("seen", T.ArrayType(T.StringType()))])
+# value-less existence state: the keeper id is stored only so restarts
+# re-emit deterministically if ever needed; the row never grows
+DEDUP_STATE_SCHEMA = T.StructType([T.StructField("first_id", T.LongType())])
 
 
 def _dedup_state_fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
-    seen = set(state.get[0]) if state.exists else set()
-    # buffer ALL Arrow chunks of the group before choosing keepers — a
-    # group split across chunks would otherwise pick a per-chunk-first
-    # doc_id, making the emitted keeper depend on Arrow batch sizing
-    pdf = pd.concat(list(pdfs), ignore_index=True).sort_values("doc_id")
-    fresh_rows = []
-    for doc_id, md5 in zip(pdf["doc_id"], pdf["text_md5"]):
-        if md5 not in seen:
-            seen.add(md5)
-            fresh_rows.append((int(doc_id), md5))
-    if fresh_rows:
-        yield pd.DataFrame(fresh_rows, columns=["doc_id", "text_md5"])
-    state.update((sorted(seen),))
+    if state.exists:
+        # known hash: suppress every occurrence; the state row is not
+        # rewritten, so a duplicate-heavy batch costs zero state I/O
+        return
+    md5 = key[0]
+    # keeper = lowest doc_id across ALL Arrow chunks of this group in
+    # this batch (per-chunk-first would depend on Arrow batch sizing)
+    best = None
+    for pdf in pdfs:
+        if len(pdf):
+            m = int(pdf["doc_id"].min())
+            best = m if best is None or m < best else best
+    if best is None:
+        return
+    state.update((best,))
+    yield pd.DataFrame({"doc_id": [best], "text_md5": [md5]})
 
 
 def stream_dedup_exact(docs: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text") -> DataFrame:
     """First occurrence of each distinct text across the whole stream.
 
-    Custom stateful operator: hash the text, bucket by a 2-hex-char
-    prefix (256 state shards), keep the seen-hash set per bucket in
-    GroupState. Emits (doc_id, text_md5) rows for first occurrences
-    only — duplicates in later micro-batches are suppressed exactly.
+    Custom stateful operator keyed by the full content hash: each
+    distinct text owns one O(1) GroupState row (its keeper id). A new
+    hash writes exactly one state row; a duplicate touches its row
+    read-only — per-batch state-write volume is bounded by the batch's
+    new-hash count, never by corpus size. Emits (doc_id, text_md5) for
+    first occurrences only.
     """
     keyed = docs.select(
         F.col(id_col).cast("long").alias("doc_id"),
         F.md5(F.col(text_col)).alias("text_md5"),
-    ).withColumn("bucket", F.substring("text_md5", 1, 2))
-    return keyed.groupBy("bucket").applyInPandasWithState(
+    )
+    return keyed.groupBy("text_md5").applyInPandasWithState(
         _dedup_state_fn,
         outputStructType=DEDUP_OUT_SCHEMA,
         stateStructType=DEDUP_STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_dedup_watermarked(docs: DataFrame, id_col: str = "doc_id",
+                             text_col: str = "text", event_col: str = "ts",
+                             watermark: str = "7 days") -> DataFrame:
+    """Bounded-state dedup: suppress duplicates within an event-time
+    horizon via watermarked ``dropDuplicates`` — Spark evicts state
+    rows older than the watermark, so total state is O(distinct docs
+    per horizon) instead of O(corpus). The right tool when exact
+    forever-dedup isn't required (e.g. rolling crawl ingestion)."""
+    keyed = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.md5(F.col(text_col)).alias("text_md5"),
+        F.col(event_col).cast("timestamp").alias("ts"),
+    )
+    return keyed.withWatermark("ts", watermark).dropDuplicates(["text_md5"])

@@ -52,6 +52,64 @@ def test_stream_dedup_suppresses_cross_batch_duplicates(spark):
     assert sorted(got2.doc_id) == [1, 2, 11]  # 10 and 12 suppressed by state
 
 
+def test_stream_dedup_state_writes_bounded_by_new_hashes(spark):
+    """Per-batch state I/O must scale with the batch's NEW hashes, not
+    the corpus (r2 ADVICE: the old bucket design rewrote the full
+    sorted seen-list every batch). Pinned via the state operator's
+    numRowsUpdated progress metric."""
+    base = tempfile.mkdtemp(prefix="sdedupb_")
+    src = os.path.join(base, "docs")
+    ckpt = os.path.join(base, "ckpt")
+    sink = os.path.join(base, "out")
+
+    def run_once():
+        stream = spark.readStream.schema(DOC_SCHEMA).parquet(src)
+        out = stateful.stream_dedup_exact(stream)
+        q = (out.writeStream.foreachBatch(lambda df, _b: df.write.mode("append").parquet(sink))
+             .option("checkpointLocation", ckpt)
+             .outputMode("update").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        ups = [p["stateOperators"][0]["numRowsUpdated"]
+               for p in q.recentProgress if p.get("stateOperators")]
+        return sum(ups)
+
+    # batch 1: 20 docs, 20 distinct -> 20 state-row writes
+    _write_docs(spark, src, [(i, f"t{i}") for i in range(20)])
+    assert run_once() == 20
+    # batch 2: 21 docs, 20 duplicates of the whole corpus + 1 new ->
+    # exactly ONE state-row write (the old design rewrote every
+    # touched bucket's full list)
+    _write_docs(spark, src, [(100 + i, f"t{i}") for i in range(20)] + [(999, "brand_new")])
+    assert run_once() == 1
+    got = spark.read.parquet(sink).toPandas()
+    assert sorted(got.doc_id) == sorted(list(range(20)) + [999])
+
+
+def test_stream_dedup_watermarked_bounded_state(spark):
+    """The TTL alternative: duplicates inside the horizon suppressed,
+    state evicted beyond the watermark."""
+    import datetime as dt
+    base = tempfile.mkdtemp(prefix="sdedupw_")
+    src = os.path.join(base, "docs")
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("text", T.StringType(), False),
+        T.StructField("ts", T.TimestampType(), False),
+    ])
+    t0 = dt.datetime(2021, 1, 1)
+    rows = [(1, "aaa", t0), (2, "aaa", t0 + dt.timedelta(hours=1)), (3, "bbb", t0)]
+    spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text", "ts"]), schema) \
+        .write.mode("append").parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = stateful.stream_dedup_watermarked(stream, watermark="1 day")
+    q = (out.writeStream.format("memory").queryName("wdedup")
+         .option("checkpointLocation", os.path.join(base, "ckpt"))
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.sql("select * from wdedup").toPandas()
+    assert sorted(got.doc_id) == [1, 3]  # doc 2 suppressed inside horizon
+
+
 def test_stream_wet_area_windows(spark):
     base = tempfile.mkdtemp(prefix="swet_")
     src = os.path.join(base, "pts")
