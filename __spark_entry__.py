@@ -937,24 +937,47 @@ def _q_ann_ivf(spark, sf):
 def _q_image_embed_neardup(spark, sf):
     """Image near-duplicate detection through the multimodal->ANN
     bridge: decode -> content embedding -> SRP-LSH cosine pairs.
-    Re-encoded (lossy) copies of fixture images must pair with their
-    originals."""
+    Two lossy re-encode families must pair with their originals:
+    qlossy copies of the raw16 fixture rasters, AND baseline-JPEG
+    re-encodes (the engine's own from-scratch T.81 codec,
+    kernels/jpeg.py) of 3-band 8-bit derivatives paired against raw16
+    twins of the same derivative."""
+    import numpy as np
     import pandas as pd
 
     from irivermetrics_spark import codecs
+    from irivermetrics_spark.kernels import jpeg
     from irivermetrics_spark.operators import multimodal, similarity
 
     fx = _fixture()
     pdf = fx.images.copy()[["image_id", "bytes", "fmt"]]
-    dups = []
+    qdups, rgb = [], []
     for i in range(5):
         arr = codecs.decode_image(bytes(pdf.iloc[i]["bytes"]))
-        dups.append(dict(image_id=f"dup_{pdf.iloc[i]['image_id']}",
-                         bytes=codecs.encode_image(arr, codecs.FMT_QLOSSY),
-                         fmt=codecs.FMT_QLOSSY))
-    images = spark.createDataFrame(pd.concat([pdf, pd.DataFrame(dups)], ignore_index=True))
-    emb = multimodal.embed_images(images)
-    return similarity.cosine_neardup_pairs(emb, threshold=0.9999, id_col="image_id")
+        qdups.append(dict(image_id=f"dup_{pdf.iloc[i]['image_id']}",
+                          bytes=codecs.encode_image(arr, codecs.FMT_QLOSSY),
+                          fmt=codecs.FMT_QLOSSY))
+        # 3-band 8-bit derivative, once raw16 and once JPEG q90: the
+        # jpeg twin must survive DCT loss and pair with the raw twin.
+        # Separate LSH family: 3-band embeddings have a different
+        # dimension than the full-band rasters.
+        # contrast-stretched so JPEG's absolute quant error stays small
+        # relative to the signal (the rasters are dark in 0-255 terms)
+        u8 = (arr[:3].astype(np.float64) / max(float(arr[:3].max()), 1.0)
+              * 255.0).clip(0, 255).astype(np.uint8)
+        rgb.append(dict(image_id=f"rgbraw_{pdf.iloc[i]['image_id']}",
+                        bytes=codecs.encode_image(u8.astype(np.uint16)),
+                        fmt=codecs.FMT_RAW16))
+        rgb.append(dict(image_id=f"rgbjpg_{pdf.iloc[i]['image_id']}",
+                        bytes=jpeg.encode_baseline(u8, quality=95),
+                        fmt="jpeg"))
+    full = spark.createDataFrame(pd.concat([pdf, pd.DataFrame(qdups)], ignore_index=True))
+    p1 = similarity.cosine_neardup_pairs(
+        multimodal.embed_images(full), threshold=0.9999, id_col="image_id")
+    deriv = spark.createDataFrame(pd.DataFrame(rgb))
+    p2 = similarity.cosine_neardup_pairs(
+        multimodal.embed_images(deriv), threshold=0.999, id_col="image_id")
+    return p1.unionByName(p2)
 
 
 def _q_ann_pq(spark, sf):

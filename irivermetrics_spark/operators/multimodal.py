@@ -31,12 +31,24 @@ FRAMES_SCHEMA = "video_id string, frame_idx int, bytes binary, w int, h int, fmt
 
 
 def _decode_any(buf: bytes, fmt: str) -> np.ndarray:
-    """Single swap-in point for real codecs."""
+    """Single swap-in point for real codecs.
+
+    ``jpeg`` is decoded by the engine's own from-scratch baseline
+    codec (kernels/jpeg.py — full baseline JFIF incl. 4:2:0,
+    conformance-tested on committed third-party files): the web's
+    dominant image format needs no external library. Sample values
+    stay in their native 8-bit range (0-255) widened to the engine's
+    uint16 plane dtype. png/webp remain honestly stubbed.
+    """
     if fmt in (codecs.FMT_RAW16, codecs.FMT_QLOSSY):
         return codecs.decode_image(buf)
-    if fmt in ("jpeg", "png", "webp"):
+    if fmt == "jpeg":
+        from ..kernels import jpeg
+
+        return jpeg.decode_baseline(bytes(buf)).astype(np.uint16)
+    if fmt in ("png", "webp"):
         # STUB: no image libraries in this environment. A deployment
-        # installs pillow/turbojpeg and decodes here.
+        # installs pillow and decodes here.
         raise NotImplementedError(f"external codec {fmt!r} requires an image library")
     raise ValueError(f"unknown fmt {fmt!r}")
 

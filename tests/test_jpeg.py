@@ -1,0 +1,134 @@
+"""From-scratch baseline JPEG codec (kernels/jpeg.py).
+
+Conformance evidence is layered, since no external JPEG library exists
+in this environment to produce pixel goldens:
+ - REAL third-party files (committed from the CPython / IPython test
+   suites) must parse and decode: one 4:2:0-subsampled 3-component
+   JFIF with two quant + four Huffman tables, one grayscale file whose
+   flat content is knowable a priori (uniform 128 -> DC-only stream).
+ - The decoded 4:2:0 output is pinned byte-exact to a committed golden
+   (regression pin; the golden is self-generated and labeled as such).
+ - Encoder and decoder are independent paths (encoder: Annex K tables,
+   fdct, bit-writer; decoder: file-table parse, canonical-code DECODE,
+   idct) — round-trip PSNR >= 30 dB at q50 / >= 34 dB at q85 on a
+   noisy test image would not survive a compensating-error pair.
+ - The IDCT is checked against the literal O(N^4) DCT-III definition.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from irivermetrics_spark.kernels import jpeg
+
+DATA = os.path.join(os.path.dirname(__file__), "data")
+
+
+def _test_image(seed=3, h=45, w=61, freq=8.0, phase=0.0):
+    rng = np.random.default_rng(seed)
+    x = np.linspace(0, 1, w)[None, :] * np.linspace(0, 1, h)[:, None]
+    base = (255 * (0.5 + 0.5 * np.sin(freq * x * np.pi + phase))).astype(np.float64)
+    img = np.stack([base, 255 - base, base[::-1]]).clip(0, 255)
+    return (img + rng.normal(0, 3, img.shape)).clip(0, 255).astype(np.uint8)
+
+
+def _psnr(a, b):
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    return 10 * np.log10(255.0**2 / mse)
+
+
+def test_roundtrip_psnr_rgb():
+    img = _test_image()
+    for q, gate in ((95, 37.0), (85, 34.0), (50, 30.0)):
+        enc = jpeg.encode_baseline(img, quality=q)
+        dec = jpeg.decode_baseline(enc)
+        assert dec.shape == img.shape  # non-multiple-of-8 dims crop back
+        assert _psnr(dec, img) >= gate
+    # higher quality must not compress better AND decode worse
+    assert len(jpeg.encode_baseline(img, 95)) > len(jpeg.encode_baseline(img, 50))
+
+
+def test_roundtrip_grayscale_and_flat():
+    g = _test_image()[:1]
+    dec = jpeg.decode_baseline(jpeg.encode_baseline(g, quality=90))
+    assert dec.shape == g.shape and _psnr(dec, g) >= 38.0
+    # flat color survives exactly (DC-only blocks)
+    flat = np.full((3, 24, 16), 200, dtype=np.uint8)
+    out = jpeg.decode_baseline(jpeg.encode_baseline(flat, quality=85))
+    assert np.abs(out.astype(int) - 200).max() <= 1
+
+
+def test_real_420_jpeg_decodes_and_matches_golden():
+    buf = open(os.path.join(DATA, "conformance_420.jpg"), "rb").read()
+    out = jpeg.decode_baseline(buf)
+    assert out.shape == (3, 16, 16) and out.dtype == np.uint8
+    golden = np.load(os.path.join(DATA, "conformance_420_golden.npy"))
+    assert np.array_equal(out, golden)
+
+
+def test_real_grayscale_jpeg_flat_gray():
+    buf = open(os.path.join(DATA, "conformance_gray2x2.jpg"), "rb").read()
+    out = jpeg.decode_baseline(buf)
+    assert out.shape == (1, 2, 2)
+    assert np.all(out == 128)  # uniform mid-gray: DC-only entropy stream
+
+
+def test_idct_matches_naive_definition():
+    rng = np.random.default_rng(11)
+    coefs = rng.normal(0, 30, (5, 8, 8))
+    fast = jpeg.idct2_blocks(coefs)
+    # literal separable DCT-III: x[n,m] = sum_k sum_l c(k)c(l) Y[k,l]
+    #   cos((2n+1)k pi/16) cos((2m+1)m2 pi/16)
+    def c(k):
+        return np.sqrt(1 / 8) if k == 0 else np.sqrt(2 / 8)
+
+    naive = np.zeros_like(coefs)
+    for b in range(coefs.shape[0]):
+        for n in range(8):
+            for m in range(8):
+                s = 0.0
+                for k in range(8):
+                    for l in range(8):
+                        s += (c(k) * c(l) * coefs[b, k, l]
+                              * np.cos((2 * n + 1) * k * np.pi / 16)
+                              * np.cos((2 * m + 1) * l * np.pi / 16))
+                naive[b, n, m] = s
+    assert np.allclose(fast, naive, atol=1e-9)
+
+
+def test_progressive_rejected():
+    img = _test_image()
+    enc = bytearray(jpeg.encode_baseline(img, 85))
+    i = enc.find(b"\xff\xc0")
+    enc[i + 1] = 0xC2  # flip SOF0 -> SOF2
+    with pytest.raises(ValueError, match="progressive"):
+        jpeg.decode_baseline(bytes(enc))
+
+
+def test_jpeg_multimodal_bridge(spark):
+    """A JPEG re-encode must near-dup-pair with its raw16 twin through
+    decode -> embed_images -> SRP-LSH cosine (the VERDICT r2 ask)."""
+    import pandas as pd
+
+    from irivermetrics_spark import codecs
+    from irivermetrics_spark.operators import multimodal, similarity
+
+    rows = []
+    for i in range(4):
+        # structurally distinct images (frequency + phase), so only the
+        # encode-format twins may pair — not cross-image neighbors
+        img = _test_image(seed=20 + i, freq=3.0 + 4 * i, phase=0.9 * i)
+        rows.append(dict(image_id=f"raw_{i}",
+                         bytes=codecs.encode_image(img.astype(np.uint16)),
+                         fmt=codecs.FMT_RAW16))
+        rows.append(dict(image_id=f"jpg_{i}",
+                         bytes=jpeg.encode_baseline(img, quality=90),
+                         fmt="jpeg"))
+    images = spark.createDataFrame(pd.DataFrame(rows))
+    emb = multimodal.embed_images(images)
+    pairs = similarity.cosine_neardup_pairs(
+        emb, threshold=0.999, id_col="image_id").toPandas()
+    got = {tuple(sorted((a, b))) for a, b in zip(pairs.id_a, pairs.id_b)}
+    expect = {(f"jpg_{i}", f"raw_{i}") for i in range(4)}
+    assert got == expect  # every twin pairs; no cross-image pair leaks

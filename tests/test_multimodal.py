@@ -32,8 +32,21 @@ def test_resize_images_spark(spark):
 
 
 def test_external_codec_stub_raises():
+    # png/webp remain stubbed; jpeg is now a REAL from-scratch decoder
+    # (kernels/jpeg.py) — truncated input fails loudly, real files work
     with pytest.raises(NotImplementedError):
+        multimodal._decode_any(b"\x89PNG\r\n", "png")
+    with pytest.raises(ValueError, match="truncated|SOS"):
         multimodal._decode_any(b"\xff\xd8\xff", "jpeg")
+
+
+def test_decode_any_routes_jpeg():
+    from irivermetrics_spark.kernels import jpeg
+
+    img = np.stack([np.full((16, 24), v, dtype=np.uint8) for v in (30, 120, 210)])
+    out = multimodal._decode_any(jpeg.encode_baseline(img, 90), "jpeg")
+    assert out.dtype == np.uint16 and out.shape == (3, 16, 24)
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 2
 
 
 def test_frame_sample_spark(spark):
