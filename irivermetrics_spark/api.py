@@ -132,8 +132,18 @@ def calculate_metrics(
     checkpoint_dir: str | None = None,
     r_lines=None,
     buffer: float = 1000.0,
+    reaches_crs: str = "planar",
+    plane_origin: tuple[float, float] = (-18.0, 120.0),
 ) -> dict:
     """Module 2: mask table (or image table) -> metrics.
+
+    ``reaches_crs``: pass ``"lonlat"`` when ``rcor_extent`` carries
+    geographic degree coordinates — the layer is converted to the
+    engine plane at ``plane_origin`` (the raster grid's frame) before
+    any measurement, mirroring the reference's estimate-UTM
+    reprojection of geographic layers (src/utils/calc_metrics.py:
+    343-348). Standalone vector work can instead use
+    ``reaches_to_planar`` with an estimated plane.
 
     Mirrors calculate_metrics(da_wmask, rcor_extent, section_length,
     min_pool_size, export_shp, export_PP, fill_nodata)
@@ -164,6 +174,10 @@ def calculate_metrics(
         # with the bbox/area keys the pipeline requires — a bare list
         # previously crashed clip_offsets with KeyError('xmin')
         reaches = normalize_reaches(rcor_extent)
+    if reaches_crs == "lonlat":
+        reaches = reaches_to_planar(reaches, plane_origin[0], plane_origin[1])
+    elif reaches_crs != "planar":
+        raise ValueError(f"unknown reaches_crs {reaches_crs!r} (planar|lonlat)")
 
     sl = float("nan") if section_length is None else float(section_length)
     aoi = (normalize_lines(r_lines), float(buffer)) if r_lines is not None else None
@@ -219,6 +233,32 @@ def normalize_reaches(reaches: list[dict]) -> list[dict]:
             out.append(r)
         else:
             out.append(_enrich_reach(r["section"], r["ring_x"], r["ring_y"]))
+    return out
+
+
+def reaches_to_planar(reaches: list[dict], lat0: float | None = None,
+                      lon0: float | None = None) -> list[dict]:
+    """Geographic (lon/lat degree) reach layer -> engine planar meters.
+
+    The reference reprojects geographic vector layers to an estimated
+    UTM zone before measuring (src/utils/calc_metrics.py:343-348:
+    estimate_utm_crs + reprojection); the engine's analog converts
+    through its local metric plane (functions/geometry.py:
+    lonlat_to_planar). With ``lat0``/``lon0`` omitted the plane is
+    estimated from the layer extent (the estimate-UTM analog) — pass
+    the raster grid's plane origin explicitly when the layer must land
+    in an existing grid's frame. bbox/area are re-derived in meters.
+    """
+    from .functions import geometry
+
+    if lat0 is None or lon0 is None:
+        lons = np.concatenate([np.asarray(r["ring_x"], dtype=np.float64) for r in reaches])
+        lats = np.concatenate([np.asarray(r["ring_y"], dtype=np.float64) for r in reaches])
+        lat0, lon0 = geometry.estimate_local_plane(lons, lats)
+    out = []
+    for r in reaches:
+        x, y = geometry.lonlat_to_planar(r["ring_x"], r["ring_y"], lat0, lon0)
+        out.append(_enrich_reach(r["section"], x, y))
     return out
 
 

@@ -216,6 +216,31 @@ def planar_to_lonlat(x, y, lat0: float = -18.0, lon0: float = 120.0):
     return lon0 + x / m_per_deg_lon, lat0 + y / m_per_deg_lat
 
 
+def lonlat_to_planar(lon, lat, lat0: float = -18.0, lon0: float = 120.0):
+    """Exact inverse of ``planar_to_lonlat``: geographic degrees to the
+    engine's local metric plane. This is the engine's analog of the
+    reference's reproject-geographic-input-to-UTM step
+    (src/utils/calc_metrics.py:343-348 estimate_utm_crs +
+    xr_reproject): a local conformal-enough metric frame; a deployment
+    with pyproj swaps a true projected CRS in at the same seam."""
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.asarray(lat, dtype=np.float64)
+    m_per_deg_lat = np.pi * EARTH_R_M / 180.0
+    m_per_deg_lon = m_per_deg_lat * np.cos(np.radians(lat0))
+    return (lon - lon0) * m_per_deg_lon, (lat - lat0) * m_per_deg_lat
+
+
+def estimate_local_plane(lons, lats) -> tuple[float, float]:
+    """(lat0, lon0) — the layer-extent midpoint, the engine's analog of
+    the reference's UTM-zone estimation for geographic layers: pick the
+    metric plane centered on the data so scale distortion stays
+    negligible at corridor scale."""
+    lons = np.asarray(lons, dtype=np.float64)
+    lats = np.asarray(lats, dtype=np.float64)
+    return (float(lats.min() + lats.max()) / 2.0,
+            float(lons.min() + lons.max()) / 2.0)
+
+
 # ------------------------------------------------------------- polygon cover
 
 def polygon_cover_hex(ring_x: np.ndarray, ring_y: np.ndarray, res: int) -> tuple[np.ndarray, np.ndarray]:

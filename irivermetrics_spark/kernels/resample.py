@@ -36,28 +36,79 @@ def _target_centers(dst_grid: dict) -> tuple[np.ndarray, np.ndarray]:
 
 def resample_nearest(arr: np.ndarray, src_grid: dict, dst_grid: dict) -> np.ndarray:
     """(nbands, h_src, w_src) -> (nbands, dst.h, dst.w), nearest pixel."""
-    nb, hs, ws = arr.shape
     xs, ys = _target_centers(dst_grid)
+    return _sample_nearest_at(arr, src_grid, xs, ys)
+
+
+def resample_bilinear(arr: np.ndarray, src_grid: dict, dst_grid: dict) -> np.ndarray:
+    """(nbands, h_src, w_src) -> (nbands, dst.h, dst.w), bilinear in the
+    pixel-center frame; edges clamp, fully-outside pixels get 0."""
+    xs, ys = _target_centers(dst_grid)
+    return _sample_bilinear_at(arr, src_grid, xs, ys)
+
+
+def resample(arr: np.ndarray, src_grid: dict, dst_grid: dict, method: str = "nearest") -> np.ndarray:
+    if (src_grid["gx0"] == dst_grid["gx0"] and src_grid["gy0"] == dst_grid["gy0"]
+            and src_grid["ps"] == dst_grid["ps"] and arr.shape[1] == dst_grid["h"]
+            and arr.shape[2] == dst_grid["w"]):
+        return arr  # already on the target grid
+    if method == "nearest":
+        return resample_nearest(arr, src_grid, dst_grid)
+    if method == "bilinear":
+        return resample_bilinear(arr, src_grid, dst_grid)
+    raise ValueError(f"unknown resample method {method!r}")
+
+
+def warp_from_lonlat(arr: np.ndarray, src_grid_deg: dict, dst_grid: dict,
+                     lat0: float = -18.0, lon0: float = 120.0,
+                     method: str = "nearest") -> np.ndarray:
+    """CRS warp (S2 completion): a source raster georeferenced in
+    GEOGRAPHIC DEGREES (north-up: gx0 = west lon edge, gy0 = north lat
+    edge, ps = degrees/pixel) resampled onto the engine's planar-meter
+    target grid.
+
+    The reference reprojects any scene whose CRS differs from the
+    reference CRS (src/utils/wd_batch.py:364-366 rio.reproject); the
+    engine composes its planar<->lonlat bridge
+    (functions/geometry.py:planar_to_lonlat, origin ``lat0``/``lon0``)
+    with the affine samplers above. The tangent-plane transform maps
+    x->lon and y->lat independently, so the warp stays SEPARABLE —
+    the samplers' 1-D row/col index math applies unchanged, no 2-D
+    coordinate mesh is ever materialized.
+    """
+    from ..functions import geometry
+
+    xs, ys = _target_centers(dst_grid)
+    lon, _ = geometry.planar_to_lonlat(xs, np.zeros_like(xs), lat0, lon0)
+    _, lat = geometry.planar_to_lonlat(np.zeros_like(ys), ys, lat0, lon0)
+    # x- and y-degree steps differ (cos(lat0) scaling), so the square-
+    # pixel resample_* entry points don't apply — sample directly at
+    # the transformed center arrays instead.
+    if method == "nearest":
+        return _sample_nearest_at(arr, src_grid_deg, lon, lat)
+    if method == "bilinear":
+        return _sample_bilinear_at(arr, src_grid_deg, lon, lat)
+    raise ValueError(f"unknown resample method {method!r}")
+
+
+def _sample_nearest_at(arr: np.ndarray, src_grid: dict, xs: np.ndarray, ys: np.ndarray) -> np.ndarray:
+    """Sample (nbands, h, w) at explicit center coordinates in the
+    source frame (same math as resample_nearest, centers injected)."""
+    nb, hs, ws = arr.shape
     col = np.floor((xs - src_grid["gx0"]) / src_grid["ps"]).astype(np.int64)
     row = np.floor((src_grid["gy0"] - ys) / src_grid["ps"]).astype(np.int64)
     ok_c = (col >= 0) & (col < ws)
     ok_r = (row >= 0) & (row < hs)
     out = np.zeros((nb, ys.shape[0], xs.shape[0]), dtype=arr.dtype)
     if ok_c.any() and ok_r.any():
-        rs = row[ok_r][:, None]
-        cs = col[ok_c][None, :]
-        block = arr[:, rs, cs]
-        out[np.ix_(np.arange(nb), ok_r, ok_c)] = block
+        out[np.ix_(np.arange(nb), ok_r, ok_c)] = arr[:, row[ok_r][:, None], col[ok_c][None, :]]
     return out
 
 
-def resample_bilinear(arr: np.ndarray, src_grid: dict, dst_grid: dict) -> np.ndarray:
-    """(nbands, h_src, w_src) -> (nbands, dst.h, dst.w), bilinear in the
-    pixel-center frame; edges clamp, fully-outside pixels get 0."""
+def _sample_bilinear_at(arr: np.ndarray, src_grid: dict, xs: np.ndarray, ys: np.ndarray) -> np.ndarray:
     nb, hs, ws = arr.shape
-    xs, ys = _target_centers(dst_grid)
-    fc = (xs - src_grid["gx0"]) / src_grid["ps"] - 0.5   # fractional src col
-    fr = (src_grid["gy0"] - ys) / src_grid["ps"] - 0.5   # fractional src row
+    fc = (xs - src_grid["gx0"]) / src_grid["ps"] - 0.5
+    fr = (src_grid["gy0"] - ys) / src_grid["ps"] - 0.5
     inside_c = (fc >= -0.5) & (fc <= ws - 0.5)
     inside_r = (fr >= -0.5) & (fr <= hs - 0.5)
     c0 = np.clip(np.floor(fc).astype(np.int64), 0, ws - 1)
@@ -74,15 +125,3 @@ def resample_bilinear(arr: np.ndarray, src_grid: dict, dst_grid: dict) -> np.nda
     if np.issubdtype(arr.dtype, np.integer):
         return np.clip(np.rint(out), np.iinfo(arr.dtype).min, np.iinfo(arr.dtype).max).astype(arr.dtype)
     return out.astype(arr.dtype)
-
-
-def resample(arr: np.ndarray, src_grid: dict, dst_grid: dict, method: str = "nearest") -> np.ndarray:
-    if (src_grid["gx0"] == dst_grid["gx0"] and src_grid["gy0"] == dst_grid["gy0"]
-            and src_grid["ps"] == dst_grid["ps"] and arr.shape[1] == dst_grid["h"]
-            and arr.shape[2] == dst_grid["w"]):
-        return arr  # already on the target grid
-    if method == "nearest":
-        return resample_nearest(arr, src_grid, dst_grid)
-    if method == "bilinear":
-        return resample_bilinear(arr, src_grid, dst_grid)
-    raise ValueError(f"unknown resample method {method!r}")

@@ -44,7 +44,8 @@ def decode_points(images: DataFrame, grid: dict, res: int = 9,
                   aoi: tuple[list, float] | None = None,
                   min_bands: int = 4,
                   reproject: bool = False,
-                  resample_method: str = "nearest") -> DataFrame:
+                  resample_method: str = "nearest",
+                  plane_origin: tuple[float, float] = (-18.0, 120.0)) -> DataFrame:
     """images -> sparse mask points with hex cell keys + scene/date cols.
 
     ``grid``: dict(gx0, gy0, ps) — uniform georeferencing (validated by
@@ -78,6 +79,14 @@ def decode_points(images: DataFrame, grid: dict, res: int = 9,
     affine-resampled onto the target ``grid`` inside the same kernel —
     map-side, no extra stage, mixed and already-aligned rows can share
     one table (aligned rows short-circuit through kernels.resample).
+    An optional per-row ``crs`` column extends this to MIXED-CRS
+    tables (the reference reprojects such scenes,
+    src/utils/wd_batch.py:364-366): rows marked ``"lonlat"`` carry
+    their source grid in geographic degrees and are warped onto the
+    planar target through the engine's tangent-plane bridge
+    (kernels.resample.warp_from_lonlat, origin ``plane_origin``);
+    rows marked ``"planar"`` (or with no crs column) take the affine
+    path.
     """
     gx0, gy0, ps = grid["gx0"], grid["gy0"], grid["ps"]
     expected_hw = (grid["h"], grid["w"]) if "h" in grid and "w" in grid else None
@@ -96,7 +105,8 @@ def decode_points(images: DataFrame, grid: dict, res: int = 9,
             out = []
             src_grids = None
             if reproject:
-                src_grids = list(zip(pdf["gx0"], pdf["gy0"], pdf["ps"]))
+                crs_col = pdf["crs"] if "crs" in pdf.columns else ["planar"] * len(pdf)
+                src_grids = list(zip(pdf["gx0"], pdf["gy0"], pdf["ps"], crs_col))
             for i, (image_id, buf) in enumerate(zip(pdf["image_id"], pdf["bytes"])):
                 arr = codecs.decode_image(bytes(buf))
                 if arr.shape[0] < min_bands:
@@ -112,12 +122,17 @@ def decode_points(images: DataFrame, grid: dict, res: int = 9,
                         "(uniform-grid contract; pass reproject=True for mixed grids)"
                     )
                 if src_grids is not None:
-                    sgx0, sgy0, sps = src_grids[i]
-                    arr = resamplek.resample(
-                        arr, dict(gx0=float(sgx0), gy0=float(sgy0), ps=float(sps)),
-                        dict(gx0=gx0, gy0=gy0, ps=ps, w=grid["w"], h=grid["h"]),
-                        method=resample_method,
-                    )
+                    sgx0, sgy0, sps, scrs = src_grids[i]
+                    src_g = dict(gx0=float(sgx0), gy0=float(sgy0), ps=float(sps))
+                    dst_g = dict(gx0=gx0, gy0=gy0, ps=ps, w=grid["w"], h=grid["h"])
+                    if scrs == "lonlat":
+                        arr = resamplek.warp_from_lonlat(
+                            arr, src_g, dst_g, plane_origin[0], plane_origin[1],
+                            method=resample_method)
+                    elif scrs == "planar":
+                        arr = resamplek.resample(arr, src_g, dst_g, method=resample_method)
+                    else:
+                        raise ValueError(f"{image_id}: unknown crs {scrs!r} (planar|lonlat)")
                 mask = water.water_mask(arr, threshold)
                 ys, xs = np.nonzero(mask != 0)
                 if ys.size and aoi_lines is not None:
@@ -169,6 +184,8 @@ def decode_points(images: DataFrame, grid: dict, res: int = 9,
             )
 
     cols = ["image_id", "bytes"] + (["gx0", "gy0", "ps"] if reproject else [])
+    if reproject and "crs" in images.columns:
+        cols.append("crs")
     pts = images.select(*cols).mapInPandas(kernel, schema=POINTS_SCHEMA)
     return with_scene_date(pts)
 
