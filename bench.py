@@ -84,7 +84,21 @@ def main() -> None:
     images_per_sec = n_images / flagship_sec
 
     # ---- relational headliners on the sf tables ----
-    qs = entrymod.queries()
+    qs = dict(entrymod.queries())
+
+    # keep the benchmarked minhash workload identical across rounds: the
+    # r3 driver entry added salted-dup unions + normalization joins for
+    # the DuckDB oracle, which would skew the cross-round Δ table — the
+    # bench measures the raw production operator shape (candidates +
+    # exact-Jaccard verify at 0.5 over the unmodified corpus, as in r1/r2)
+    def _bench_dedup_minhash(spark, sf_dir):
+        from irivermetrics_spark.operators import dedup
+
+        d = entrymod._t(spark, sf_dir, "documents")
+        cand = dedup.lsh_candidates(d, "doc_id", "text")
+        return dedup.exact_jaccard_pairs(d, cand).filter(F.col("jaccard") >= 0.5)
+
+    qs["dedup_minhash"] = _bench_dedup_minhash
     rel_names = [] if os.environ.get("SPARK_GRAFT_FLAGSHIP_ONLY") else [
         "j1_star", "a7_fold", "w2_topk", "j6_fill", "f6_validity",
         "dedup_exact", "dedup_minhash", "ann_brute", "text_quality"]

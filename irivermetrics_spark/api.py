@@ -78,6 +78,7 @@ def waterdetect_batch(
     reaches: list[dict] | None = None,
     mask_path: str | None = None,
     threshold: float = water.NDWI_THRESHOLD,
+    eager_grid_check: bool = False,
 ) -> DataFrame:
     """Module 1: image table -> water-mask point table.
 
@@ -99,7 +100,12 @@ def waterdetect_batch(
     if grid is None:
         raise ValueError("grid=dict(gx0, gy0, ps, w, h) is required (uniform-grid contract)")
     _validate_images(input_img)
-    decode.validate_uniform_grid(input_img)
+    if eager_grid_check:
+        # opt-in driver-side pre-flight: one extra Spark action. The
+        # decode kernel already asserts every raster against the target
+        # grid map-side (S1), so the default public path has NO action
+        # barrier before decode (r2 VERDICT minor #5).
+        decode.validate_uniform_grid(input_img)
 
     aoi = None
     if r_lines is not None:
@@ -196,8 +202,20 @@ def calculate_metrics(
             result["polygons"].write.mode("overwrite").parquet(f"{outdir}/irm_Polygons.parquet")
             result["lines"].write.mode("overwrite").parquet(f"{outdir}/irm_Lines.parquet")
             result["points"].write.mode("overwrite").parquet(f"{outdir}/irm_Points.parquet")
+            # the reference's actual file format (irm_*.shp, irm_main.py:
+            # 217-226) via the from-scratch shapefile writer
+            exports.write_vector_shapefiles(result["polygons"], result["lines"],
+                                            result["points"], outdir)
         if export_PP:
             exports.write_pixel_persistence(result["persistence_px"], f"{outdir}/pixel_persistence.parquet")
+            # the reference's Pixel_Persistence.tif (irm_main.py:228-233)
+            # via the from-scratch GeoTIFF writer, one file per scene
+            scenes = [r["scene"] for r in result["persistence_px"].select("scene").distinct().collect()]
+            for sc in scenes:
+                suffix = "" if len(scenes) == 1 else f"_{sc}"
+                exports.write_persistence_geotiff(
+                    result["persistence_px"], grid, sc,
+                    f"{outdir}/Pixel_Persistence{suffix}.tif")
     return result
 
 

@@ -64,7 +64,17 @@ def encode_image(arr: np.ndarray, fmt: str = FMT_RAW16) -> bytes:
 
 
 def decode_image(buf: bytes) -> np.ndarray:
-    """Decode engine bytes back to a (nbands, h, w) uint16 array."""
+    """Decode engine bytes back to a (nbands, h, w) uint16 array.
+
+    Also accepts uncompressed GeoTIFF scene bytes (the reference's
+    native input format, src/utils/wd_batch.py rioxarray ingest) via
+    the from-scratch reader (kernels/geotiff.py) — a reference user's
+    .tif reflectance stack drops straight into the image table."""
+    if buf[:4] in (b"II*\x00", b"MM\x00*"):
+        from .kernels import geotiff
+
+        arr, _, _ = geotiff.read_geotiff(buf)
+        return np.clip(arr.astype(np.float64), 0, np.iinfo(np.uint16).max).astype(np.uint16)
     if buf[:4] != MAGIC:
         raise ValueError("bad magic")
     fmt_code, nbands = buf[4], buf[5]

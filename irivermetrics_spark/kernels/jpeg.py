@@ -456,8 +456,14 @@ def _plane_blocks(plane: np.ndarray) -> np.ndarray:
             .transpose(0, 2, 1, 3).reshape(-1, 8, 8)), ph // 8, pw // 8
 
 
-def encode_baseline(arr: np.ndarray, quality: int = 85) -> bytes:
-    """(1|3, h, w) uint8 -> baseline JFIF bytes (4:4:4, Annex K tables)."""
+def encode_baseline(arr: np.ndarray, quality: int = 85,
+                    restart_interval: int = 0) -> bytes:
+    """(1|3, h, w) uint8 -> baseline JFIF bytes (4:4:4, Annex K tables).
+
+    ``restart_interval``: emit a DRI marker and RSTn markers every N
+    MCUs (DC predictors reset per segment) — the error-resilience
+    feature real encoders use on large scans; also the round-trip
+    test vehicle for the decoder's restart path."""
     if arr.ndim != 3 or arr.shape[0] not in (1, 3):
         raise ValueError(f"expected (1|3, h, w) uint8, got {arr.shape}")
     nc, h, w = arr.shape
@@ -503,6 +509,8 @@ def encode_baseline(arr: np.ndarray, quality: int = 85) -> bytes:
         for th in sorted(set(htabs)):
             out += b"\xff\xc4" + struct.pack(">H", 19 + sum(bits[th]))
             out += bytes([(tc << 4) | th]) + bytes(bits[th]) + bytes(vals[th])
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * nc, nc)
     for c in range(nc):
         out += bytes([c + 1, (htabs[c] << 4) | htabs[c]])
@@ -512,6 +520,12 @@ def encode_baseline(arr: np.ndarray, quality: int = 85) -> bytes:
     pred = [0] * nc
     n_blocks = zz_per_comp[0].shape[0]
     for bi in range(n_blocks):  # 4:4:4 -> MCU = one block per component
+        if restart_interval and bi and bi % restart_interval == 0:
+            bw.flush()
+            out += bw.out
+            out += bytes([0xFF, 0xD0 + ((bi // restart_interval - 1) % 8)])
+            bw = _BitWriter()
+            pred = [0] * nc
         for c in range(nc):
             pred[c] = _encode_block(bw, zz_per_comp[c][bi], pred[c],
                                     dc_tabs[htabs[c]], ac_tabs[htabs[c]])

@@ -13,8 +13,13 @@ src/utils/calc_metrics.py:1023-1187):
   line LENGTH (shapely interpolate(0.5, normalized=True) semantics,
   :1150-1155).
 
-Geometry is emitted as array<struct<x,y>> columns (parquet-friendly);
-the reference's shapefile driver is out of scope for the engine.
+Geometry is emitted as array<struct<x,y>> columns (parquet-friendly) —
+the scale path. The reference's FILE formats are also real now:
+``write_vector_shapefiles`` emits irm_Polygons/Lines/Points
+.shp/.shx/.dbf via the from-scratch writer (kernels/shapefile.py) and
+``write_persistence_geotiff`` emits Pixel_Persistence.tif via the
+from-scratch GeoTIFF codec (kernels/geotiff.py); both are driver-side
+single-file sinks for the FINAL small outputs, as in the reference.
 """
 
 from __future__ import annotations
@@ -68,6 +73,59 @@ def persistence_raster(pp: DataFrame, grid: dict, scene: str) -> np.ndarray:
     if len(pdf):
         out[pdf["py"].to_numpy(), pdf["px"].to_numpy()] = pdf["pp"].to_numpy()
     return out
+
+
+def write_persistence_geotiff(pp: DataFrame, grid: dict, scene: str, path: str) -> None:
+    """K2 file sink: the reference's Pixel_Persistence.tif
+    (src/irm_main.py:228-233, rio.to_raster) — dense per-scene raster
+    through the from-scratch GeoTIFF writer. Never-wet pixels are 0.0
+    (below both persistence thresholds), matching persistence_raster."""
+    from ..kernels import geotiff
+
+    raster = persistence_raster(pp, grid, scene)
+    buf = geotiff.write_geotiff(raster.astype(np.float32)[None, :, :],
+                                dict(gx0=grid["gx0"], gy0=grid["gy0"], ps=grid["ps"]),
+                                nodata=0.0)
+    with open(path, "wb") as f:
+        f.write(buf)
+
+
+def write_vector_shapefiles(polygons: DataFrame, lines: DataFrame, points: DataFrame,
+                            outdir: str) -> None:
+    """K4 file sinks: irm_Polygons.shp / irm_Lines.shp / irm_Points.shp
+    (src/irm_main.py:217-226) through the from-scratch shapefile
+    writer. Driver-side by nature (a shapefile is one file); the
+    parquet geometry tables remain the distributed artifacts."""
+    import os
+
+    from ..kernels import shapefile as shpk
+
+    def _dump(files: dict, base: str):
+        for ext, buf in files.items():
+            with open(os.path.join(outdir, f"{base}.{ext}"), "wb") as f:
+                f.write(buf)
+
+    poly = polygons.toPandas()
+    shapes = [[(np.asarray(rx), np.asarray(ry))] for rx, ry in zip(poly.ring_x, poly.ring_y)]
+    fields = [("Date", "C", 10, 0), ("Section", "C", 16, 0), ("Type", "C", 8, 0),
+              ("area_m2", "N", 18, 4), ("area_km2", "N", 18, 8)]
+    recs = list(zip(poly.Date, poly.Section, poly.Type,
+                    poly.area_m2, poly.area_km2))
+    _dump(shpk.write_shapefile(shpk.POLYGON, shapes, fields, recs), "irm_Polygons")
+
+    ln = lines.toPandas()
+    shapes = [[(np.asarray(lx), np.asarray(ly))] for lx, ly in zip(ln.line_x, ln.line_y)]
+    fields = [("date", "C", 10, 0), ("section", "C", 16, 0),
+              ("label", "N", 10, 0), ("length_km", "N", 18, 6)]
+    recs = list(zip(ln.date, ln.section, ln.label, ln.length_km))
+    _dump(shpk.write_shapefile(shpk.POLYLINE, shapes, fields, recs), "irm_Lines")
+
+    pt = points.toPandas()
+    shapes = list(zip(pt.x, pt.y))
+    fields = [("Date", "C", 10, 0), ("section", "C", 16, 0),
+              ("line", "N", 10, 0), ("Type", "C", 12, 0)]
+    recs = list(zip(pt.Date, pt.section, pt.line, pt.Type))
+    _dump(shpk.write_shapefile(shpk.POINT, shapes, fields, recs), "irm_Points")
 
 
 def pool_polygons(water_joined: DataFrame, reaches: list[dict], grid: dict,

@@ -1,0 +1,127 @@
+"""File-format sinks (r2 VERDICT missing #4): from-scratch GeoTIFF and
+ESRI shapefile writers, round-trip-verified with their paired readers
+and cross-checked against the parquet vector frames end-to-end."""
+
+import os
+import tempfile
+
+import numpy as np
+import pytest
+
+from irivermetrics_spark.kernels import geotiff, shapefile as shpk
+
+
+def test_geotiff_roundtrip_all_dtypes():
+    rng = np.random.default_rng(2)
+    grid = dict(gx0=1234.5, gy0=9876.5, ps=30.0)
+    for dt in ("uint8", "uint16", "int16", "uint32", "int32", "float32", "float64"):
+        arr = (rng.random((3, 17, 23)) * 100).astype(dt)
+        back, g2, nd = geotiff.read_geotiff(geotiff.write_geotiff(arr, grid, nodata=-1))
+        assert back.dtype == np.dtype(dt) and np.array_equal(back, arr)
+        assert np.isclose(g2["gx0"], grid["gx0"]) and np.isclose(g2["gy0"], grid["gy0"])
+        assert g2["ps"] == 30.0 and nd == -1.0
+
+
+def test_geotiff_rejects_compressed():
+    buf = bytearray(geotiff.write_geotiff(np.zeros((1, 4, 4), np.uint8), dict(gx0=0, gy0=0, ps=1)))
+    # flip the Compression tag value (type SHORT, value inline) to 5 (LZW)
+    import struct
+    n = struct.unpack("<H", buf[8:10])[0]
+    for i in range(n):
+        off = 10 + i * 12
+        if struct.unpack("<H", buf[off:off + 2])[0] == 259:
+            buf[off + 8:off + 10] = struct.pack("<H", 5)
+    with pytest.raises(ValueError, match="compress"):
+        geotiff.read_geotiff(bytes(buf))
+
+
+def test_shapefile_roundtrip_polygon_winding_and_closure():
+    rings = [[(np.array([0, 10, 10, 0, 0.0]), np.array([0, 0, 5, 5, 0.0]))],
+             [(np.array([20, 30, 25.0]), np.array([0, 0, 8.0]))]]  # unclosed
+    fields = [("Section", "C", 10, 0), ("area_m2", "N", 18, 4)]
+    files = shpk.write_shapefile(shpk.POLYGON, rings, fields, [("s0", 50.0), ("s1", 40.0)])
+    st, shapes, records = shpk.read_shapefile(files["shp"], files["dbf"])
+    assert st == shpk.POLYGON and len(shapes) == 2
+    x, y = shapes[1][0]
+    assert x[0] == x[-1] and y[0] == y[-1]  # closure enforced
+    assert float(np.sum((x[1:] - x[:-1]) * (y[1:] + y[:-1]))) > 0  # outer ring CW
+    assert records == [("s0", "50.0000"), ("s1", "40.0000")]
+
+
+def test_shapefile_roundtrip_lines_points():
+    lines = [[(np.array([0, 5, 9.0]), np.array([0, 1, 4.0]))]]
+    f = shpk.write_shapefile(shpk.POLYLINE, lines, [("label", "N", 10, 0)], [(7,)])
+    st, shapes, recs = shpk.read_shapefile(f["shp"], f["dbf"])
+    assert st == shpk.POLYLINE and np.allclose(shapes[0][0][0], [0, 5, 9])
+    assert recs == [("7",)]
+    pts = [(1.5, 2.5), (3.25, -4.5)]
+    f = shpk.write_shapefile(shpk.POINT, pts, [("Type", "C", 12, 0)], [("start",), ("end",)])
+    st, shapes, recs = shpk.read_shapefile(f["shp"], f["dbf"])
+    assert st == shpk.POINT and shapes == pts and recs[1] == ("end",)
+
+
+def test_geotiff_scene_bytes_decode_like_raw16(spark):
+    """A GeoTIFF reflectance stack in the image table must decode to the
+    SAME mask points as its raw16 twin — the reference's native .tif
+    input drops straight in."""
+    import pandas as pd
+
+    from irivermetrics_spark import codecs, synth
+    from irivermetrics_spark.operators import decode
+
+    fx = synth.make_fixture(w=40, h=20, n_dates=2, n_sections=1, seed=17)
+    grid = dict(gx0=fx.gx0, gy0=fx.gy0, ps=fx.pixel_size, w=fx.w, h=fx.h)
+    pdf = fx.images.copy().iloc[:2].reset_index(drop=True)
+    rows = []
+    for i in range(len(pdf)):
+        bands = codecs.decode_image(bytes(pdf.loc[i, "bytes"]))
+        rows.append(dict(image_id=pdf.loc[i, "image_id"],
+                         bytes=geotiff.write_geotiff(bands, grid),
+                         w=fx.w, h=fx.h, fmt="geotiff", caption="", phash=0))
+    tif_images = spark.createDataFrame(pd.DataFrame(rows))
+    from irivermetrics_spark.plans import pipeline
+
+    raw_images = pipeline.images_df(spark, pdf)
+    key = ["scene", "date", "px", "py", "value"]
+    got = decode.decode_points(tif_images, grid).select(*key).toPandas()
+    want = decode.decode_points(raw_images, grid).select(*key).toPandas()
+    assert set(map(tuple, got.itertuples(index=False))) == set(map(tuple, want.itertuples(index=False)))
+
+
+def test_api_outdir_writes_reference_file_formats(spark):
+    """calculate_metrics(outdir, export_shp, export_PP) must produce the
+    reference's artifact set — irm_metrics.csv, irm_*.shp/.shx/.dbf,
+    Pixel_Persistence.tif — with contents matching the parquet frames."""
+    from irivermetrics_spark import api, synth
+    from irivermetrics_spark.plans import pipeline
+
+    fx = synth.make_fixture(w=50, h=25, n_dates=4, n_sections=2, seed=14)
+    grid = dict(gx0=fx.gx0, gy0=fx.gy0, ps=fx.pixel_size, w=fx.w, h=fx.h)
+    images = pipeline.images_df(spark, fx.images)
+    outdir = tempfile.mkdtemp(prefix="sinks_")
+    res = api.calculate_metrics(spark, images, fx.reaches, grid=grid,
+                                outdir=outdir, export_shp=True, export_PP=True)
+    names = set(os.listdir(outdir))
+    for want in ("irm_metrics.csv", "irm_Polygons.shp", "irm_Polygons.shx",
+                 "irm_Polygons.dbf", "irm_Lines.shp", "irm_Points.shp",
+                 "Pixel_Persistence.tif"):
+        assert want in names, (want, names)
+
+    # shapefile polygons == parquet polygons (count + area attributes)
+    st, shapes, records = shpk.read_shapefile(
+        open(f"{outdir}/irm_Polygons.shp", "rb").read(),
+        open(f"{outdir}/irm_Polygons.dbf", "rb").read())
+    poly = res["polygons"].toPandas()
+    assert st == shpk.POLYGON and len(shapes) == len(poly)
+    got_areas = sorted(float(r[3]) for r in records)
+    want_areas = sorted(round(a, 4) for a in poly.area_m2)
+    assert np.allclose(got_areas, want_areas)
+
+    # geotiff == persistence_raster reassembly, georeferencing intact
+    from irivermetrics_spark.operators import exports
+
+    arr, g, nd = geotiff.read_geotiff(open(f"{outdir}/Pixel_Persistence.tif", "rb").read())
+    truth = exports.persistence_raster(res["persistence_px"], grid, "scene0")
+    assert arr.shape == (1, grid["h"], grid["w"])
+    assert np.allclose(arr[0], truth.astype(np.float32))
+    assert np.isclose(g["gx0"], grid["gx0"]) and g["ps"] == grid["ps"] and nd == 0.0

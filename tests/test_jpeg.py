@@ -97,6 +97,19 @@ def test_idct_matches_naive_definition():
     assert np.allclose(fast, naive, atol=1e-9)
 
 
+def test_restart_intervals_value_transparent():
+    """DRI/RSTn segmentation (DC predictors reset per segment) must not
+    change a single decoded sample vs the unsegmented stream — pins the
+    decoder's restart path, which no committed third-party fixture
+    exercises."""
+    img = _test_image()
+    plain = jpeg.decode_baseline(jpeg.encode_baseline(img, 90))
+    for ri in (1, 3, 7):
+        enc = jpeg.encode_baseline(img, 90, restart_interval=ri)
+        assert b"\xff\xdd" in enc
+        assert np.array_equal(jpeg.decode_baseline(enc), plain)
+
+
 def test_progressive_rejected():
     img = _test_image()
     enc = bytearray(jpeg.encode_baseline(img, 85))

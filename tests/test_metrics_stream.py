@@ -1,0 +1,57 @@
+"""Streaming flagship slice e2e (SURVEY §2.10 stretch): incremental
+image arrival -> exactly-once decode -> per-micro-batch F6->fill->wet
+area, batch-identical and restart-safe."""
+
+import os
+import tempfile
+
+from irivermetrics_spark import synth
+from irivermetrics_spark.plans import pipeline
+from irivermetrics_spark.streaming import metrics_stream
+
+
+def test_streaming_wet_area_batch_identical_across_restart(spark):
+    fx = synth.make_fixture(w=40, h=20, n_dates=6, n_sections=2, seed=19)
+    grid = dict(gx0=fx.gx0, gy0=fx.gy0, ps=fx.pixel_size, w=fx.w, h=fx.h)
+    base = tempfile.mkdtemp(prefix="mstream_")
+    img_dir, mask_dir = os.path.join(base, "img"), os.path.join(base, "mask")
+    out_dir, ckpt = os.path.join(base, "wet"), os.path.join(base, "ckpt")
+
+    all_images = pipeline.images_df(spark, fx.images)
+
+    # batch 1: first 4 scenes-dates arrive; query runs to completion
+    first = all_images.limit(4)
+    first.write.mode("append").parquet(img_dir)
+    q = metrics_stream.start_flagship_stream(spark, img_dir, mask_dir, out_dir,
+                                             ckpt, fx.reaches, grid)
+    q.awaitTermination(180)
+    got1 = spark.read.parquet(out_dir).toPandas()
+    assert len(got1) > 0
+
+    # kill/restart with late arrivals: remaining images land, a NEW query
+    # resumes from the checkpoint — only the delta is decoded, and the
+    # recomputed slice must equal the batch pipeline on ALL images
+    all_images.exceptAll(first).write.mode("append").parquet(img_dir)
+    q2 = metrics_stream.start_flagship_stream(spark, img_dir, mask_dir, out_dir,
+                                              ckpt, fx.reaches, grid)
+    q2.awaitTermination(180)
+
+    got = spark.read.parquet(out_dir).toPandas().sort_values(
+        ["scene", "ds"]).reset_index(drop=True)
+
+    # exactly-once: no image decoded twice into the mask table
+    masks = spark.read.parquet(mask_dir)
+    dup = masks.groupBy("image_id", "px", "py").count().where("count > 1").count()
+    assert dup == 0
+
+    # batch oracle: the full batch pipeline over the original image table
+    res = pipeline.run(spark, all_images, fx.reaches, grid)
+    px_area = grid["ps"] ** 2 / 1e6
+    want = (
+        res["water_joined"].select("scene", "ds", "px", "py").distinct()
+        .groupBy("scene", "ds").count()
+        .toPandas().sort_values(["scene", "ds"]).reset_index(drop=True)
+    )
+    assert list(got.ds) == list(want.ds)
+    assert list(got.n_wet_px) == list(want["count"])
+    assert abs(got.wet_area_km2 - want["count"] * px_area).max() < 1e-12

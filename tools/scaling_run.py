@@ -76,8 +76,12 @@ def main() -> None:
     # size — beyond ~8 busy vCPUs this virtualized host throttles
     # sustained load (see calibration + BASELINE.md note)
     os.environ["SPARK_GRAFT_BENCH_SCENES"] = "192"
-    r2 = run(2, sf_dir, repeats=2)
-    r8 = run(8, sf_dir, repeats=3)
+    # repeats scale with a leg's steal sensitivity: a clean local[8]
+    # sample needs 8 simultaneously-unstolen cores, so it takes more
+    # draws than local[2] to observe the engine instead of the
+    # neighbors (best-of-N per leg is the documented protocol)
+    r2 = run(2, sf_dir, repeats=3)
+    r8 = run(8, sf_dir, repeats=5)
     os.environ.pop("SPARK_GRAFT_BENCH_SCENES")
     r32 = run(32, sf_dir, repeats=2)
     thru2, thru8, thru32 = (r["images_per_sec"] for r in (r2, r8, r32))
