@@ -845,12 +845,37 @@ def _q_export_vectors(spark, sf):
 
 
 def _q_dist_ccl(spark, sf):
-    """Cross-tile distributed CCL (A5 web-scale path) on fixture water."""
+    """Cross-tile distributed CCL (A5 web-scale path), DuckDB-value-
+    pinned: an 8-connectivity component census over a deterministic
+    generated point set (~40 % site density -> many components crossing
+    the 8-px tile boundaries, so the tile-stitch + label-resolution
+    machinery provably fires). The oracle recomputes components
+    independently as a recursive-CTE min-label transitive closure;
+    labels are compared canonically (min pixel key per component).
+    The fixture-water variant stays pytest-covered (tests/test_distccl
+    + the independent flood-fill oracle)."""
     from irivermetrics_spark.operators import distccl
 
-    water = _pipeline_result(spark)["water_joined"].select("scene", "ds", "px", "py").distinct()
-    comp = distccl.label_components(water, tile=16)
-    return comp.groupBy("scene", "ds", "component").agg(F.count("*").cast("bigint").alias("n_pixels"))
+    e = _t(spark, sf, "events")
+    pts = (
+        e.select(
+            (F.col("event_id") % 41).cast("int").alias("px"),
+            (F.floor(F.col("event_id") / 41) % 29).cast("int").alias("py"),
+        )
+        .distinct()
+        .filter(((F.col("px") * 31 + F.col("py") * 17) * F.lit(2654435761)) % 97 < 38)
+        .withColumn("scene", F.lit("s"))
+        .withColumn("ds", F.lit("d"))
+    )
+    comp = distccl.label_components(pts, tile=8)
+    return (
+        comp.groupBy("component")
+        .agg(
+            F.min(F.col("px").cast("bigint") * 100000 + F.col("py")).alias("comp_id"),
+            F.count("*").cast("bigint").alias("n_pixels"),
+        )
+        .select("comp_id", "n_pixels")
+    )
 
 
 def _q_emb_neardup(spark, sf):
@@ -1039,7 +1064,7 @@ def _q_multimodal_stats(spark, sf):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Exactly 50 entries (the driver's CORRECTNESS gate checks the
     first 50 — r2 shipped 56 and the last 6 got zero verification).
-    All 43 DuckDB-oracle-backed entries come first; the 7 rows-only
+    All 44 DuckDB-oracle-backed entries come first; the 6 rows-only
     entries (full-raster/geometry/binary surfaces with no SQL form,
     each numpy-parity pytested) close the list."""
     return {
@@ -1082,6 +1107,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_pools": _q_knn_pools,
         "pixel_persistence_px": _q_pixel_persistence_px,
         "text_fingerprint": _q_text_fingerprint,
+        "dist_ccl": _q_dist_ccl,
         "tile_assign_oracle": _q_tile_assign_oracle,
         "quad_assign_oracle": _q_quad_assign_oracle,
         "pip_oracle": _q_pip_oracle,
@@ -1094,7 +1120,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_transform": _q_multimodal_transform,
         "image_embed_neardup": _q_image_embed_neardup,
         "export_vectors": _q_export_vectors,
-        "dist_ccl": _q_dist_ccl,
     }
 
 
@@ -1620,6 +1645,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT fingerprint, CAST(COUNT(*) AS BIGINT) AS n,
                    CAST(MIN(doc_id) AS BIGINT) AS keeper
             FROM fp GROUP BY fingerprint HAVING COUNT(*) > 1
+        """,
+        "dist_ccl": """
+            WITH RECURSIVE pts AS (
+              SELECT DISTINCT (event_id % 41) AS px, ((event_id // 41) % 29) AS py
+              FROM events
+            ), keep AS (
+              SELECT px, py, px * 100000 + py AS key FROM pts
+              WHERE ((px * 31 + py * 17) * 2654435761) % 97 < 38
+            ), edges AS (
+              SELECT a.key AS ka, b.key AS kb
+              FROM keep a JOIN keep b
+                ON abs(a.px - b.px) <= 1 AND abs(a.py - b.py) <= 1
+            ), lab(key, lbl) AS (
+              -- min-label transitive closure: independent of the
+              -- engine's tile-stitch union-find formulation
+              SELECT key, key FROM keep
+              UNION
+              SELECT e.kb, l.lbl FROM lab l JOIN edges e ON e.ka = l.key
+              WHERE l.lbl < e.kb
+            ), comp AS (
+              SELECT key, MIN(lbl) AS component FROM lab GROUP BY key
+            )
+            SELECT CAST(component AS BIGINT) AS comp_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_pixels
+            FROM comp GROUP BY component
         """,
         "pixel_persistence_px": """
             WITH wet AS (
