@@ -65,11 +65,18 @@ def start_flagship_stream(spark: SparkSession, images_path: str, mask_path: str,
         # 1. append this batch's mask points (exactly-once: the stream
         #    checkpoint owns which source files entered which batch)
         batch_df.write.mode("append").partitionBy("date").parquet(mask_path)
-        # 2. recompute the cheap serving slice over the accumulated
-        #    table; atomic overwrite keeps readers consistent
-        acc = spark.read.parquet(mask_path)
+        # 2. recompute the serving slice for AFFECTED SCENES ONLY — a
+        #    late image can flip earlier dates' F6/fill results, but
+        #    only within its own scene (the time axis is per-scene), so
+        #    the recompute is O(batch's scenes), not O(history).
+        #    Dynamic partition overwrite replaces exactly those scenes'
+        #    output partitions; untouched scenes' results stand.
+        scenes = [r["scene"] for r in batch_df.select("scene").distinct().collect()]
+        acc = spark.read.parquet(mask_path).filter(F.col("scene").isin(scenes))
         wet, pres = wet_area_slice(spark, acc, reaches, grid)
-        wet.write.mode("overwrite").parquet(out_path)
+        (wet.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("scene").parquet(out_path))
         pres["kept"].unpersist()
         pres["water_joined"].unpersist()
 

@@ -55,3 +55,48 @@ def test_streaming_wet_area_batch_identical_across_restart(spark):
     assert list(got.ds) == list(want.ds)
     assert list(got.n_wet_px) == list(want["count"])
     assert abs(got.wet_area_km2 - want["count"] * px_area).max() < 1e-12
+
+
+def test_streaming_selective_scene_recompute(spark):
+    """A micro-batch touching only one scene must replace only that
+    scene's output partitions (dynamic overwrite) — the other scene's
+    results survive verbatim, and totals still match the batch oracle."""
+    fx = synth.make_fixture(w=40, h=20, n_dates=3, n_sections=2, n_scenes=2, seed=23)
+    grid = dict(gx0=fx.gx0, gy0=fx.gy0, ps=fx.pixel_size, w=fx.w, h=fx.h)
+    base = tempfile.mkdtemp(prefix="mstream2_")
+    img_dir, mask_dir = os.path.join(base, "img"), os.path.join(base, "mask")
+    out_dir, ckpt = os.path.join(base, "wet"), os.path.join(base, "ckpt")
+
+    all_images = pipeline.images_df(spark, fx.images)
+    s0 = all_images.filter("image_id LIKE 'scene0%'")
+    s1 = all_images.filter("image_id LIKE 'scene1%'")
+
+    s0.write.mode("append").parquet(img_dir)
+    q = metrics_stream.start_flagship_stream(spark, img_dir, mask_dir, out_dir,
+                                             ckpt, fx.reaches, grid)
+    q.awaitTermination(180)
+    before = spark.read.parquet(out_dir).toPandas()
+    before0 = before[before.scene == "scene0"].sort_values("ds").reset_index(drop=True)
+    assert len(before0) > 0 and set(before.scene) == {"scene0"}
+
+    # batch 2: only scene1 arrives -> scene0 partitions must be untouched
+    s1.write.mode("append").parquet(img_dir)
+    q2 = metrics_stream.start_flagship_stream(spark, img_dir, mask_dir, out_dir,
+                                              ckpt, fx.reaches, grid)
+    q2.awaitTermination(180)
+    after = spark.read.parquet(out_dir).toPandas()
+    after0 = after[after.scene == "scene0"].sort_values("ds").reset_index(drop=True)
+    assert set(after.scene) == {"scene0", "scene1"}
+    assert list(after0.ds) == list(before0.ds)
+    assert list(after0.n_wet_px) == list(before0.n_wet_px)
+
+    # and the combined table equals the batch pipeline over everything
+    res = pipeline.run(spark, all_images, fx.reaches, grid)
+    want = (
+        res["water_joined"].select("scene", "ds", "px", "py").distinct()
+        .groupBy("scene", "ds").count().toPandas()
+        .sort_values(["scene", "ds"]).reset_index(drop=True)
+    )
+    got = after.sort_values(["scene", "ds"]).reset_index(drop=True)
+    assert list(got.scene) == list(want.scene) and list(got.ds) == list(want.ds)
+    assert list(got.n_wet_px) == list(want["count"])
