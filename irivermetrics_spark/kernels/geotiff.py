@@ -167,10 +167,9 @@ def read_geotiff(buf: bytes) -> tuple[np.ndarray, dict, float | None]:
     if planar == 2:
         arr = flat.reshape(nb, h, w)
     else:
-        if len(offsets) > 1 and rows_per_strip < h:
-            arr = flat.reshape(h, w, nb).transpose(2, 0, 1)
-        else:
-            arr = flat.reshape(h, w, nb).transpose(2, 0, 1)
+        # chunky (interleaved): strips are row blocks, so the
+        # concatenated stream reshapes directly regardless of strip count
+        arr = flat.reshape(h, w, nb).transpose(2, 0, 1)
     grid = None
     if 33550 in tags and 33922 in tags:
         psx = tags[33550][0]

