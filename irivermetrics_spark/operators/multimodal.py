@@ -34,11 +34,13 @@ def _decode_any(buf: bytes, fmt: str) -> np.ndarray:
     """Single swap-in point for real codecs.
 
     ``jpeg`` is decoded by the engine's own from-scratch baseline
-    codec (kernels/jpeg.py — full baseline JFIF incl. 4:2:0,
-    conformance-tested on committed third-party files): the web's
-    dominant image format needs no external library. Sample values
+    codec (kernels/jpeg.py — full baseline JFIF incl. 4:2:0) and
+    ``png`` by the from-scratch RFC 2083 codec (kernels/png.py — all
+    five scanline filters, palette/tRNS, stdlib-zlib DEFLATE); both
+    conformance-tested on committed third-party files. The web's two
+    dominant image formats need no external library. Sample values
     stay in their native 8-bit range (0-255) widened to the engine's
-    uint16 plane dtype. png/webp remain honestly stubbed.
+    uint16 plane dtype. webp remains honestly stubbed.
     """
     if fmt in (codecs.FMT_RAW16, codecs.FMT_QLOSSY):
         return codecs.decode_image(buf)
@@ -46,9 +48,13 @@ def _decode_any(buf: bytes, fmt: str) -> np.ndarray:
         from ..kernels import jpeg
 
         return jpeg.decode_baseline(bytes(buf)).astype(np.uint16)
-    if fmt in ("png", "webp"):
-        # STUB: no image libraries in this environment. A deployment
-        # installs pillow and decodes here.
+    if fmt == "png":
+        from ..kernels import png
+
+        return png.decode_png(bytes(buf)).astype(np.uint16)
+    if fmt == "webp":
+        # STUB: VP8 entropy coding is out of scope for a from-scratch
+        # build; a deployment installs pillow and decodes here.
         raise NotImplementedError(f"external codec {fmt!r} requires an image library")
     raise ValueError(f"unknown fmt {fmt!r}")
 

@@ -32,12 +32,14 @@ def test_resize_images_spark(spark):
 
 
 def test_external_codec_stub_raises():
-    # png/webp remain stubbed; jpeg is now a REAL from-scratch decoder
-    # (kernels/jpeg.py) — truncated input fails loudly, real files work
+    # webp remains stubbed; jpeg/png are REAL from-scratch decoders
+    # (kernels/jpeg.py, kernels/png.py) — bad input fails loudly
     with pytest.raises(NotImplementedError):
-        multimodal._decode_any(b"\x89PNG\r\n", "png")
+        multimodal._decode_any(b"RIFF....WEBP", "webp")
     with pytest.raises(ValueError, match="truncated|SOS"):
         multimodal._decode_any(b"\xff\xd8\xff", "jpeg")
+    with pytest.raises(ValueError, match="PNG"):
+        multimodal._decode_any(b"\x89PNG\r\n", "png")
 
 
 def test_decode_any_routes_jpeg():
