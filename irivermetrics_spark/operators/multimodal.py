@@ -75,7 +75,12 @@ def resize_image(arr: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
 
 
 def resize_images(images: DataFrame, out_w: int, out_h: int) -> DataFrame:
-    """Image table -> resized image table (raw16-encoded)."""
+    """Image table -> resized image table (raw16-encoded).
+
+    Caption (and any other non-payload column) passes through UNTOUCHED
+    via a post-transform equi-join on image_id — the per-row caption-
+    equality invariant of the input contract holds by construction and
+    the binary kernel never ships text columns through Arrow."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -91,7 +96,11 @@ def resize_images(images: DataFrame, out_w: int, out_h: int) -> DataFrame:
             yield pd.DataFrame(rows) if rows else pd.DataFrame(
                 {c.split()[0]: [] for c in RESIZED_SCHEMA.split(", ")})
 
-    return images.select("image_id", "bytes", "fmt").mapInPandas(kernel, RESIZED_SCHEMA)
+    out = images.select("image_id", "bytes", "fmt").mapInPandas(kernel, RESIZED_SCHEMA)
+    extra = [c for c in images.columns if c not in ("bytes", "w", "h", "fmt")]
+    if extra != ["image_id"]:
+        out = out.join(images.select(*extra), "image_id")
+    return out
 
 
 def encode_video(frames: np.ndarray) -> bytes:

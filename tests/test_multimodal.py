@@ -106,3 +106,20 @@ def test_image_embedding_neardup_detects_reencodes(spark):
     for i in range(3):
         orig = pdf.iloc[i]["image_id"]
         assert tuple(sorted((orig, f"dup_{orig}"))) in found, (orig, found)
+
+
+def test_resize_preserves_caption_and_phash(spark):
+    """Per-row invariant of the input contract: caption (and other
+    metadata) survives the binary transform byte-identically."""
+    from irivermetrics_spark import synth
+    from irivermetrics_spark.plans import pipeline as plans_pipeline
+
+    fx = synth.make_fixture(w=40, h=16, n_dates=3, n_sections=1, seed=27)
+    images = plans_pipeline.images_df(spark, fx.images)
+    out = multimodal.resize_images(images, 10, 8).toPandas().set_index("image_id")
+    src = fx.images.set_index("image_id")
+    assert set(out.index) == set(src.index)
+    for iid in src.index:
+        assert out.loc[iid, "caption"] == src.loc[iid, "caption"]
+        assert int(out.loc[iid, "phash"]) == int(src.loc[iid, "phash"])
+    assert (out.w == 10).all() and (out.h == 8).all()
