@@ -255,25 +255,43 @@ def normalize_reaches(reaches: list[dict]) -> list[dict]:
 
 
 def reaches_to_planar(reaches: list[dict], lat0: float | None = None,
-                      lon0: float | None = None) -> list[dict]:
-    """Geographic (lon/lat degree) reach layer -> engine planar meters.
+                      lon0: float | None = None, frame: str = "local",
+                      zone: int | None = None) -> list[dict]:
+    """Geographic (lon/lat degree) reach layer -> metric coordinates.
 
     The reference reprojects geographic vector layers to an estimated
     UTM zone before measuring (src/utils/calc_metrics.py:343-348:
-    estimate_utm_crs + reprojection); the engine's analog converts
-    through its local metric plane (functions/geometry.py:
-    lonlat_to_planar). With ``lat0``/``lon0`` omitted the plane is
-    estimated from the layer extent (the estimate-UTM analog) — pass
-    the raster grid's plane origin explicitly when the layer must land
-    in an existing grid's frame. bbox/area are re-derived in meters.
+    estimate_utm_crs + reprojection). Two frames:
+
+    - ``frame="local"``: the engine's tangent plane at ``lat0``/``lon0``
+      (estimated from the layer extent when omitted) — the right frame
+      when the raster grid lives in the engine's own planar bridge.
+    - ``frame="utm"``: TRUE WGS84 UTM (Snyder transverse-Mercator
+      series, functions/geometry.py:lonlat_to_utm), zone estimated from
+      the layer's mean longitude unless given — the right frame when
+      the rasters are UTM-georeferenced GeoTIFFs, exactly the
+      reference's estimate_utm_crs semantics, no proj library needed.
+
+    bbox/area are re-derived in meters either way.
     """
     from .functions import geometry
 
+    out = []
+    if frame == "utm":
+        if zone is None:
+            lons = np.concatenate([np.asarray(r["ring_x"], dtype=np.float64) for r in reaches])
+            lats = np.concatenate([np.asarray(r["ring_y"], dtype=np.float64) for r in reaches])
+            zone = geometry.utm_zone(lons, lats)
+        for r in reaches:
+            x, y, _ = geometry.lonlat_to_utm(r["ring_x"], r["ring_y"], zone=zone)
+            out.append(_enrich_reach(r["section"], x, y))
+        return out
+    if frame != "local":
+        raise ValueError(f"unknown frame {frame!r} (local|utm)")
     if lat0 is None or lon0 is None:
         lons = np.concatenate([np.asarray(r["ring_x"], dtype=np.float64) for r in reaches])
         lats = np.concatenate([np.asarray(r["ring_y"], dtype=np.float64) for r in reaches])
         lat0, lon0 = geometry.estimate_local_plane(lons, lats)
-    out = []
     for r in reaches:
         x, y = geometry.lonlat_to_planar(r["ring_x"], r["ring_y"], lat0, lon0)
         out.append(_enrich_reach(r["section"], x, y))

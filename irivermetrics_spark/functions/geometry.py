@@ -230,6 +230,84 @@ def lonlat_to_planar(lon, lat, lat0: float = -18.0, lon0: float = 120.0):
     return (lon - lon0) * m_per_deg_lon, (lat - lat0) * m_per_deg_lat
 
 
+# --------------------------------------------------------- true UTM
+# WGS84 transverse Mercator (Snyder 1987, "Map Projections — A Working
+# Manual", eqs. 8-9..8-25): the reference reprojects geographic layers
+# to an ESTIMATED UTM zone (src/utils/calc_metrics.py:343-348
+# estimate_utm_crs); these are the real ellipsoidal formulas, so a
+# lon/lat reach layer can land in the SAME frame as a UTM-georeferenced
+# GeoTIFF scene — no proj library required.
+
+_WGS84_A = 6378137.0
+_WGS84_F = 1.0 / 298.257223563
+_E2 = _WGS84_F * (2.0 - _WGS84_F)
+_EP2 = _E2 / (1.0 - _E2)
+_K0 = 0.9996
+
+
+def utm_zone(lon, lat) -> int:
+    """Standard zone number from longitude (1..60)."""
+    return int(np.clip((np.floor((np.mean(np.asarray(lon, dtype=np.float64)) + 180.0) / 6.0) + 1), 1, 60))
+
+
+def lonlat_to_utm(lon, lat, zone: int | None = None) -> tuple[np.ndarray, np.ndarray, int]:
+    """(easting, northing, zone) — WGS84 UTM, southern rows offset 1e7."""
+    lon = np.asarray(lon, dtype=np.float64)
+    lat = np.asarray(lat, dtype=np.float64)
+    if zone is None:
+        zone = utm_zone(lon, lat)
+    lam0 = np.radians((zone - 1) * 6.0 - 180.0 + 3.0)
+    phi = np.radians(lat)
+    lam = np.radians(lon)
+    sin_p, cos_p, tan_p = np.sin(phi), np.cos(phi), np.tan(phi)
+    N = _WGS84_A / np.sqrt(1.0 - _E2 * sin_p**2)
+    T = tan_p**2
+    C = _EP2 * cos_p**2
+    A = (lam - lam0) * cos_p
+    M = _WGS84_A * (
+        (1 - _E2 / 4 - 3 * _E2**2 / 64 - 5 * _E2**3 / 256) * phi
+        - (3 * _E2 / 8 + 3 * _E2**2 / 32 + 45 * _E2**3 / 1024) * np.sin(2 * phi)
+        + (15 * _E2**2 / 256 + 45 * _E2**3 / 1024) * np.sin(4 * phi)
+        - (35 * _E2**3 / 3072) * np.sin(6 * phi)
+    )
+    E = _K0 * N * (A + (1 - T + C) * A**3 / 6
+                   + (5 - 18 * T + T**2 + 72 * C - 58 * _EP2) * A**5 / 120) + 500000.0
+    Nrth = _K0 * (M + N * tan_p * (A**2 / 2
+                                   + (5 - T + 9 * C + 4 * C**2) * A**4 / 24
+                                   + (61 - 58 * T + T**2 + 600 * C - 330 * _EP2) * A**6 / 720))
+    Nrth = np.where(lat < 0, Nrth + 10000000.0, Nrth)
+    return E, Nrth, zone
+
+
+def utm_to_lonlat(easting, northing, zone: int, south: bool) -> tuple[np.ndarray, np.ndarray]:
+    """Inverse WGS84 UTM (Snyder eqs. 8-17..8-25, footpoint latitude)."""
+    E = np.asarray(easting, dtype=np.float64) - 500000.0
+    N = np.asarray(northing, dtype=np.float64) - (10000000.0 if south else 0.0)
+    lam0 = np.radians((zone - 1) * 6.0 - 180.0 + 3.0)
+    M = N / _K0
+    e1 = (1 - np.sqrt(1 - _E2)) / (1 + np.sqrt(1 - _E2))
+    mu = M / (_WGS84_A * (1 - _E2 / 4 - 3 * _E2**2 / 64 - 5 * _E2**3 / 256))
+    phi1 = (mu
+            + (3 * e1 / 2 - 27 * e1**3 / 32) * np.sin(2 * mu)
+            + (21 * e1**2 / 16 - 55 * e1**4 / 32) * np.sin(4 * mu)
+            + (151 * e1**3 / 96) * np.sin(6 * mu)
+            + (1097 * e1**4 / 512) * np.sin(8 * mu))
+    sin1, cos1, tan1 = np.sin(phi1), np.cos(phi1), np.tan(phi1)
+    C1 = _EP2 * cos1**2
+    T1 = tan1**2
+    N1 = _WGS84_A / np.sqrt(1 - _E2 * sin1**2)
+    R1 = _WGS84_A * (1 - _E2) / (1 - _E2 * sin1**2) ** 1.5
+    D = E / (N1 * _K0)
+    phi = phi1 - (N1 * tan1 / R1) * (
+        D**2 / 2
+        - (5 + 3 * T1 + 10 * C1 - 4 * C1**2 - 9 * _EP2) * D**4 / 24
+        + (61 + 90 * T1 + 298 * C1 + 45 * T1**2 - 252 * _EP2 - 3 * C1**2) * D**6 / 720
+    )
+    lam = lam0 + (D - (1 + 2 * T1 + C1) * D**3 / 6
+                  + (5 - 2 * C1 + 28 * T1 - 3 * C1**2 + 8 * _EP2 + 24 * T1**2) * D**5 / 120) / cos1
+    return np.degrees(lam), np.degrees(phi)
+
+
 def estimate_local_plane(lons, lats) -> tuple[float, float]:
     """(lat0, lon0) — the layer-extent midpoint, the engine's analog of
     the reference's UTM-zone estimation for geographic layers: pick the

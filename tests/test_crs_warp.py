@@ -137,3 +137,49 @@ def test_calculate_metrics_accepts_lonlat_reaches(spark):
     a = res_p["metrics"].toPandas()[cols].sort_values(["date", "section"]).reset_index(drop=True)
     b = res_g["metrics"].toPandas()[cols].sort_values(["date", "section"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b, check_exact=False, rtol=1e-9)
+
+
+def test_true_utm_forward_inverse_and_properties():
+    """WGS84 UTM (Snyder series): exact round-trip, E=500000 on the
+    central meridian, k0 scale on the meridian, and euclidean UTM
+    distances near the CM agreeing with great-circle distances."""
+    lon = np.array([120.0, 121.4, 118.9])
+    lat = np.array([-18.0, -17.2, -19.5])
+    E, N, z = geometry.lonlat_to_utm(lon, lat)
+    assert z == 51
+    lon2, lat2 = geometry.utm_to_lonlat(E, N, z, south=True)
+    assert np.abs(lon2 - lon).max() < 1e-7 and np.abs(lat2 - lat).max() < 1e-7
+    Ecm, _, _ = geometry.lonlat_to_utm(np.array([123.0]), np.array([-18.0]), zone=51)
+    assert abs(Ecm[0] - 500000.0) < 1e-6
+    # scale factor on the CM is exactly k0 (ellipsoidal meridian radius)
+    Ea, Na, _ = geometry.lonlat_to_utm(np.array([123.0]), np.array([-18.0005]), zone=51)
+    Eb, Nb, _ = geometry.lonlat_to_utm(np.array([123.0]), np.array([-17.9995]), zone=51)
+    R1 = (geometry._WGS84_A * (1 - geometry._E2)
+          / (1 - geometry._E2 * np.sin(np.radians(-18.0)) ** 2) ** 1.5)
+    expect = 0.9996 * R1 * np.radians(0.001)
+    assert abs(float(Nb[0] - Na[0]) / expect - 1) < 1e-6
+    # euclidean-vs-haversine near the CM: same distance to ~0.3 %
+    # (k0 + spherical-vs-ellipsoid earth models)
+    p = geometry.lonlat_to_utm(np.array([122.9, 123.1]), np.array([-18.0, -18.1]), zone=51)
+    d_utm = float(np.hypot(np.diff(p[0]), np.diff(p[1]))[0])
+    d_hav = float(geometry.haversine_m(np.array([-18.0]), np.array([122.9]),
+                                       np.array([-18.1]), np.array([123.1]))[0])
+    assert abs(d_utm / d_hav - 1) < 0.005
+
+
+def test_reaches_to_planar_utm_frame():
+    """frame='utm' lands a geographic layer in true UTM meters with
+    positive shoelace areas close to the local-plane areas (the two
+    metric frames agree at corridor scale)."""
+    fx = synth.make_fixture(w=40, h=20, n_dates=2, n_sections=2, seed=4)
+    local_geo = []
+    for r in fx.reaches:
+        rx = np.asarray(r["ring_x"]) - fx.gx0
+        ry = np.asarray(r["ring_y"]) - fx.gy0
+        lon, lat = geometry.planar_to_lonlat(rx, ry)
+        local_geo.append(dict(section=r["section"], ring_x=lon, ring_y=lat))
+    utm = api.reaches_to_planar(local_geo, frame="utm")
+    loc = api.reaches_to_planar(local_geo)
+    for ru, rl in zip(utm, loc):
+        assert ru["area_m2"] > 0
+        assert abs(ru["area_m2"] / rl["area_m2"] - 1) < 0.01
