@@ -1031,40 +1031,57 @@ def _q_ann_pq(spark, sf):
 
 
 def _q_multimodal_stats(spark, sf):
-    """Opaque-binary multimodal column handling: decode + per-image
-    feature extraction inside mapInPandas (schema/plumbing real; heavy
-    decoders stubbed per environment constraints)."""
+    """Opaque-binary multimodal column handling, DuckDB-value-pinned:
+    per-image pixel data is GENERATED from a deterministic formula,
+    encoded with the real raw16 codec, then decoded + feature-extracted
+    inside the real mapInPandas kernel — while the oracle computes the
+    identical stats from pure SQL arithmetic over the same formula,
+    never touching bytes. Any corruption in encode/decode/stat shifts
+    the mean and breaks the hash. (The fixture-image variant with
+    phash verification stays pytest-covered, tests/test_multimodal.py.)"""
     from collections.abc import Iterator
 
     import numpy as np
     import pandas as pd
 
     from irivermetrics_spark import codecs
-    from irivermetrics_spark.plans import pipeline
 
-    fx = _fixture()
-    images = pipeline.images_df(spark, fx.images)
+    NB, H, W = 3, 12, 17
+
+    def gen(k: int) -> np.ndarray:
+        b, y, x = np.meshgrid(np.arange(NB), np.arange(H), np.arange(W), indexing="ij")
+        return ((k * 7919 + b * 104729 + y * 131 + x * 17) % 20001).astype(np.uint16)
+
+    rows = [dict(image_id=f"gen_{k}", bytes=codecs.encode_image(gen(k))) for k in range(10)]
+    images = spark.createDataFrame(pd.DataFrame(rows))
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for image_id, buf, phash in zip(pdf["image_id"], pdf["bytes"], pdf["phash"]):
+            out = []
+            for image_id, buf in zip(pdf["image_id"], pdf["bytes"]):
                 arr = codecs.decode_image(bytes(buf))
-                rows.append(dict(
+                out.append(dict(
                     image_id=image_id,
                     mean_brightness=float(arr.mean()),
                     band_count=int(arr.shape[0]),
-                    phash_ok=bool(codecs.phash64(arr) == phash),
+                    n_px=int(arr.size),
                 ))
-            yield pd.DataFrame(rows)
+            yield pd.DataFrame(out)
 
-    return images.mapInPandas(kernel, "image_id string, mean_brightness double, band_count int, phash_ok boolean")
+    stats = images.mapInPandas(
+        kernel, "image_id string, mean_brightness double, band_count int, n_px long")
+    return stats.select(
+        "image_id",
+        F.round("mean_brightness", 6).alias("mean_brightness"),
+        F.col("band_count").cast("bigint").alias("band_count"),
+        F.col("n_px").cast("bigint").alias("n_px"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Exactly 50 entries (the driver's CORRECTNESS gate checks the
     first 50 — r2 shipped 56 and the last 6 got zero verification).
-    All 44 DuckDB-oracle-backed entries come first; the 6 rows-only
+    All 45 DuckDB-oracle-backed entries come first; the 5 rows-only
     entries (full-raster/geometry/binary surfaces with no SQL form,
     each numpy-parity pytested) close the list."""
     return {
@@ -1108,6 +1125,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pixel_persistence_px": _q_pixel_persistence_px,
         "text_fingerprint": _q_text_fingerprint,
         "dist_ccl": _q_dist_ccl,
+        "multimodal_stats": _q_multimodal_stats,
         "tile_assign_oracle": _q_tile_assign_oracle,
         "quad_assign_oracle": _q_quad_assign_oracle,
         "pip_oracle": _q_pip_oracle,
@@ -1116,7 +1134,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- rows-only (no SQL form; numpy-parity pytested) ----
         "flagship_metrics": _q_flagship_metrics,
         "zonal_join_rows": _q_zonal_join_rows,
-        "multimodal_stats": _q_multimodal_stats,
         "multimodal_transform": _q_multimodal_transform,
         "image_embed_neardup": _q_image_embed_neardup,
         "export_vectors": _q_export_vectors,
@@ -1614,6 +1631,18 @@ def oracle_sql() -> dict[str, str]:
               SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dist_m ASC, neighbor_id ASC) AS rank
               FROM d
             ) WHERE rank <= 3
+        """,
+        "multimodal_stats": """
+            WITH px AS (
+              SELECT k.range AS k,
+                     ((k.range * 7919 + b.range * 104729 + y.range * 131 + x.range * 17) % 20001) AS v
+              FROM range(10) k, range(3) b, range(12) y, range(17) x
+            )
+            SELECT 'gen_' || CAST(k AS VARCHAR) AS image_id,
+                   ROUND(AVG(v), 6) AS mean_brightness,
+                   CAST(3 AS BIGINT) AS band_count,
+                   CAST(COUNT(*) AS BIGINT) AS n_px
+            FROM px GROUP BY k
         """,
         # the 64-bit polynomial doc hash is pure fold arithmetic, so
         # DuckDB can recompute it exactly: list_reduce over HUGEINT with
