@@ -73,8 +73,21 @@ def decode_image(buf: bytes) -> np.ndarray:
     if buf[:4] in (b"II*\x00", b"MM\x00*"):
         from .kernels import geotiff
 
-        arr, _, _ = geotiff.read_geotiff(buf)
-        return np.clip(arr.astype(np.float64), 0, np.iinfo(np.uint16).max).astype(np.uint16)
+        arr, _, nodata = geotiff.read_geotiff(buf)
+        vals = arr.astype(np.float64)
+        if arr.dtype.kind == "f":
+            # Floating-point scenes (SampleFormat=3) are the reference's
+            # rioxarray 0..1 reflectance form (src/utils/wd_batch.py:651-654
+            # divides integer DN by 10000 to get exactly this domain), so
+            # casting straight to uint16 would truncate them to {0,1}.
+            # Rescale into the engine's DN domain; floats already in the DN
+            # range (max > 2, i.e. not surface reflectance) pass through.
+            vals = np.nan_to_num(vals, nan=0.0, posinf=0.0, neginf=0.0)
+            if nodata is not None:
+                vals = np.where(vals == float(nodata), 0.0, vals)
+            if vals.size and vals.max() <= 2.0:
+                vals = vals * 10000.0
+        return np.clip(vals, 0, np.iinfo(np.uint16).max).astype(np.uint16)
     if buf[:4] != MAGIC:
         raise ValueError("bad magic")
     fmt_code, nbands = buf[4], buf[5]

@@ -234,6 +234,7 @@ def decode_baseline(buf: bytes) -> np.ndarray:
     huff_ac: dict[int, _HuffTable] = {}
     restart_interval = 0
     frame = None
+    planes_by_id: dict[int, np.ndarray] = {}
     i = 2
     n = len(buf)
     while i < n:
@@ -295,18 +296,36 @@ def decode_baseline(buf: bytes) -> np.ndarray:
                 cid, tt = seg[1 + 2 * c], seg[2 + 2 * c]
                 sel[cid] = (tt >> 4, tt & 0x0F)
             segments, end = _split_scan(buf, i + 2 + ln)
-            planes = _decode_scan(frame, sel, qt, huff_dc, huff_ac,
-                                  restart_interval, segments)
-            return _to_output(frame, planes)
+            scan_planes = _decode_scan(frame, sel, qt, huff_dc, huff_ac,
+                                       restart_interval, segments)
+            for cid, pl in zip(sel, scan_planes):
+                planes_by_id[cid] = pl
+            if len(planes_by_id) == len(frame["comps"]):
+                return _to_output(
+                    frame, [planes_by_id[c["id"]] for c in frame["comps"]])
+            i = end  # multi-scan file: continue at the next marker
+            continue
         i += 2 + ln
+    if planes_by_id:
+        raise ValueError(
+            f"truncated multi-scan JPEG: {len(planes_by_id)} of "
+            f"{len(frame['comps'])} components decoded before EOI")
     raise ValueError("no SOS marker found")
 
 
 def _decode_scan(frame, sel, qt, huff_dc, huff_ac, restart_interval, segments):
-    comps = frame["comps"]
+    by_id = {c["id"]: c for c in frame["comps"]}
+    comps = [by_id[cid] for cid in sel]  # scan order per SOS
     w, h = frame["w"], frame["h"]
-    hmax = max(c["hi"] for c in comps)
-    vmax = max(c["vi"] for c in comps)
+    hmax = max(c["hi"] for c in frame["comps"])
+    vmax = max(c["vi"] for c in frame["comps"])
+    if len(comps) == 1:
+        # T.81 A.2.2: a single-component scan is NON-interleaved — the
+        # MCU is one data unit over the component's OWN block grid (not
+        # the frame-max sampling grid), e.g. a grayscale JFIF whose SOF
+        # carries 2x2 sampling factors (ADVICE r3)
+        return [_decode_noninterleaved(frame, comps[0], sel, qt, huff_dc,
+                                       huff_ac, restart_interval, segments)]
     mcus_x = -(-w // (8 * hmax))
     mcus_y = -(-h // (8 * vmax))
     n_mcus = mcus_x * mcus_y
@@ -365,6 +384,57 @@ def _decode_scan(frame, sel, qt, huff_dc, huff_ac, restart_interval, segments):
         plane = np.repeat(np.repeat(plane, vmax // c["vi"], axis=0), hmax // c["hi"], axis=1)
         planes.append(plane[:h, :w])
     return planes
+
+
+def _decode_noninterleaved(frame, c, sel, qt, huff_dc, huff_ac,
+                           restart_interval, segments):
+    """Decode a single-component (ns=1) scan per T.81 A.2.2: MCU = one
+    data unit, block grid = ceil(comp_w/8) x ceil(comp_h/8) where the
+    component's dimensions derive from its own sampling factors."""
+    w, h = frame["w"], frame["h"]
+    hmax = max(fc["hi"] for fc in frame["comps"])
+    vmax = max(fc["vi"] for fc in frame["comps"])
+    cw = -(-w * c["hi"] // hmax)
+    ch = -(-h * c["vi"] // vmax)
+    nbx, nby = -(-cw // 8), -(-ch // 8)
+    n_units = nbx * nby
+    dc_t, ac_t = sel[c["id"]]
+    coef = np.zeros((n_units, 64), dtype=np.int32)
+    pred = 0
+    seg_idx = 0
+    reader = _BitReader(segments[0])
+    per_seg = restart_interval if restart_interval else n_units
+    for u in range(n_units):
+        if restart_interval and u and u % per_seg == 0:
+            seg_idx += 1
+            reader = _BitReader(segments[seg_idx])
+            pred = 0
+        block = coef[u]
+        s = reader.decode_symbol(huff_dc[dc_t])
+        pred += reader.receive_extend(s)
+        block[0] = pred
+        k = 1
+        while k < 64:
+            rs = reader.decode_symbol(huff_ac[ac_t])
+            r, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if r == 15:
+                    k += 16
+                    continue
+                break  # EOB
+            k += r
+            if k > 63:
+                raise ValueError("AC run past block end")
+            block[k] = reader.receive_extend(s)
+            k += 1
+    deq = coef * qt[c["tq"]].reshape(-1)[ZIGZAG][None, :]
+    nat = np.zeros_like(deq)
+    nat[:, ZIGZAG] = deq
+    blocks = idct2_blocks(nat.reshape(-1, 8, 8).astype(np.float64)) + 128.0
+    plane = blocks.reshape(nby, nbx, 8, 8).transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8)
+    plane = plane[:ch, :cw]
+    plane = np.repeat(np.repeat(plane, vmax // c["vi"], axis=0), hmax // c["hi"], axis=1)
+    return plane[:h, :w]
 
 
 def _to_output(frame, planes) -> np.ndarray:

@@ -107,7 +107,7 @@ def decode_png(buf: bytes) -> np.ndarray:
         elif typ == b"PLTE":
             plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
         elif typ == b"tRNS":
-            trns = np.frombuffer(data, dtype=np.uint8)
+            trns = bytes(data)  # palette: u8 alphas; gray/RGB: >u2 key(s)
         elif typ == b"IDAT":
             idat += data
         elif typ == b"IEND":
@@ -129,20 +129,36 @@ def decode_png(buf: bytes) -> np.ndarray:
         samples = _unpack_bits(rows, depth, w)
         if color == 0:  # scale to 8-bit
             scale = 255 // ((1 << depth) - 1)
-            return (samples * scale).astype(np.uint8)[None, :, :]
+            g = (samples * scale).astype(np.uint8)[None, :, :]
+            if trns is not None:
+                # tRNS for grayscale: one 16-bit sample key; sub-byte
+                # depths key on the RAW (pre-scale) sample value
+                key = struct.unpack(">H", trns[:2])[0] & ((1 << depth) - 1)
+                a = np.where(samples == key, 0, 255).astype(np.uint8)
+                return np.ascontiguousarray(np.concatenate([g, a[None]], axis=0))
+            return g
         idx = samples
     elif color == 3:
         idx = rows[:, :w]
     else:
         img = rows.reshape(h, w, nch).transpose(2, 0, 1)
+        if trns is not None and color in (0, 2):
+            # tRNS for gray (1 key) / RGB (3 keys): 16-bit sample values;
+            # pixels matching the key become fully transparent, emitted
+            # as an extra alpha channel (ADVICE r3: previously dropped)
+            keys = np.frombuffer(trns, dtype=">u2")[:nch].astype(np.uint16)
+            match = np.all(img.astype(np.uint16) == keys[:, None, None], axis=0)
+            a = np.where(match, 0, 255).astype(np.uint8)
+            img = np.concatenate([img, a[None, :, :]], axis=0)
         return np.ascontiguousarray(img)
 
     if plte is None:
         raise ValueError("palette image without PLTE")
     rgb = plte[idx]  # (h, w, 3)
     if trns is not None:
+        t = np.frombuffer(trns, dtype=np.uint8)
         alpha = np.full(plte.shape[0], 255, dtype=np.uint8)
-        alpha[: trns.shape[0]] = trns
+        alpha[: t.shape[0]] = t
         a = alpha[idx]
         out = np.concatenate([rgb, a[:, :, None]], axis=2)
         return np.ascontiguousarray(out.transpose(2, 0, 1))

@@ -229,7 +229,7 @@ def drop_low_postfill(points: DataFrame, keys: list[str] | tuple[str, ...] = ("s
 
 def filled_water(points: DataFrame, kept_idx: DataFrame, reaches: list[dict],
                  grid: dict, fill_res: int = FILL_RES_DEFAULT,
-                 fill_nodata: bool = True) -> DataFrame:
+                 fill_nodata: bool = True, broadcast_kept: bool = True) -> DataFrame:
     """Temporal fill + binarize -> water point rows (value==1 only).
 
     points: decode output (scene, px, py, value in {1,-1}) already
@@ -289,6 +289,9 @@ def filled_water(points: DataFrame, kept_idx: DataFrame, reaches: list[dict],
     filled = prepared.groupBy("scene", "fill_cell").applyInPandas(
         kernel, "scene string, t_idx int, px int, py int"
     )
-    return filled.join(
-        F.broadcast(kept_idx.select("scene", "t_idx", "ds")), ["scene", "t_idx"]
-    ).select("scene", "ds", "px", "py")
+    # broadcast gated by the caller (pipeline passes n_kept_rows <= 2M):
+    # the kept dimension is unbounded at 10^6-scene scale (ADVICE r3)
+    dim = kept_idx.select("scene", "t_idx", "ds")
+    if broadcast_kept:
+        dim = F.broadcast(dim)
+    return filled.join(dim, ["scene", "t_idx"]).select("scene", "ds", "px", "py")

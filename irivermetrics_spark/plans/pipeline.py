@@ -248,11 +248,17 @@ def run(
         (F.row_number().over(Window.partitionBy("scene").orderBy("date")) - 1).alias("t_idx"),
         F.count("*").over(Window.partitionBy("scene")).alias("n_t"),
     )
-    points_kept = points.join(
-        F.broadcast(kept_idx.select("scene", "date", "t_idx", "n_t")), ["scene", "date"]
-    )
+    # broadcast only while the kept dimension is bounded (same 2M gate
+    # as the fold dims): an unconditional hint would re-materialize the
+    # whole (scene, date) dimension on the driver + every executor —
+    # exactly the ceiling the de-drivering removed (ADVICE r3)
+    kept_cols = kept_idx.select("scene", "date", "t_idx", "n_t")
+    if n_kept_rows <= 2_000_000:
+        kept_cols = F.broadcast(kept_cols)
+    points_kept = points.join(kept_cols, ["scene", "date"])
     water = fillop.filled_water(points_kept, kept_idx, reaches, grid, fill_res=fill_res,
-                                fill_nodata=fill_nodata)
+                                fill_nodata=fill_nodata,
+                                broadcast_kept=n_kept_rows <= 2_000_000)
     if checkpoint_dir:
         water = lineage.run_stage(spark, water, checkpoint_dir, "water_filled")
 

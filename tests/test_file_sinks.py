@@ -125,3 +125,21 @@ def test_api_outdir_writes_reference_file_formats(spark):
     assert arr.shape == (1, grid["h"], grid["w"])
     assert np.allclose(arr[0], truth.astype(np.float32))
     assert np.isclose(g["gx0"], grid["gx0"]) and g["ps"] == grid["ps"] and nd == 0.0
+
+
+def test_float32_reflectance_tif_decodes_to_dn_domain():
+    """ADVICE r3: a 0..1 float32 reflectance .tif (the reference's
+    rioxarray form) must rescale into the 0-20000 DN domain, not
+    truncate to {0,1}; floats already in the DN range pass through."""
+    from irivermetrics_spark import codecs
+
+    rng = np.random.default_rng(7)
+    refl = rng.random((3, 9, 11)).astype(np.float32)
+    out = codecs.decode_image(geotiff.write_geotiff(refl, dict(gx0=0, gy0=0, ps=30.0)))
+    assert out.dtype == np.uint16 and out.max() > 5000
+    assert np.allclose(out, refl.astype(np.float64) * 10000.0, atol=1.0)
+
+    dn = (rng.random((1, 5, 5)) * 15000).astype(np.float32)
+    assert dn.max() > 2.0
+    out2 = codecs.decode_image(geotiff.write_geotiff(dn, dict(gx0=0, gy0=0, ps=30.0)))
+    assert np.array_equal(out2, np.clip(dn, 0, 65535).astype(np.uint16))

@@ -169,3 +169,18 @@ def test_jpeg_property_roundtrip():
             jpeg.decode_baseline(jpeg.encode_baseline(img, q)), dec)
 
     roundtrip()
+
+
+def test_noninterleaved_grayscale_with_subsampled_sof():
+    """T.81 A.2.2 (ADVICE r3): a single-component scan is decoded
+    NON-interleaved — a grayscale JFIF whose SOF carries 2x2 sampling
+    factors (emitted by some encoders) holds the exact same entropy
+    stream as the 1x1 file, so pixels must decode identically."""
+    img = _test_image()[0:1]
+    buf = bytearray(jpeg.encode_baseline(img, quality=85))
+    sof = bytes(buf).index(b"\xff\xc0")
+    assert buf[sof + 11] == 0x11  # comp0: cid at +10, sampling at +11
+    buf[sof + 11] = 0x22
+    patched = jpeg.decode_baseline(bytes(buf))
+    plain = jpeg.decode_baseline(jpeg.encode_baseline(img, quality=85))
+    assert np.array_equal(patched, plain)

@@ -111,3 +111,31 @@ def test_decode_any_routes_png():
     arr = np.stack([np.full((10, 12), v, dtype=np.uint8) for v in (10, 100, 250)])
     out = multimodal._decode_any(png.encode_png(arr), "png")
     assert out.dtype == np.uint16 and np.array_equal(out, arr.astype(np.uint16))
+
+
+def test_trns_on_gray_and_rgb_color_types():
+    """ADVICE r3: tRNS for color types 0/2 (16-bit sample keys) emits
+    an alpha channel instead of being silently dropped."""
+    import struct
+    import zlib
+
+    def chunk(typ, data):
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF))
+
+    arr = np.zeros((3, 4, 5), np.uint8)
+    arr[:, 1, 2] = [10, 20, 30]   # the keyed color -> transparent
+    arr[:, 0, 0] = [10, 20, 31]   # near miss stays opaque
+    buf = png.encode_png(arr)
+    t = chunk(b"tRNS", struct.pack(">HHH", 10, 20, 30))
+    out = png.decode_png(buf[:33] + t + buf[33:])  # sig(8) + IHDR(25)
+    assert out.shape == (4, 4, 5)
+    assert out[3, 1, 2] == 0 and out[3, 0, 0] == 255
+    assert int(out[3].sum()) == 255 * (20 - 1)
+
+    g = np.full((1, 3, 3), 7, np.uint8)
+    g[0, 1, 1] = 9
+    gb = png.encode_png(g)
+    og = png.decode_png(gb[:33] + chunk(b"tRNS", struct.pack(">H", 9)) + gb[33:])
+    assert og.shape == (2, 3, 3)
+    assert og[1, 1, 1] == 0 and int(og[1].sum()) == 255 * 8
