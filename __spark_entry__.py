@@ -471,8 +471,65 @@ def _q_flagship_metrics(spark, sf):
     return _pipeline_result(spark)["metrics"]
 
 
+ZONAL_RINGS = {
+    # two overlapping concave sections in planar meters (section -> ring)
+    "A": ([200.0, 2800.0, 2100.0, 2500.0, 400.0, 900.0],
+          [100.0, 300.0, 1500.0, 2400.0, 2200.0, 1200.0]),
+    "B": ([1500.0, 3300.0, 3100.0, 1700.0],
+          [200.0, 500.0, 2300.0, 2000.0]),
+}
+
+
+def _zonal_fixture():
+    import numpy as np
+
+    reaches = []
+    for sec, (rx, ry) in ZONAL_RINGS.items():
+        rx, ry = np.asarray(rx), np.asarray(ry)
+        reaches.append(dict(section=sec, ring_x=rx, ring_y=ry,
+                            xmin=float(rx.min()), xmax=float(rx.max()),
+                            ymin=float(ry.min()), ymax=float(ry.max()),
+                            area_m2=0.0))
+    return reaches, dict(gx0=0.0, gy0=2670.0, ps=30.0, w=127, h=89)
+
+
 def _q_zonal_join_rows(spark, sf):
-    return _pipeline_result(spark)["water_joined"].select("ds", "section", "px", "py", "cell")
+    """J1 value-pin (r3 VERDICT next #1): a deterministic point set
+    through the REAL zonal join — per-section hex cell cover
+    (geometry.polygon_cover_hex), broadcast equi-join, full-cell
+    pass-through, all_touched boundary refine (center-in-polygon OR
+    Liang-Barsky square-touch, AND the reference's bbox clip rule,
+    operators/zonal.py:118; reference semantics src/utils/
+    calc_metrics.py:616-653) — vs a pure-SQL crossing-number +
+    slab-clipping oracle over the same generated points and rings.
+    The cover split is an internal optimization, so the oracle needs
+    only the membership predicate: full cells imply center-inside,
+    and a passing point's cell is always in the cover.
+    (The flagship's own join rows stay numpy-parity pytested,
+    tests/test_pipeline_parity.py.)"""
+    import pandas as pd
+
+    from irivermetrics_spark.functions import cellindex
+    from irivermetrics_spark.operators import zonal
+
+    reaches, grid = _zonal_fixture()
+    ps, gx0, gy0 = grid["ps"], grid["gx0"], grid["gy0"]
+    e = _t(spark, sf, "events").filter(F.col("value").isNotNull())
+    pts = e.select(
+        F.col("event_id").cast("bigint").alias("event_id"),
+        (F.col("event_id") % 127).cast("int").alias("px"),
+        ((F.col("event_id") * 31) % 89).cast("int").alias("py"),
+    )
+
+    def _cell(px, py):
+        cx = gx0 + (px.to_numpy(dtype="float64") + 0.5) * ps
+        cy = gy0 - (py.to_numpy(dtype="float64") + 0.5) * ps
+        return pd.Series(cellindex.hex_cell(cx, cy, 9))
+
+    pts = pts.withColumn("cell", F.pandas_udf(_cell, "long")("px", "py"))
+    cover = zonal.cover_df(spark, reaches, 9)
+    joined = zonal.zonal_join(pts, cover, reaches, grid)
+    return joined.select("event_id", "px", "py", "section")
 
 
 def _q_tile_assign_oracle(spark, sf):
@@ -903,39 +960,73 @@ def _q_emb_neardup(spark, sf):
 
 
 def _q_multimodal_transform(spark, sf):
-    """Multimodal opaque-binary transforms in one surface: image resize
-    (decode -> block-mean downsample -> re-encode) + video frame
-    sampling (every 4th frame exploded to image rows), unioned on a
-    common (kind, item_id, idx, w, h, n_bytes) projection. Both kernels
-    are pytest-covered (tests/test_multimodal.py); one entry keeps both
-    inside the driver's 50-entry check window."""
+    """Multimodal binary transforms, DuckDB-value-pinned via the
+    generated-data-through-real-kernel trick (the move that greened
+    multimodal_stats in r3): pixel values follow a LINEAR formula, so
+    the real block-mean resize kernel (multimodal.py:62, integral 2x2
+    ratio -> exact integer block means) and the real video-container
+    frame sampler (multimodal.py:114) produce stats the oracle derives
+    from pure range() arithmetic — any corruption in decode/resize/
+    re-encode/frame-offset walking shifts a mean and breaks the hash.
+    (Fixture-image resize + caption pass-through stay pytest-covered,
+    tests/test_multimodal.py.)"""
+    from collections.abc import Iterator
+
     import numpy as np
     import pandas as pd
 
+    from irivermetrics_spark import codecs
     from irivermetrics_spark.operators import multimodal
-    from irivermetrics_spark.plans import pipeline
 
-    fx = _fixture()
-    images = pipeline.images_df(spark, fx.images).select("image_id", "bytes", "fmt")
-    rs = multimodal.resize_images(images, 40, 20).select(
-        F.lit("resize").alias("kind"), F.col("image_id").alias("item_id"),
-        F.lit(0).cast("bigint").alias("idx"),
-        F.col("w").cast("bigint").alias("w"), F.col("h").cast("bigint").alias("h"),
-        F.length("bytes").cast("bigint").alias("n_bytes"),
+    NB, H, W = 3, 24, 32           # resized 2x2 -> (3, 12, 16)
+    VF, VB, VH, VW = 10, 2, 8, 12  # videos: 10 frames, every 4th kept
+
+    def gen_img(k: int) -> np.ndarray:
+        b, y, x = np.meshgrid(np.arange(NB), np.arange(H), np.arange(W), indexing="ij")
+        return (k * 101 + b * 1000 + y * 13 + x * 7).astype(np.uint16)
+
+    def gen_vid(v: int) -> np.ndarray:
+        f, b, y, x = np.meshgrid(np.arange(VF), np.arange(VB), np.arange(VH),
+                                 np.arange(VW), indexing="ij")
+        return (v * 509 + f * 251 + b * 997 + y * 13 + x * 7).astype(np.uint16)
+
+    images = spark.createDataFrame(pd.DataFrame(
+        [dict(image_id=f"gen_{k}", bytes=codecs.encode_image(gen_img(k)),
+              fmt=codecs.FMT_RAW16) for k in range(8)]))
+    rs = multimodal.resize_images(images, W // 2, H // 2)
+    videos = spark.createDataFrame(pd.DataFrame(
+        [dict(video_id=f"v{v}", bytes=multimodal.encode_video(gen_vid(v)))
+         for v in range(3)]))
+    fr = multimodal.frame_sample(videos, every_k=4)
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for rec in pdf.itertuples(index=False):
+                arr = codecs.decode_image(bytes(rec.bytes))
+                out.append(dict(item_id=rec.item_id, idx=int(rec.idx),
+                                w=int(arr.shape[2]), h=int(arr.shape[1]),
+                                mean_val=float(arr.mean()),
+                                sum_val=int(arr.sum())))
+            yield pd.DataFrame(out) if out else pd.DataFrame(dict(
+                item_id=pd.Series(dtype="str"), idx=pd.Series(dtype="int64"),
+                w=pd.Series(dtype="int64"), h=pd.Series(dtype="int64"),
+                mean_val=pd.Series(dtype="float64"), sum_val=pd.Series(dtype="int64")))
+
+    schema = "item_id string, idx long, w long, h long, mean_val double, sum_val long"
+    both = (
+        rs.select(F.col("image_id").alias("item_id"),
+                  F.lit(0).cast("long").alias("idx"), "bytes")
+        .unionByName(fr.select(F.col("video_id").alias("item_id"),
+                               F.col("frame_idx").cast("long").alias("idx"), "bytes"))
     )
-    rng = np.random.default_rng(5)
-    rows = []
-    for v in range(3):
-        frames = rng.integers(0, 20000, (10, 4, 8, 12), dtype=np.uint16)
-        rows.append(dict(video_id=f"v{v}", bytes=multimodal.encode_video(frames)))
-    videos = spark.createDataFrame(pd.DataFrame(rows))
-    fr = multimodal.frame_sample(videos, every_k=4).select(
-        F.lit("frame").alias("kind"), F.col("video_id").alias("item_id"),
-        F.col("frame_idx").cast("bigint").alias("idx"),
-        F.col("w").cast("bigint").alias("w"), F.col("h").cast("bigint").alias("h"),
-        F.lit(0).cast("bigint").alias("n_bytes"),
+    out = both.mapInPandas(stats, schema)
+    return out.select(
+        F.when(F.col("item_id").startswith("gen_"), "resize").otherwise("frame").alias("kind"),
+        "item_id", "idx", "w", "h",
+        F.round("mean_val", 6).alias("mean_val"),
+        F.col("sum_val").cast("bigint").alias("sum_val"),
     )
-    return rs.unionByName(fr)
 
 
 def _q_ann_ivf(spark, sf):
@@ -1081,7 +1172,7 @@ def _q_multimodal_stats(spark, sf):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Exactly 50 entries (the driver's CORRECTNESS gate checks the
     first 50 — r2 shipped 56 and the last 6 got zero verification).
-    All 45 DuckDB-oracle-backed entries come first; the 5 rows-only
+    All 47 DuckDB-oracle-backed entries come first; the 3 rows-only
     entries (full-raster/geometry/binary surfaces with no SQL form,
     each numpy-parity pytested) close the list."""
     return {
@@ -1126,6 +1217,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": _q_text_fingerprint,
         "dist_ccl": _q_dist_ccl,
         "multimodal_stats": _q_multimodal_stats,
+        "zonal_join_rows": _q_zonal_join_rows,
+        "multimodal_transform": _q_multimodal_transform,
         "tile_assign_oracle": _q_tile_assign_oracle,
         "quad_assign_oracle": _q_quad_assign_oracle,
         "pip_oracle": _q_pip_oracle,
@@ -1133,8 +1226,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pathlen_oracle": _q_pathlen_oracle,
         # ---- rows-only (no SQL form; numpy-parity pytested) ----
         "flagship_metrics": _q_flagship_metrics,
-        "zonal_join_rows": _q_zonal_join_rows,
-        "multimodal_transform": _q_multimodal_transform,
         "image_embed_neardup": _q_image_embed_neardup,
         "export_vectors": _q_export_vectors,
     }
@@ -1643,6 +1734,103 @@ def oracle_sql() -> dict[str, str]:
                    CAST(3 AS BIGINT) AS band_count,
                    CAST(COUNT(*) AS BIGINT) AS n_px
             FROM px GROUP BY k
+        """,
+        # J1 membership predicate in pure SQL: crossing-number PIP
+        # (engine edge rule: half-open (ya>py)!=(yb>py), strict px<xint)
+        # OR Liang-Barsky slab square-touch (half = ps/2 = 15), AND the
+        # bbox clip — the same double-precision expression order as
+        # functions/geometry.py, so booleans match bit-for-bit
+        "zonal_join_rows": """
+            WITH pts AS (
+              SELECT CAST(event_id AS BIGINT) AS event_id,
+                     CAST(event_id % 127 AS INT) AS px,
+                     CAST((event_id * 31) % 89 AS INT) AS py
+              FROM events WHERE value IS NOT NULL
+            ), c AS (
+              SELECT event_id, px, py,
+                     0.0 + (px + 0.5) * 30.0 AS cx,
+                     2670.0 - (py + 0.5) * 30.0 AS cy
+              FROM pts
+            ), edges(section, xa, ya, xb, yb) AS (VALUES
+              ('A', 200.0, 100.0, 2800.0, 300.0),
+              ('A', 2800.0, 300.0, 2100.0, 1500.0),
+              ('A', 2100.0, 1500.0, 2500.0, 2400.0),
+              ('A', 2500.0, 2400.0, 400.0, 2200.0),
+              ('A', 400.0, 2200.0, 900.0, 1200.0),
+              ('A', 900.0, 1200.0, 200.0, 100.0),
+              ('B', 1500.0, 200.0, 3300.0, 500.0),
+              ('B', 3300.0, 500.0, 3100.0, 2300.0),
+              ('B', 3100.0, 2300.0, 1700.0, 2000.0),
+              ('B', 1700.0, 2000.0, 1500.0, 200.0)
+            ), t AS (
+              SELECT c.event_id, c.px, c.py, c.cx, c.cy, e.section,
+                SUM(CASE WHEN ((e.ya > c.cy) <> (e.yb > c.cy))
+                          AND c.cx < e.xa + (c.cy - e.ya) * (e.xb - e.xa) / (e.yb - e.ya)
+                         THEN 1 ELSE 0 END) AS crossings,
+                BOOL_OR(
+                  (CASE WHEN e.xb - e.xa = 0
+                        THEN ((c.cx - 15.0) - e.xa <= 0 AND (c.cx + 15.0) - e.xa >= 0)
+                        ELSE TRUE END)
+                  AND (CASE WHEN e.yb - e.ya = 0
+                        THEN ((c.cy - 15.0) - e.ya <= 0 AND (c.cy + 15.0) - e.ya >= 0)
+                        ELSE TRUE END)
+                  AND GREATEST(0.0,
+                        CASE WHEN e.xb - e.xa = 0 THEN 0.0
+                             ELSE LEAST(((c.cx - 15.0) - e.xa) / (e.xb - e.xa),
+                                        ((c.cx + 15.0) - e.xa) / (e.xb - e.xa)) END,
+                        CASE WHEN e.yb - e.ya = 0 THEN 0.0
+                             ELSE LEAST(((c.cy - 15.0) - e.ya) / (e.yb - e.ya),
+                                        ((c.cy + 15.0) - e.ya) / (e.yb - e.ya)) END)
+                   <= LEAST(1.0,
+                        CASE WHEN e.xb - e.xa = 0 THEN 1.0
+                             ELSE GREATEST(((c.cx - 15.0) - e.xa) / (e.xb - e.xa),
+                                           ((c.cx + 15.0) - e.xa) / (e.xb - e.xa)) END,
+                        CASE WHEN e.yb - e.ya = 0 THEN 1.0
+                             ELSE GREATEST(((c.cy - 15.0) - e.ya) / (e.yb - e.ya),
+                                           ((c.cy + 15.0) - e.ya) / (e.yb - e.ya)) END)
+                ) AS touched
+              FROM c CROSS JOIN edges e
+              GROUP BY 1, 2, 3, 4, 5, 6
+            ), bbox(section, xmin, xmax, ymin, ymax) AS (VALUES
+              ('A', 200.0, 2800.0, 100.0, 2400.0),
+              ('B', 1500.0, 3300.0, 200.0, 2300.0)
+            )
+            SELECT t.event_id, t.px, t.py, t.section
+            FROM t JOIN bbox b ON t.section = b.section
+            WHERE ((t.crossings % 2) = 1)
+               OR (t.touched AND t.cx >= b.xmin AND t.cx <= b.xmax
+                             AND t.cy >= b.ymin AND t.cy <= b.ymax)
+        """,
+        # resized pixels follow the LINEAR generator through an exact
+        # 2x2 block mean (+10 = mean of 13*dy + 7*dx over the block);
+        # sampled frames keep every 4th index — both closed forms in
+        # range() arithmetic, like multimodal_stats
+        "multimodal_transform": """
+            WITH resize AS (
+              SELECT 'resize' AS kind,
+                     'gen_' || CAST(k.range AS VARCHAR) AS item_id,
+                     CAST(0 AS BIGINT) AS idx,
+                     CAST(16 AS BIGINT) AS w, CAST(12 AS BIGINT) AS h,
+                     ROUND(AVG(k.range * 101 + b.range * 1000
+                               + 13 * (2 * oy.range) + 7 * (2 * ox.range) + 10), 6) AS mean_val,
+                     CAST(SUM(k.range * 101 + b.range * 1000
+                              + 13 * (2 * oy.range) + 7 * (2 * ox.range) + 10) AS BIGINT) AS sum_val
+              FROM range(8) k, range(3) b, range(12) oy, range(16) ox
+              GROUP BY k.range
+            ), frames AS (
+              SELECT 'frame' AS kind,
+                     'v' || CAST(v.range AS VARCHAR) AS item_id,
+                     CAST(f.range AS BIGINT) AS idx,
+                     CAST(12 AS BIGINT) AS w, CAST(8 AS BIGINT) AS h,
+                     ROUND(AVG(v.range * 509 + f.range * 251 + b.range * 997
+                               + y.range * 13 + x.range * 7), 6) AS mean_val,
+                     CAST(SUM(v.range * 509 + f.range * 251 + b.range * 997
+                              + y.range * 13 + x.range * 7) AS BIGINT) AS sum_val
+              FROM range(3) v, range(10) f, range(2) b, range(8) y, range(12) x
+              WHERE f.range % 4 = 0
+              GROUP BY v.range, f.range
+            )
+            SELECT * FROM resize UNION ALL SELECT * FROM frames
         """,
         # the 64-bit polynomial doc hash is pure fold arithmetic, so
         # DuckDB can recompute it exactly: list_reduce over HUGEINT with

@@ -15,8 +15,11 @@ Differences from the reference, by engine design:
   the engine contract) and reach/line tables, not file paths;
 - outputs are DataFrames (parquet-friendly), not GeoTIFF/shapefiles —
   ``exports`` has the CSV / parquet / dense-raster sinks;
-- the water rule is the engine's deterministic NDWI/MNDWI threshold
-  (kernels/water.py) instead of the external waterdetect clustering.
+- the water rule defaults to the engine's deterministic NDWI/MNDWI
+  threshold (kernels/water.py); ``water_rule="cluster"`` switches to
+  the from-scratch deterministic k-means analog of the reference's
+  DWImageClustering (water_mask_cluster — max_cluster/reg defaults,
+  Calinski-Harabasz order selection, maxndwi water-cluster pick).
 """
 
 from __future__ import annotations
@@ -79,6 +82,7 @@ def waterdetect_batch(
     mask_path: str | None = None,
     threshold: float = water.NDWI_THRESHOLD,
     eager_grid_check: bool = False,
+    water_rule: str = "threshold",
 ) -> DataFrame:
     """Module 1: image table -> water-mask point table.
 
@@ -96,6 +100,11 @@ def waterdetect_batch(
 
     ``mask_path``: the K1 sink — write the mask table to parquet and
     return the parquet-backed frame (the reference's export_tif analog).
+
+    ``water_rule``: "threshold" (default) or "cluster" — the latter is
+    the engine's DWImageClustering analog (src/utils/wd_batch.py:
+    620-630), a deterministic k-means over the reference's band-key
+    features with maxndwi water-cluster selection.
     """
     if grid is None:
         raise ValueError("grid=dict(gx0, gy0, ps, w, h) is required (uniform-grid contract)")
@@ -115,7 +124,7 @@ def waterdetect_batch(
         rings = [(np.asarray(r["ring_x"]), np.asarray(r["ring_y"])) for r in reaches]
 
     pts = decode.decode_points(input_img, grid, res=res, threshold=threshold,
-                               corridor_rings=rings, aoi=aoi)
+                               corridor_rings=rings, aoi=aoi, water_rule=water_rule)
     if mask_path:
         pts.write.mode("overwrite").parquet(mask_path)
         return spark.read.parquet(mask_path)
@@ -154,8 +163,12 @@ def calculate_metrics(
     Mirrors calculate_metrics(da_wmask, rcor_extent, section_length,
     min_pool_size, export_shp, export_PP, fill_nodata)
     (src/irm_main.py:117-236). ``da_wmask`` may be either the module-1
-    mask-point table or the raw image table (detected by the ``bytes``
-    column — the reference similarly accepts paths or arrays).
+    mask-point table, the raw image table (detected by the ``bytes``
+    column), or a STRING path to classic NetCDF-3 water-mask cube(s)
+    (file/dir/glob) — the reference's primary entry form
+    (examples/irm_example.ipynb cell 3 passes
+    ``xr.open_dataset('tests/wmask_ts.nc').water``); ``grid`` then
+    defaults to the cube's own georeferencing.
 
     Returns {"metrics": DataFrame, ...pipeline intermediates...}; with
     export_shp the polygons/lines/points frames are included (they are
@@ -169,6 +182,12 @@ def calculate_metrics(
     in the >= 70 % gate; without these the engine would treat them as
     valid and keep dates the reference drops.
     """
+    if isinstance(da_wmask, str):
+        from .operators import ncingest
+
+        da_wmask, nc_grid = ncingest.read_wmask_nc(spark, da_wmask, res=res)
+        if grid is None:
+            grid = nc_grid
     if grid is None:
         raise ValueError("grid=dict(gx0, gy0, ps, w, h) is required (uniform-grid contract)")
     if isinstance(rcor_extent, str):

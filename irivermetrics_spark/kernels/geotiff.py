@@ -10,14 +10,16 @@ byte level.
 
 Scope (documented, asserted loudly):
 - little-endian classic TIFF, ONE strip per band, planar configuration
-  (band-sequential), no compression;
+  (band-sequential), uncompressed or LZW (kernels/lzw.py — the
+  reference writes ``compress='lzw'``, src/utils/wd_batch.py:584-588);
 - dtypes uint8 / uint16 / int16 / uint32 / int32 / float32 / float64;
 - GeoTIFF georeferencing via ModelPixelScale + ModelTiepoint (the
   north-up affine the whole engine speaks: gx0/gy0 outer corner, ps),
   GeoKeyDirectory with raster-type = PixelIsArea, GDAL_NODATA ascii;
-- the reader also accepts chunky (interleaved) single-strip files and
-  multi-strip uncompressed files — enough for round-trips plus simple
-  third-party exports; anything compressed raises with a clear error.
+- the reader also accepts chunky (interleaved) files, multi-strip
+  files, LZW strips and predictor=2 (horizontal differencing) —
+  enough for round-trips plus third-party exports; other compressions
+  / predictors raise with a clear error.
 """
 
 from __future__ import annotations
@@ -37,8 +39,13 @@ _T_SHORT, _T_LONG, _T_RATIONAL, _T_ASCII, _T_DOUBLE = 3, 4, 5, 2, 12
 _TYPE_SIZE = {_T_SHORT: 2, _T_LONG: 4, _T_ASCII: 1, _T_DOUBLE: 8, _T_RATIONAL: 8}
 
 
-def write_geotiff(arr: np.ndarray, grid: dict, nodata: float | None = None) -> bytes:
-    """(nbands, h, w) + grid(gx0, gy0, ps) -> GeoTIFF bytes."""
+def write_geotiff(arr: np.ndarray, grid: dict, nodata: float | None = None,
+                  compress: str | None = None) -> bytes:
+    """(nbands, h, w) + grid(gx0, gy0, ps) -> GeoTIFF bytes.
+
+    compress: None/"none" or "lzw" — the reference writes its rasters
+    LZW-compressed (src/utils/wd_batch.py:584-588, src/irm_main.py:
+    228-233); kernels/lzw.py implements the TIFF 6.0 flavor."""
     if arr.ndim == 2:
         arr = arr[None, :, :]
     nb, h, w = arr.shape
@@ -46,7 +53,18 @@ def write_geotiff(arr: np.ndarray, grid: dict, nodata: float | None = None) -> b
     if dt not in _DTYPES:
         raise ValueError(f"unsupported dtype {dt}")
     bits, sfmt = _DTYPES[dt]
-    band_bytes = h * w * dt.itemsize
+    arrc = np.ascontiguousarray(arr).astype(dt.newbyteorder("<"))
+    if compress == "lzw":
+        from . import lzw
+
+        comp_code = 5
+        strips = [lzw.compress(arrc[b].tobytes()) for b in range(nb)]
+    elif compress in (None, "none"):
+        comp_code = 1
+        strips = [arrc[b].tobytes() for b in range(nb)]
+    else:
+        raise ValueError(f"unsupported compress {compress!r} (none|lzw)")
+    strip_counts = [len(s) for s in strips]
 
     entries = []  # (tag, type, count, value_or_bytes)
 
@@ -56,12 +74,12 @@ def write_geotiff(arr: np.ndarray, grid: dict, nodata: float | None = None) -> b
     tag(256, _T_LONG, 1, w)                      # ImageWidth
     tag(257, _T_LONG, 1, h)                      # ImageLength
     tag(258, _T_SHORT, nb, [bits] * nb)          # BitsPerSample
-    tag(259, _T_SHORT, 1, 1)                     # Compression = none
+    tag(259, _T_SHORT, 1, comp_code)             # Compression
     tag(262, _T_SHORT, 1, 1)                     # Photometric = BlackIsZero
     tag(273, _T_LONG, nb, "STRIPS")              # StripOffsets (patched)
     tag(277, _T_SHORT, 1, nb)                    # SamplesPerPixel
     tag(278, _T_LONG, 1, h)                      # RowsPerStrip
-    tag(279, _T_LONG, nb, [band_bytes] * nb)     # StripByteCounts
+    tag(279, _T_LONG, nb, strip_counts)          # StripByteCounts
     tag(284, _T_SHORT, 1, 2)                     # PlanarConfig = planar
     tag(339, _T_SHORT, nb, [sfmt] * nb)          # SampleFormat
     tag(33550, _T_DOUBLE, 3, [float(grid["ps"]), float(grid["ps"]), 0.0])
@@ -98,7 +116,7 @@ def write_geotiff(arr: np.ndarray, grid: dict, nodata: float | None = None) -> b
     # strip data begins after IFD + overflow; measure overflow first
     ov_sizes = [(sz if sz > 4 else 0) for (_, _, _, _, sz) in packed]
     data_at = overflow_at + sum(ov_sizes)
-    strip_offsets = [data_at + b * band_bytes for b in range(nb)]
+    strip_offsets = [data_at + sum(strip_counts[:b]) for b in range(nb)]
     # now emit
     ifd = bytearray(struct.pack("<H", n))
     ov_cursor = overflow_at
@@ -113,8 +131,7 @@ def write_geotiff(arr: np.ndarray, grid: dict, nodata: float | None = None) -> b
             overflow += raw
             ov_cursor += size
     ifd += struct.pack("<I", 0)  # no next IFD
-    body = np.ascontiguousarray(arr).astype(dt.newbyteorder("<")).tobytes()
-    return header + bytes(ifd) + bytes(overflow) + body
+    return header + bytes(ifd) + bytes(overflow) + b"".join(strips)
 
 
 def read_geotiff(buf: bytes) -> tuple[np.ndarray, dict, float | None]:
@@ -151,8 +168,9 @@ def read_geotiff(buf: bytes) -> tuple[np.ndarray, dict, float | None]:
 
     w, h = tags[256][0], tags[257][0]
     comp = tags.get(259, [1])[0]
-    if comp != 1:
-        raise ValueError(f"compressed TIFF (compression={comp}) not supported — uncompressed only")
+    if comp not in (1, 5):
+        raise ValueError(
+            f"compressed TIFF (compression={comp}) not supported — none or LZW only")
     nb = tags.get(277, [1])[0]
     bits = tags.get(258, [8] * nb)
     sfmt = tags.get(339, [1] * nb)
@@ -162,7 +180,16 @@ def read_geotiff(buf: bytes) -> tuple[np.ndarray, dict, float | None]:
     offsets = tags[273]
     counts = tags[279]
     rows_per_strip = tags.get(278, [h])[0]
-    data = b"".join(buf[o:o + c] for o, c in zip(offsets, counts))
+    if comp == 5:
+        from . import lzw
+
+        stride = (w * dt.itemsize) if planar == 2 else (w * nb * dt.itemsize)
+        data = b"".join(
+            lzw.decompress(buf[o:o + c],
+                           max_out=min(rows_per_strip, h) * stride)
+            for o, c in zip(offsets, counts))
+    else:
+        data = b"".join(buf[o:o + c] for o, c in zip(offsets, counts))
     flat = np.frombuffer(data, dtype=dt)
     if planar == 2:
         arr = flat.reshape(nb, h, w)
@@ -170,6 +197,16 @@ def read_geotiff(buf: bytes) -> tuple[np.ndarray, dict, float | None]:
         # chunky (interleaved): strips are row blocks, so the
         # concatenated stream reshapes directly regardless of strip count
         arr = flat.reshape(h, w, nb).transpose(2, 0, 1)
+    predictor = tags.get(317, [1])[0]
+    if predictor == 2:
+        # horizontal differencing (common with third-party LZW files):
+        # undo via per-row cumulative sum along x in the sample dtype
+        # (wraps mod 2^bits, matching the forward difference)
+        if dt.kind not in "ui":
+            raise ValueError("predictor=2 requires integer samples")
+        arr = np.cumsum(arr, axis=-1, dtype=dt)
+    elif predictor != 1:
+        raise ValueError(f"unsupported TIFF predictor {predictor}")
     grid = None
     if 33550 in tags and 33922 in tags:
         psx = tags[33550][0]

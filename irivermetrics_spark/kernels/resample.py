@@ -61,7 +61,8 @@ def resample(arr: np.ndarray, src_grid: dict, dst_grid: dict, method: str = "nea
 
 def warp_from_lonlat(arr: np.ndarray, src_grid_deg: dict, dst_grid: dict,
                      lat0: float = -18.0, lon0: float = 120.0,
-                     method: str = "nearest") -> np.ndarray:
+                     method: str = "nearest", frame: str = "tangent",
+                     zone: int | None = None, south: bool = True) -> np.ndarray:
     """CRS warp (S2 completion): a source raster georeferenced in
     GEOGRAPHIC DEGREES (north-up: gx0 = west lon edge, gy0 = north lat
     edge, ps = degrees/pixel) resampled onto the engine's planar-meter
@@ -75,10 +76,33 @@ def warp_from_lonlat(arr: np.ndarray, src_grid_deg: dict, dst_grid: dict,
     x->lon and y->lat independently, so the warp stays SEPARABLE —
     the samplers' 1-D row/col index math applies unchanged, no 2-D
     coordinate mesh is ever materialized.
+
+    ``frame="utm"`` (datum-grade, r3 VERDICT missing #4): the target
+    grid is a TRUE WGS84 UTM grid (``zone``/``south`` — the reference
+    reprojects onto ``estimate_utm_crs()``, src/utils/wd_batch.py:
+    329-373), and target centers invert through the Snyder
+    transverse-Mercator series (functions/geometry.py:utm_to_lonlat).
+    Meridian convergence bends raster rows, so this path is NOT
+    separable — it samples a full 2-D coordinate mesh. The tangent
+    plane stays the default: near the AOI center it is
+    indistinguishable and costs no mesh.
     """
     from ..functions import geometry
 
     xs, ys = _target_centers(dst_grid)
+    if frame == "utm":
+        if zone is None:
+            raise ValueError("frame='utm' requires zone= (and south=)")
+        ee, nn = np.meshgrid(xs, ys)
+        lon, lat = geometry.utm_to_lonlat(ee.ravel(), nn.ravel(), zone, south)
+        lon, lat = lon.reshape(ee.shape), lat.reshape(ee.shape)
+        if method == "nearest":
+            return _sample_nearest_mesh(arr, src_grid_deg, lon, lat)
+        if method == "bilinear":
+            return _sample_bilinear_mesh(arr, src_grid_deg, lon, lat)
+        raise ValueError(f"unknown resample method {method!r}")
+    if frame != "tangent":
+        raise ValueError(f"unknown warp frame {frame!r} (tangent|utm)")
     lon, _ = geometry.planar_to_lonlat(xs, np.zeros_like(xs), lat0, lon0)
     _, lat = geometry.planar_to_lonlat(np.zeros_like(ys), ys, lat0, lon0)
     # x- and y-degree steps differ (cos(lat0) scaling), so the square-
@@ -89,6 +113,41 @@ def warp_from_lonlat(arr: np.ndarray, src_grid_deg: dict, dst_grid: dict,
     if method == "bilinear":
         return _sample_bilinear_at(arr, src_grid_deg, lon, lat)
     raise ValueError(f"unknown resample method {method!r}")
+
+
+def _sample_nearest_mesh(arr: np.ndarray, src_grid: dict, X: np.ndarray,
+                         Y: np.ndarray) -> np.ndarray:
+    """Sample (nbands, h, w) at a full (H, W) coordinate mesh in the
+    source frame — the non-separable path (e.g. UTM-composed warps)."""
+    nb, hs, ws = arr.shape
+    col = np.floor((X - src_grid["gx0"]) / src_grid["ps"]).astype(np.int64)
+    row = np.floor((src_grid["gy0"] - Y) / src_grid["ps"]).astype(np.int64)
+    ok = (col >= 0) & (col < ws) & (row >= 0) & (row < hs)
+    out = np.zeros((nb,) + X.shape, dtype=arr.dtype)
+    if ok.any():
+        out[:, ok] = arr[:, row[ok], col[ok]]
+    return out
+
+
+def _sample_bilinear_mesh(arr: np.ndarray, src_grid: dict, X: np.ndarray,
+                          Y: np.ndarray) -> np.ndarray:
+    nb, hs, ws = arr.shape
+    fc = (X - src_grid["gx0"]) / src_grid["ps"] - 0.5
+    fr = (src_grid["gy0"] - Y) / src_grid["ps"] - 0.5
+    inside = (fc >= -0.5) & (fc <= ws - 0.5) & (fr >= -0.5) & (fr <= hs - 0.5)
+    c0 = np.clip(np.floor(fc).astype(np.int64), 0, ws - 1)
+    r0 = np.clip(np.floor(fr).astype(np.int64), 0, hs - 1)
+    c1 = np.minimum(c0 + 1, ws - 1)
+    r1 = np.minimum(r0 + 1, hs - 1)
+    wc = np.clip(fc - c0, 0.0, 1.0)[None, :, :]
+    wr = np.clip(fr - r0, 0.0, 1.0)[None, :, :]
+    a = arr.astype(np.float64)
+    top = a[:, r0, c0] * (1 - wc) + a[:, r0, c1] * wc
+    bot = a[:, r1, c0] * (1 - wc) + a[:, r1, c1] * wc
+    out = (top * (1 - wr) + bot * wr) * inside[None, :, :]
+    if np.issubdtype(arr.dtype, np.integer):
+        return np.clip(np.rint(out), np.iinfo(arr.dtype).min, np.iinfo(arr.dtype).max).astype(arr.dtype)
+    return out.astype(arr.dtype)
 
 
 def _sample_nearest_at(arr: np.ndarray, src_grid: dict, xs: np.ndarray, ys: np.ndarray) -> np.ndarray:

@@ -45,7 +45,8 @@ def decode_points(images: DataFrame, grid: dict, res: int = 9,
                   min_bands: int = 4,
                   reproject: bool = False,
                   resample_method: str = "nearest",
-                  plane_origin: tuple[float, float] = (-18.0, 120.0)) -> DataFrame:
+                  plane_origin: tuple[float, float] = (-18.0, 120.0),
+                  water_rule: str = "threshold") -> DataFrame:
     """images -> sparse mask points with hex cell keys + scene/date cols.
 
     ``grid``: dict(gx0, gy0, ps) — uniform georeferencing (validated by
@@ -133,7 +134,16 @@ def decode_points(images: DataFrame, grid: dict, res: int = 9,
                         arr = resamplek.resample(arr, src_g, dst_g, method=resample_method)
                     else:
                         raise ValueError(f"{image_id}: unknown crs {scrs!r} (planar|lonlat)")
-                mask = water.water_mask(arr, threshold)
+                if water_rule == "threshold":
+                    mask = water.water_mask(arr, threshold)
+                elif water_rule == "cluster":
+                    # the reference's DWImageClustering analog
+                    # (kernels/water.py:water_mask_cluster) — fused in
+                    # the same decode pass, still one kernel per image
+                    mask = water.water_mask_cluster(arr)
+                else:
+                    raise ValueError(
+                        f"unknown water_rule {water_rule!r} (threshold|cluster)")
                 ys, xs = np.nonzero(mask != 0)
                 if ys.size and aoi_lines is not None:
                     cx = gx0 + (xs + 0.5) * ps

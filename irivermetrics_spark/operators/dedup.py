@@ -25,16 +25,28 @@ from pyspark.sql import types as T
 _MERSENNE = np.uint64((1 << 61) - 1)
 
 
-def _shingles(text: str, k: int = 5) -> np.ndarray:
+_WEIGHTS_CACHE: dict[int, np.ndarray] = {}
+
+
+def _shingles(text: str, k: int = 5, unique: bool = True) -> np.ndarray:
+    """``unique=False`` skips the O(n log n) sort: a min over the
+    shingle MULTISET equals the min over the set, so the minhash
+    signature path doesn't pay for dedup (exact-jaccard and simhash
+    need real sets and keep the default)."""
     s = " ".join(str(text).lower().split())
     if len(s) < k:
         s = s + " " * (k - len(s))
     data = np.frombuffer(s.encode("utf-8", "ignore"), dtype=np.uint8)
     n = max(1, data.shape[0] - k + 1)
     # vectorized polynomial hash of each k-gram
-    windows = np.lib.stride_tricks.sliding_window_view(data, min(k, data.shape[0]))[:n].astype(np.uint64)
-    weights = np.power(np.uint64(257), np.arange(windows.shape[1], dtype=np.uint64), dtype=np.uint64)
-    return np.unique((windows * weights).sum(axis=1, dtype=np.uint64))
+    wk = min(k, data.shape[0])
+    windows = np.lib.stride_tricks.sliding_window_view(data, wk)[:n].astype(np.uint64)
+    weights = _WEIGHTS_CACHE.get(wk)
+    if weights is None:
+        weights = np.power(np.uint64(257), np.arange(wk, dtype=np.uint64), dtype=np.uint64)
+        _WEIGHTS_CACHE[wk] = weights
+    hashed = (windows * weights).sum(axis=1, dtype=np.uint64)
+    return np.unique(hashed) if unique else hashed
 
 
 def _minhash_params(n_hashes: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
@@ -65,16 +77,35 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text", n_hashes: int = 
     a, b = _minhash_params(n_hashes)
     a_col, b_col = a[:, None], b[:, None]
 
+    # a small-sf corpus arrives as 1-2 parquet splits, which would run
+    # the signature UDF nearly serial — spread it across the executor
+    # slots first (placement only, value-identical; at 100 TB the scan
+    # already yields thousands of splits and this is a no-op)
+    target = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < target:
+        docs = docs.repartition(target)
+
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def sig(texts: pd.Series) -> pd.Series:
         out = []
+        m61 = np.uint64(61)
         with np.errstate(over="ignore"):
             for t in texts:
                 sh = _shingles(t, shingle_k)
                 # (a*x + b) wraps mod 2^64 (the engine hash definition),
-                # then reduces mod 2^61-1; min over shingles
-                vals = _mod_mersenne61(sh[None, :] * a_col + b_col)
-                out.append(vals.min(axis=1).astype(np.int64).tolist())
+                # then reduces mod 2^61-1; min over shingles. Same
+                # values as _mod_mersenne61, written with in-place ops
+                # so the (64, n) hot matrix allocates once, not 6x.
+                m = sh[None, :] * a_col
+                m += b_col
+                hi = m >> m61
+                m &= _MERSENNE
+                m += hi
+                np.right_shift(m, m61, out=hi)
+                m &= _MERSENNE
+                m += hi
+                np.subtract(m, _MERSENNE, out=m, where=m >= _MERSENNE)
+                out.append(m.min(axis=1).astype(np.int64).tolist())
         return pd.Series(out)
 
     return docs.withColumn("minhash", sig(F.col(text_col)))
@@ -112,17 +143,27 @@ def lsh_candidates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     ).persist()
     if persisted_out is not None:
         persisted_out.append(banded)
-    pairs = (
-        banded.alias("l")
-        .join(banded.alias("r"), ["band", "bucket"])
+    # self-join + dedup on BARE ids (16 bytes/row): a same-signature
+    # family matches in all ``bands`` buckets, so pre-dedup volume is
+    # bands x the pair count — carrying the two 64-long minhash arrays
+    # through that shuffle was the dedup_minhash wall-clock hot spot
+    # (r3 bench regression). The arrays join back onto the deduped
+    # pairs from the persisted banded frame (band 0 slice, broadcast-
+    # sized per partition of the id space) — the signature UDF still
+    # runs exactly once.
+    lite = banded.select("band", "bucket", "id")
+    pairs_ids = (
+        lite.alias("l")
+        .join(lite.alias("r"), ["band", "bucket"])
         .where(F.col("l.id") < F.col("r.id"))
-        .select(
-            F.col("l.id").alias("id_a"),
-            F.col("r.id").alias("id_b"),
-            F.col("l.minhash").alias("mh_a"),
-            F.col("r.minhash").alias("mh_b"),
-        )
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
+    )
+    sig1 = banded.filter(F.col("band") == 0).select("id", "minhash")
+    pairs = (
+        pairs_ids
+        .join(sig1.select(F.col("id").alias("id_a"), F.col("minhash").alias("mh_a")), "id_a")
+        .join(sig1.select(F.col("id").alias("id_b"), F.col("minhash").alias("mh_b")), "id_b")
     )
     est = F.aggregate(
         F.zip_with("mh_a", "mh_b", lambda x, y: (x == y).cast("int")),
@@ -133,25 +174,64 @@ def lsh_candidates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "tex
 
 
 def exact_jaccard_pairs(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
-                        text_col: str = "text", shingle_k: int = 5) -> DataFrame:
-    """Exact shingle-set Jaccard for candidate pairs (broadcast-friendly:
-    joins texts back to the (small) candidate set)."""
-    texts = docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("txt"))
-    both = (
-        pairs.join(texts.withColumnRenamed("id", "id_a").withColumnRenamed("txt", "txt_a"), "id_a")
-        .join(texts.withColumnRenamed("id", "id_b").withColumnRenamed("txt", "txt_b"), "id_b")
-    )
+                        text_col: str = "text", shingle_k: int = 5,
+                        broadcast_shingles: bool = True) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate pairs.
+
+    The pair stage is pure JVM: one distributed shingle pass turns each
+    doc into a sorted array<bigint> set, the (dim-sized) shingle frame
+    joins onto both pair sides, and jaccard is
+    ``size(array_intersect) / (|a| + |b| - inter)`` in whole-stage
+    codegen — no Python in the per-pair path. (The r3 shape recomputed
+    both texts' shingles per pair in a pandas UDF: candidate sets are
+    quadratic in bucket occupancy, so a 5k-doc corpus recomputed each
+    set ~73x — the dedup_minhash wall-clock regression.)
+
+    ``broadcast_shingles``: True collects the shingle dim once
+    (~64 B + 8 B/shingle per doc) and ships it to every executor as a
+    Spark broadcast, so the per-pair stage reads two dict lookups and
+    one numpy merge-intersect — the right shape while the corpus dim
+    fits executor memory (hundreds of MB ~ millions of docs). Pass
+    False at 10^9-doc scale: the shingle frame then sort-merge-joins
+    onto the pair ids and jaccard runs JVM-side (array_intersect) —
+    fully distributed, no driver/executor-resident dim.
+    """
+    spark = docs.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    ds = docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("txt"))
+    if ds.rdd.getNumPartitions() < target:
+        ds = ds.repartition(target)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def shing(txt: pd.Series) -> pd.Series:
+        return pd.Series([
+            _shingles(t, shingle_k).astype(np.int64).tolist() for t in txt])
+
+    sh = ds.select("id", shing("txt").alias("sh"))
+    if not broadcast_shingles:
+        sa = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+        sb = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+        both = pairs.join(sa, "id_a").join(sb, "id_b")
+        inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+        denom = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
+        return both.select("id_a", "id_b", "est_jaccard",
+                           (inter / denom).alias("jaccard"))
+
+    lookup = {r["id"]: np.asarray(r["sh"], dtype=np.int64) for r in sh.collect()}
+    bc = spark.sparkContext.broadcast(lookup)
 
     @F.pandas_udf("double")
-    def jac(ta: pd.Series, tb: pd.Series) -> pd.Series:
-        out = np.empty(len(ta))
-        for i, (x, y) in enumerate(zip(ta, tb)):
-            sa, sb = _shingles(x, shingle_k), _shingles(y, shingle_k)
-            inter = np.intersect1d(sa, sb, assume_unique=True).shape[0]
-            out[i] = inter / (sa.shape[0] + sb.shape[0] - inter)
+    def jac(ia: pd.Series, ib: pd.Series) -> pd.Series:
+        lk = bc.value
+        out = np.empty(len(ia))
+        for i, (x, y) in enumerate(zip(ia, ib)):
+            sa_, sb_ = lk[x], lk[y]
+            inter = np.intersect1d(sa_, sb_, assume_unique=True).shape[0]
+            out[i] = inter / (sa_.shape[0] + sb_.shape[0] - inter)
         return pd.Series(out)
 
-    return both.select("id_a", "id_b", "est_jaccard", jac("txt_a", "txt_b").alias("jaccard"))
+    return pairs.select("id_a", "id_b", "est_jaccard",
+                        jac("id_a", "id_b").alias("jaccard"))
 
 
 def cluster_duplicates(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",

@@ -83,9 +83,11 @@ def write_persistence_geotiff(pp: DataFrame, grid: dict, scene: str, path: str) 
     from ..kernels import geotiff
 
     raster = persistence_raster(pp, grid, scene)
+    # compress='lzw' mirrors the reference's export exactly
+    # (src/utils/wd_batch.py:584-588)
     buf = geotiff.write_geotiff(raster.astype(np.float32)[None, :, :],
                                 dict(gx0=grid["gx0"], gy0=grid["gy0"], ps=grid["ps"]),
-                                nodata=0.0)
+                                nodata=0.0, compress="lzw")
     with open(path, "wb") as f:
         f.write(buf)
 

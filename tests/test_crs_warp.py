@@ -183,3 +183,54 @@ def test_reaches_to_planar_utm_frame():
     for ru, rl in zip(utm, loc):
         assert ru["area_m2"] > 0
         assert abs(ru["area_m2"] / rl["area_m2"] - 1) < 0.01
+
+
+def test_wide_scene_utm_warp_beats_tangent_plane():
+    """Datum-grade raster warp (r3 VERDICT missing #4): on a wide
+    (400 km x 240 km) scene, meridian convergence bends UTM rows enough
+    that the separable tangent-plane bridge falls below the 40 dB gate,
+    while the Snyder-UTM-composed mesh warp passes it."""
+    zone, south = 51, True  # central meridian 123E
+    E0, N0, ps = 300_000.0, 8_000_000.0, 1000.0
+    w, h = 400, 240
+    dst = dict(gx0=E0, gy0=N0, ps=ps, w=w, h=h)
+
+    def field(lon, lat):
+        return 1000.0 + 500.0 * np.sin(2 * np.pi * lon / 0.5) * np.cos(2 * np.pi * lat / 0.5)
+
+    xs = E0 + (np.arange(w) + 0.5) * ps
+    ys = N0 - (np.arange(h) + 0.5) * ps
+    ee, nn = np.meshgrid(xs, ys)
+    lon_t, lat_t = geometry.utm_to_lonlat(ee.ravel(), nn.ravel(), zone, south)
+    truth = field(lon_t, lat_t).reshape(h, w)[None, :, :]
+
+    margin = 0.3
+    ps_deg = 0.004
+    lon_min, lat_max = lon_t.min() - margin, lat_t.max() + margin
+    deg = dict(gx0=float(lon_min), gy0=float(lat_max), ps=ps_deg,
+               w=int((lon_t.max() + margin - lon_min) / ps_deg) + 2,
+               h=int((lat_max - (lat_t.min() - margin)) / ps_deg) + 2)
+    lons = deg["gx0"] + (np.arange(deg["w"]) + 0.5) * ps_deg
+    lats = deg["gy0"] - (np.arange(deg["h"]) + 0.5) * ps_deg
+    src = field(lons[None, :], lats[:, None])[None, :, :]
+
+    utm_out = resample.warp_from_lonlat(src, deg, dst, method="bilinear",
+                                        frame="utm", zone=zone, south=south)
+    # the tangent-plane user path: anchor the plane at the scene center
+    # and express the same UTM grid corner in that frame
+    clon, clat = geometry.utm_to_lonlat(
+        np.array([E0 + w / 2 * ps]), np.array([N0 - h / 2 * ps]), zone, south)
+    lat0, lon0 = float(clat[0]), float(clon[0])
+    glon, glat = geometry.utm_to_lonlat(np.array([E0]), np.array([N0]), zone, south)
+    tx, ty = geometry.lonlat_to_planar(float(glon[0]), float(glat[0]), lat0, lon0)
+    dst_tan = dict(gx0=float(tx), gy0=float(ty), ps=ps, w=w, h=h)
+    tan_out = resample.warp_from_lonlat(src, deg, dst_tan, lat0, lon0,
+                                        method="bilinear")
+
+    def psnr(got):
+        mse = np.mean((got - truth) ** 2)
+        return 10 * np.log10((truth.max() - truth.min()) ** 2 / mse)
+
+    p_utm, p_tan = psnr(utm_out), psnr(tan_out)
+    assert p_utm >= 40.0, (p_utm, p_tan)
+    assert p_tan < 40.0, (p_utm, p_tan)

@@ -22,17 +22,85 @@ def test_geotiff_roundtrip_all_dtypes():
         assert g2["ps"] == 30.0 and nd == -1.0
 
 
-def test_geotiff_rejects_compressed():
+def test_geotiff_rejects_unknown_compression():
     buf = bytearray(geotiff.write_geotiff(np.zeros((1, 4, 4), np.uint8), dict(gx0=0, gy0=0, ps=1)))
-    # flip the Compression tag value (type SHORT, value inline) to 5 (LZW)
+    # flip the Compression tag value (type SHORT, value inline) to 8 (deflate)
     import struct
     n = struct.unpack("<H", buf[8:10])[0]
     for i in range(n):
         off = 10 + i * 12
         if struct.unpack("<H", buf[off:off + 2])[0] == 259:
-            buf[off + 8:off + 10] = struct.pack("<H", 5)
+            buf[off + 8:off + 10] = struct.pack("<H", 8)
     with pytest.raises(ValueError, match="compress"):
         geotiff.read_geotiff(bytes(buf))
+
+
+def test_geotiff_lzw_roundtrip_all_dtypes():
+    """r3 VERDICT missing #3: the reference writes compress='lzw' —
+    LZW strips must round-trip for every supported dtype."""
+    rng = np.random.default_rng(4)
+    grid = dict(gx0=10.0, gy0=20.0, ps=30.0)
+    for dt in ("uint8", "uint16", "int16", "uint32", "int32", "float32", "float64"):
+        # low-cardinality data (like masks/persistence) compresses well
+        arr = (rng.integers(0, 5, (2, 31, 27))).astype(dt)
+        buf = geotiff.write_geotiff(arr, grid, nodata=-1, compress="lzw")
+        back, g2, nd = geotiff.read_geotiff(buf)
+        assert back.dtype == np.dtype(dt) and np.array_equal(back, arr), dt
+        assert np.isclose(g2["gx0"], 10.0) and nd == -1.0
+    # and it actually compresses a flat raster
+    flat = np.zeros((1, 64, 64), np.float32)
+    assert len(geotiff.write_geotiff(flat, grid, compress="lzw")) < \
+        len(geotiff.write_geotiff(flat, grid)) / 4
+
+
+def test_lzw_codec_boundaries_and_predictor():
+    """Code-width early changes at 510/1022/2046 and the table-full
+    clear/reset both survive; predictor=2 reads back."""
+    from irivermetrics_spark.kernels import lzw
+
+    rng = np.random.default_rng(6)
+    # random bytes force one new table entry per ~byte: 60k input
+    # crosses every width boundary AND the 4094 table-full reset
+    for size in (1, 7, 300, 5000, 60000):
+        data = rng.integers(0, 256, size, dtype=np.uint8).tobytes()
+        assert lzw.decompress(lzw.compress(data)) == data, size
+    run = b"ab" * 40000  # highly repetitive: long-match path + KwKwK
+    assert lzw.decompress(lzw.compress(run)) == run
+    assert lzw.decompress(lzw.compress(b"")) == b""
+
+    # predictor=2 (horizontal differencing), as third-party writers
+    # emit: forward-difference rows by hand, inject tag 317=2 into the
+    # IFD (shifting offsets by the extra entry), expect exact recovery
+    import struct
+    arr = rng.integers(0, 60000, (1, 9, 13)).astype(np.uint16)
+    diff = arr.copy()
+    diff[:, :, 1:] = (arr[:, :, 1:].astype(np.int64)
+                      - arr[:, :, :-1].astype(np.int64)).astype(np.uint16)
+    base = bytearray(geotiff.write_geotiff(diff, dict(gx0=0, gy0=0, ps=1)))
+    n = struct.unpack("<H", base[8:10])[0]
+    entries = [bytes(base[10 + i * 12:22 + i * 12]) for i in range(n)]
+    newtag = struct.pack("<HHI", 317, 3, 1) + struct.pack("<HH", 2, 0)
+    entries.append(newtag)
+    entries.sort(key=lambda e: struct.unpack("<H", e[:2])[0])
+    shift = 12  # one more IFD entry shifts everything after the IFD
+    rebuilt = bytearray(base[:8])
+    rebuilt += struct.pack("<H", n + 1)
+    for e in entries:
+        t, typ, cnt = struct.unpack("<HHI", e[:8])
+        val = e[8:]
+        # patch offset-valued entries (value doesn't fit inline) and
+        # StripOffsets for the +12-byte shift
+        size = {3: 2, 4: 4, 2: 1, 12: 8}[typ] * cnt
+        if size > 4:
+            (off,) = struct.unpack("<I", val)
+            val = struct.pack("<I", off + shift)
+        elif t == 273:
+            (off,) = struct.unpack("<I", val)
+            val = struct.pack("<I", off + shift)
+        rebuilt += e[:8] + val
+    rebuilt += base[10 + n * 12:]
+    back, _, _ = geotiff.read_geotiff(bytes(rebuilt))
+    assert np.array_equal(back, arr)
 
 
 def test_shapefile_roundtrip_polygon_winding_and_closure():

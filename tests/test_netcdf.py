@@ -1,0 +1,129 @@
+"""S5 NetCDF cube ingest (r3 VERDICT missing #1): from-scratch classic
+NetCDF-3 codec round-trips + the reference workflow e2e — a synthesized
+wmask_ts.nc through ``api.calculate_metrics(<path>.nc, reaches)`` must
+match the image-table pipeline on the same truth masks exactly."""
+
+import os
+import tempfile
+
+import numpy as np
+import pytest
+
+from irivermetrics_spark.kernels import netcdf
+
+
+def test_roundtrip_types_and_attrs():
+    rng = np.random.default_rng(3)
+    dims = {"t": 0, "y": 4, "x": 5}
+    variables = {
+        "b": (("t", "y", "x"), {"_FillValue": np.int8(-1)},
+              rng.integers(-1, 2, (6, 4, 5)).astype(np.int8)),
+        "s": (("y", "x"), {}, rng.integers(-999, 999, (4, 5)).astype(np.int16)),
+        "i": (("x",), {}, np.arange(5, dtype=np.int32) * 1000),
+        "f": (("y",), {}, rng.random(4).astype(np.float32)),
+        "d": (("t",), {"units": "days since 2001-02-03"},
+              np.arange(6, dtype=np.float64) * 0.5),
+    }
+    gattrs = {"title": "test", "version": np.int32(7),
+              "coeffs": np.array([1.5, -2.5], dtype=np.float64)}
+    for version in (1, 2):
+        buf = netcdf.write_netcdf3(dims, variables, gattrs, version=version)
+        assert buf[:4] == b"CDF" + bytes([version])
+        nc = netcdf.read_netcdf3(buf)
+        assert nc["dims"] == dims
+        assert nc["gattrs"]["title"] == "test" and nc["gattrs"]["version"] == 7
+        assert np.allclose(nc["gattrs"]["coeffs"], [1.5, -2.5])
+        for name, (vdims, attrs, data) in variables.items():
+            v = nc["vars"][name]
+            assert v["dims"] == vdims
+            assert np.array_equal(v["data"], data), name
+            assert v["data"].dtype == data.dtype, name
+        assert nc["vars"]["b"]["attrs"]["_FillValue"] == -1
+
+
+def test_two_record_vars_slab_padding():
+    """The per-record slab pads to 4 bytes ONLY with >= 2 record vars;
+    a 3-byte int8 slab exercises the padded interleave."""
+    dims = {"t": 0, "x": 3}
+    a = np.arange(12, dtype=np.int8).reshape(4, 3)
+    t = np.arange(4, dtype=np.int32)
+    variables = {"a": (("t", "x"), {}, a), "t": (("t",), {}, t)}
+    nc = netcdf.read_netcdf3(netcdf.write_netcdf3(dims, variables))
+    assert np.array_equal(nc["vars"]["a"]["data"], a)
+    assert np.array_equal(nc["vars"]["t"]["data"], t)
+
+
+def test_single_record_var_no_padding():
+    """Spec special case: exactly one record var -> recsize is the
+    UNPADDED slab size (an int8 5-elem slab would desync otherwise)."""
+    dims = {"t": 0, "x": 5}
+    a = (np.arange(15, dtype=np.int8) - 7).reshape(3, 5)
+    nc = netcdf.read_netcdf3(netcdf.write_netcdf3(dims, {"a": (("t", "x"), {}, a)}))
+    assert np.array_equal(nc["vars"]["a"]["data"], a)
+
+
+def test_netcdf4_rejected():
+    with pytest.raises(ValueError, match="NetCDF-4|classic"):
+        netcdf.read_netcdf3(b"\x89HDF\r\n\x1a\n" + b"\x00" * 32)
+
+
+def test_wmask_roundtrip_and_southup_flip():
+    rng = np.random.default_rng(11)
+    cube = rng.integers(-1, 2, (5, 7, 9)).astype(np.int8)
+    dates = [f"2020-03-{d:02d}" for d in (1, 5, 9, 13, 17)]
+    grid = dict(gx0=500000.0, gy0=7_000_000.0, ps=30.0)
+    for version in (1, 2):
+        back, dback, gback = netcdf.read_wmask(
+            netcdf.write_wmask(cube, dates, grid, version=version))
+        assert np.array_equal(back, cube) and dback == dates
+        assert np.isclose(gback["gx0"], grid["gx0"])
+        assert np.isclose(gback["gy0"], grid["gy0"]) and gback["ps"] == 30.0
+        assert gback["w"] == 9 and gback["h"] == 7
+    # fixed (non-record) time dim also reads back
+    back, dback, _ = netcdf.read_wmask(
+        netcdf.write_wmask(cube, dates, grid, record_time=False))
+    assert np.array_equal(back, cube) and dback == dates
+    # a south-up cube (ascending y coords) flips to the engine's
+    # north-up frame
+    ys = (grid["gy0"] - (np.arange(7)[::-1] + 0.5) * 30.0)
+    xs = (grid["gx0"] + (np.arange(9) + 0.5) * 30.0)
+    dims = {"time": 0, "y": 7, "x": 9}
+    variables = {
+        "time": (("time",), {"units": "days since 2020-03-01"},
+                 np.array([0, 4, 8, 12, 16], dtype=np.int32)),
+        "y": (("y",), {}, ys), "x": (("x",), {}, xs),
+        "water": (("time", "y", "x"), {}, cube[:, ::-1, :]),
+    }
+    back, dback, gback = netcdf.read_wmask(netcdf.write_netcdf3(dims, variables))
+    assert np.array_equal(back, cube) and dback == dates
+    assert np.isclose(gback["gy0"], grid["gy0"])
+
+
+def test_nc_e2e_matches_image_pipeline(spark):
+    """Reference-workflow parity: calculate_metrics on a synthesized
+    .nc cube == the image-table pipeline on the same truth masks
+    (the nc path exercises the presence-only validity fallback)."""
+    from irivermetrics_spark import api, synth
+    from irivermetrics_spark.plans import pipeline
+
+    fx = synth.make_fixture(w=60, h=30, n_dates=8, n_sections=2, seed=7)
+    grid = dict(gx0=fx.gx0, gy0=fx.gy0, ps=fx.pixel_size, w=fx.w, h=fx.h)
+    with tempfile.TemporaryDirectory() as td:
+        ncpath = os.path.join(td, "scene0_ts.nc")
+        with open(ncpath, "wb") as f:
+            f.write(netcdf.write_wmask(
+                fx.masks[0], [str(d) for d in fx.dates], grid))
+        nc_res = api.calculate_metrics(spark, ncpath, fx.reaches)
+        img_res = pipeline.run(spark, pipeline.images_df(spark, fx.images),
+                               fx.reaches, grid)
+        cols = ["date", "section"]
+        a = (nc_res["metrics"].toPandas().drop(columns=["scene"])
+             .sort_values(cols).reset_index(drop=True))
+        b = (img_res["metrics"].toPandas().drop(columns=["scene"])
+             .sort_values(cols).reset_index(drop=True))
+        num = [c for c in a.columns if a[c].dtype.kind in "if"]
+        assert len(a) == len(b) > 0
+        assert list(a.columns) == list(b.columns)
+        for c in num:
+            assert np.allclose(a[c].to_numpy(dtype=float),
+                               b[c].to_numpy(dtype=float), equal_nan=True), c

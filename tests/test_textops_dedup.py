@@ -174,3 +174,26 @@ def test_neardup_finds_exact_copies_at_scale_defaults(spark):
     got = similarity.cosine_neardup_pairs(em.unionByName(dup), threshold=0.999).toPandas()
     found = set(zip(got.id_a, got.id_b))
     assert {(i, i + 1000) for i in range(4)} <= found
+
+
+def test_exact_jaccard_both_paths_equal(spark):
+    """The broadcast-dict fast path and the 10^9-doc JVM
+    array_intersect path must produce identical jaccard values."""
+    import pandas as pd
+
+    docs = spark.createDataFrame(pd.DataFrame(dict(
+        doc_id=[1, 2, 3, 4],
+        text=["the quick brown fox jumps over the lazy dog",
+              "the quick brown fox jumped over the lazy dog",
+              "completely different content here entirely",
+              "the quick brown fox jumps over the lazy dog"],
+    )))
+    pairs = dedup.lsh_candidates(docs, "doc_id", "text")
+    a = (dedup.exact_jaccard_pairs(docs, pairs, broadcast_shingles=True)
+         .toPandas().sort_values(["id_a", "id_b"]).reset_index(drop=True))
+    b = (dedup.exact_jaccard_pairs(docs, pairs, broadcast_shingles=False)
+         .toPandas().sort_values(["id_a", "id_b"]).reset_index(drop=True))
+    assert len(a) == len(b) > 0
+    assert (a["id_a"] == b["id_a"]).all() and (a["id_b"] == b["id_b"]).all()
+    assert np.allclose(a["jaccard"], b["jaccard"], rtol=0, atol=0)
+    assert ((a["id_a"] == 1) & (a["id_b"] == 4) & (a["jaccard"] == 1.0)).any()
