@@ -1052,12 +1052,17 @@ def _q_ann_ivf(spark, sf):
 
 def _q_image_embed_neardup(spark, sf):
     """Image near-duplicate detection through the multimodal->ANN
-    bridge: decode -> content embedding -> SRP-LSH cosine pairs.
-    Two lossy re-encode families must pair with their originals:
-    qlossy copies of the raw16 fixture rasters, AND baseline-JPEG
-    re-encodes (the engine's own from-scratch T.81 codec,
-    kernels/jpeg.py) of 3-band 8-bit derivatives paired against raw16
-    twins of the same derivative."""
+    bridge, DuckDB-value-pinned on PAIR MEMBERSHIP: deterministic
+    textured families, each present as raw16 original + qlossy
+    re-encode + baseline-JPEG q95 re-encode (the from-scratch T.81
+    codec, kernels/jpeg.py), flow through the REAL decode -> content
+    embedding (multimodal.py:144) -> SRP-LSH cosine pair pipeline.
+    Exactly the 3 within-family pairs per base must survive (lossy
+    twins pair, distinct textures don't), so the oracle is the family
+    combinatorics in SQL — a corruption in any codec, the pooling
+    kernel, the normalization, the bucketing or the threshold breaks
+    membership. (Float cosine VALUES are pinned by emb_neardup/ann_*;
+    decoded-pixel values by multimodal_stats.)"""
     import numpy as np
     import pandas as pd
 
@@ -1065,35 +1070,36 @@ def _q_image_embed_neardup(spark, sf):
     from irivermetrics_spark.kernels import jpeg
     from irivermetrics_spark.operators import multimodal, similarity
 
-    fx = _fixture()
-    pdf = fx.images.copy()[["image_id", "bytes", "fmt"]]
-    qdups, rgb = [], []
-    for i in range(5):
-        arr = codecs.decode_image(bytes(pdf.iloc[i]["bytes"]))
-        qdups.append(dict(image_id=f"dup_{pdf.iloc[i]['image_id']}",
-                          bytes=codecs.encode_image(arr, codecs.FMT_QLOSSY),
-                          fmt=codecs.FMT_QLOSSY))
-        # 3-band 8-bit derivative, once raw16 and once JPEG q90: the
-        # jpeg twin must survive DCT loss and pair with the raw twin.
-        # Separate LSH family: 3-band embeddings have a different
-        # dimension than the full-band rasters.
-        # contrast-stretched so JPEG's absolute quant error stays small
-        # relative to the signal (the rasters are dark in 0-255 terms)
-        u8 = (arr[:3].astype(np.float64) / max(float(arr[:3].max()), 1.0)
-              * 255.0).clip(0, 255).astype(np.uint8)
-        rgb.append(dict(image_id=f"rgbraw_{pdf.iloc[i]['image_id']}",
-                        bytes=codecs.encode_image(u8.astype(np.uint16)),
-                        fmt=codecs.FMT_RAW16))
-        rgb.append(dict(image_id=f"rgbjpg_{pdf.iloc[i]['image_id']}",
-                        bytes=jpeg.encode_baseline(u8, quality=95),
-                        fmt="jpeg"))
-    full = spark.createDataFrame(pd.concat([pdf, pd.DataFrame(qdups)], ignore_index=True))
-    p1 = similarity.cosine_neardup_pairs(
-        multimodal.embed_images(full), threshold=0.9999, id_col="image_id")
-    deriv = spark.createDataFrame(pd.DataFrame(rgb))
-    p2 = similarity.cosine_neardup_pairs(
-        multimodal.embed_images(deriv), threshold=0.999, id_col="image_id")
-    return p1.unionByName(p2)
+    H, W = 32, 48
+    y, x = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+    rows = []
+    for k in range(6):
+        # block-scale (1-3 period) waves at distinct frequency/phase per
+        # family: the 6x4 pooled grid then CAPTURES the texture instead
+        # of averaging it out, decorrelating families (measured margins:
+        # within-family cos >= 0.999999, cross-family <= 0.94)
+        base = 80.0 + 18.0 * k
+        amp = 0.8 * base
+        u8 = np.stack([
+            base + amp * np.sin(2 * np.pi * ((k % 3 + 1) * x / W
+                                             + (k // 3 + 1) * y / H)
+                                + 0.9 * k + 0.5 * c)
+            for c in range(3)
+        ]).clip(0, 255).astype(np.uint8)
+        rows.append(dict(image_id=f"img{k}_raw",
+                         bytes=codecs.encode_image(u8.astype(np.uint16)),
+                         fmt=codecs.FMT_RAW16))
+        rows.append(dict(image_id=f"img{k}_q",
+                         bytes=codecs.encode_image(u8.astype(np.uint16),
+                                                   codecs.FMT_QLOSSY),
+                         fmt=codecs.FMT_QLOSSY))
+        rows.append(dict(image_id=f"img{k}_j",
+                         bytes=jpeg.encode_baseline(u8, quality=95),
+                         fmt="jpeg"))
+    images = spark.createDataFrame(pd.DataFrame(rows))
+    pairs = similarity.cosine_neardup_pairs(
+        multimodal.embed_images(images), threshold=0.999, id_col="image_id")
+    return pairs.select("id_a", "id_b")
 
 
 def _q_ann_pq(spark, sf):
@@ -1172,7 +1178,7 @@ def _q_multimodal_stats(spark, sf):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Exactly 50 entries (the driver's CORRECTNESS gate checks the
     first 50 — r2 shipped 56 and the last 6 got zero verification).
-    All 47 DuckDB-oracle-backed entries come first; the 3 rows-only
+    All 48 DuckDB-oracle-backed entries come first; the 2 rows-only
     entries (full-raster/geometry/binary surfaces with no SQL form,
     each numpy-parity pytested) close the list."""
     return {
@@ -1219,6 +1225,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_stats": _q_multimodal_stats,
         "zonal_join_rows": _q_zonal_join_rows,
         "multimodal_transform": _q_multimodal_transform,
+        "image_embed_neardup": _q_image_embed_neardup,
         "tile_assign_oracle": _q_tile_assign_oracle,
         "quad_assign_oracle": _q_quad_assign_oracle,
         "pip_oracle": _q_pip_oracle,
@@ -1226,7 +1233,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pathlen_oracle": _q_pathlen_oracle,
         # ---- rows-only (no SQL form; numpy-parity pytested) ----
         "flagship_metrics": _q_flagship_metrics,
-        "image_embed_neardup": _q_image_embed_neardup,
         "export_vectors": _q_export_vectors,
     }
 
@@ -1831,6 +1837,18 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY v.range, f.range
             )
             SELECT * FROM resize UNION ALL SELECT * FROM frames
+        """,
+        # pair MEMBERSHIP pin: the lossy twins of each textured family
+        # (raw16 / qlossy / jpeg-q95) — and nothing else — must pair;
+        # '_j' < '_q' < '_raw' is the lexicographic id order the
+        # pairing emits
+        "image_embed_neardup": """
+            WITH fams AS (
+              SELECT 'img' || CAST(k.range AS VARCHAR) AS f FROM range(6) k
+            )
+            SELECT f || '_j' AS id_a, f || '_q' AS id_b FROM fams
+            UNION ALL SELECT f || '_j', f || '_raw' FROM fams
+            UNION ALL SELECT f || '_q', f || '_raw' FROM fams
         """,
         # the 64-bit polynomial doc hash is pure fold arithmetic, so
         # DuckDB can recompute it exactly: list_reduce over HUGEINT with

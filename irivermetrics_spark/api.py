@@ -149,6 +149,7 @@ def calculate_metrics(
     buffer: float = 1000.0,
     reaches_crs: str = "planar",
     plane_origin: tuple[float, float] = (-18.0, 120.0),
+    section_name_col: str | None = None,
 ) -> dict:
     """Module 2: mask table (or image table) -> metrics.
 
@@ -191,7 +192,7 @@ def calculate_metrics(
     if grid is None:
         raise ValueError("grid=dict(gx0, gy0, ps, w, h) is required (uniform-grid contract)")
     if isinstance(rcor_extent, str):
-        reaches = read_reaches(spark, rcor_extent)
+        reaches = read_reaches(spark, rcor_extent, section_name_col=section_name_col)
     elif isinstance(rcor_extent, DataFrame):
         reaches = reaches_from_df(rcor_extent)
     else:
@@ -322,10 +323,50 @@ def reaches_from_df(df: DataFrame) -> list[dict]:
     return sorted(out, key=lambda d: d["section"])
 
 
-def read_reaches(spark: SparkSession, path: str) -> list[dict]:
-    """Read a reach-polygon layer from parquet (S4). The layer is tiny
-    (it broadcasts into every spatial join), so collecting it to plan
-    metadata is the scale-correct move, not a shortcut."""
+def read_reaches(spark: SparkSession, path: str,
+                 section_name_col: str | None = None) -> list[dict]:
+    """Read a reach-polygon layer (S4). The layer is tiny (it
+    broadcasts into every spatial join), so collecting it to plan
+    metadata is the scale-correct move, not a shortcut.
+
+    ``.shp`` paths read through the from-scratch ESRI reader
+    (kernels/shapefile.py) — the reference's exact
+    ``rcor_extent.shp`` entry form (examples/irm_example.ipynb cell 3;
+    src/utils/wd_batch.py:400-423 gpd.read_file). The first ring of
+    each polygon is the section outline (holes out of scope); section
+    naming mirrors the reference exactly (src/utils/calc_metrics.py:
+    preprocess_feature_operations): the 0-based feature index unless
+    ``section_name_col`` names a DBF field. Anything else is the
+    parquet reach layer."""
+    if path.lower().endswith(".shp"):
+        import os
+
+        from .kernels import shapefile as shpk
+
+        with open(path, "rb") as f:
+            shp = f.read()
+        dbf_path = path[:-4] + ".dbf"
+        dbf = None
+        if os.path.exists(dbf_path):
+            with open(dbf_path, "rb") as f:
+                dbf = f.read()
+        st, shapes, records = shpk.read_shapefile(shp, dbf)
+        if st != 5:
+            raise ValueError(f"{path}: shape type {st} is not polygon")
+        col_idx = None
+        if section_name_col is not None:
+            names = shpk.dbf_field_names(dbf) if dbf is not None else []
+            if section_name_col not in names:
+                raise ValueError(
+                    f"Invalid section_name_col: {section_name_col}. "
+                    f"Available columns: {names}")
+            col_idx = names.index(section_name_col)
+        reaches = []
+        for i, parts in enumerate(shapes):
+            rx, ry = parts[0]
+            sec = str(i) if col_idx is None else str(records[i][col_idx])
+            reaches.append(_enrich_reach(sec, np.asarray(rx), np.asarray(ry)))
+        return reaches
     return reaches_from_df(spark.read.parquet(path))
 
 

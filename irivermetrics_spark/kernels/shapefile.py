@@ -122,6 +122,16 @@ def _write_dbf(fields, records) -> bytes:
     return bytes(out)
 
 
+def dbf_field_names(dbf: bytes) -> list[str]:
+    """Field names of a dBASE III header, in record order."""
+    names = []
+    p = 32
+    while dbf[p] != 0x0D:
+        names.append(dbf[p:p + 11].rstrip(b"\x00").decode())
+        p += 32
+    return names
+
+
 def read_shapefile(shp: bytes, dbf: bytes | None = None):
     """-> (shape_type, shapes, records) — round-trip verification."""
     (code,) = struct.unpack(">i", shp[:4])

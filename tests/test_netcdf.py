@@ -127,3 +127,61 @@ def test_nc_e2e_matches_image_pipeline(spark):
         for c in num:
             assert np.allclose(a[c].to_numpy(dtype=float),
                                b[c].to_numpy(dtype=float), equal_nan=True), c
+
+
+def test_reference_shapefile_fixture_reads():
+    """The reference repo's own rcor_extent.shp parses through the
+    from-scratch reader with the reference's section-naming rule
+    (0-based feature index; section_name_col selects a DBF field)."""
+    from irivermetrics_spark import api
+
+    path = "/root/reference/tests/rcor_extent.shp"
+    if not os.path.exists(path):
+        pytest.skip("reference fixture not present")
+    reaches = api.read_reaches(None, path)
+    assert [r["section"] for r in reaches] == [str(i) for i in range(7)]
+    for r in reaches:
+        assert len(r["ring_x"]) >= 4 and r["area_m2"] > 1e5
+        assert r["xmax"] > r["xmin"] and r["ymax"] > r["ymin"]
+    named = api.read_reaches(None, path, section_name_col="ORIG_FID")
+    assert [r["section"] for r in named] == ["586", "585", "584", "583", "582", "581", "580"]
+    with pytest.raises(ValueError, match="section_name_col"):
+        api.read_reaches(None, path, section_name_col="nope")
+
+
+def test_nc_plus_shp_end_to_end(spark):
+    """The reference notebook's exact entry forms — a .nc path and a
+    .shp corridor path — produce the same metrics as in-memory
+    reaches (examples/irm_example.py is the narrated version)."""
+    from irivermetrics_spark import api, synth
+    from irivermetrics_spark.kernels import shapefile as shpk
+
+    fx = synth.make_fixture(w=60, h=30, n_dates=6, n_sections=2, seed=9)
+    grid = dict(gx0=fx.gx0, gy0=fx.gy0, ps=fx.pixel_size, w=fx.w, h=fx.h)
+    with tempfile.TemporaryDirectory() as td:
+        ncpath = os.path.join(td, "wmask_ts.nc")
+        with open(ncpath, "wb") as f:
+            f.write(netcdf.write_wmask(fx.masks[0], [str(d) for d in fx.dates], grid))
+        shapes = [[(np.asarray(r["ring_x"]), np.asarray(r["ring_y"]))]
+                  for r in fx.reaches]
+        files = shpk.write_shapefile(shpk.POLYGON, shapes,
+                                     [("section", "C", 16, 0)],
+                                     [(str(r["section"]),) for r in fx.reaches])
+        for ext, buf in files.items():
+            with open(os.path.join(td, f"rcor.{ext}"), "wb") as f:
+                f.write(buf)
+        via_files = api.calculate_metrics(
+            spark, ncpath, os.path.join(td, "rcor.shp"),
+            section_name_col="section")
+        via_mem = api.calculate_metrics(spark, ncpath, fx.reaches, grid=grid)
+        a = (via_files["metrics"].toPandas().drop(columns=["scene"])
+             .sort_values(["date", "section"]).reset_index(drop=True))
+        b = (via_mem["metrics"].toPandas().drop(columns=["scene"])
+             .sort_values(["date", "section"]).reset_index(drop=True))
+        assert len(a) == len(b) > 0
+        for c in a.columns:
+            if a[c].dtype.kind in "if":
+                assert np.allclose(a[c].astype(float), b[c].astype(float),
+                                   equal_nan=True), c
+            else:
+                assert (a[c] == b[c]).all(), c
