@@ -183,14 +183,6 @@ def calculate_metrics(
     in the >= 70 % gate; without these the engine would treat them as
     valid and keep dates the reference drops.
     """
-    if isinstance(da_wmask, str):
-        from .operators import ncingest
-
-        da_wmask, nc_grid = ncingest.read_wmask_nc(spark, da_wmask, res=res)
-        if grid is None:
-            grid = nc_grid
-    if grid is None:
-        raise ValueError("grid=dict(gx0, gy0, ps, w, h) is required (uniform-grid contract)")
     if isinstance(rcor_extent, str):
         reaches = read_reaches(spark, rcor_extent, section_name_col=section_name_col)
     elif isinstance(rcor_extent, DataFrame):
@@ -204,9 +196,24 @@ def calculate_metrics(
         reaches = reaches_to_planar(reaches, plane_origin[0], plane_origin[1])
     elif reaches_crs != "planar":
         raise ValueError(f"unknown reaches_crs {reaches_crs!r} (planar|lonlat)")
+    aoi = (normalize_lines(r_lines), float(buffer)) if r_lines is not None else None
+    if isinstance(da_wmask, str):
+        from .operators import ncingest
+
+        # reaches are parsed first so the nc ingest fuses in-corridor
+        # invalid counts into its summary rows (F6 fused) — the
+        # presence-only validity fallback join never runs for .nc
+        # input — and the module-1 AOI clip (if any) applies in-kernel
+        # exactly like the image decode path
+        rings = [(np.asarray(r["ring_x"]), np.asarray(r["ring_y"])) for r in reaches]
+        da_wmask, nc_grid = ncingest.read_wmask_nc(spark, da_wmask, res=res,
+                                                   corridor_rings=rings, aoi=aoi)
+        if grid is None:
+            grid = nc_grid
+    if grid is None:
+        raise ValueError("grid=dict(gx0, gy0, ps, w, h) is required (uniform-grid contract)")
 
     sl = float("nan") if section_length is None else float(section_length)
-    aoi = (normalize_lines(r_lines), float(buffer)) if r_lines is not None else None
     kwargs = dict(res=res, min_pool_size=min_pool_size, section_length=sl,
                   checkpoint_dir=checkpoint_dir, fill_nodata=fill_nodata, aoi=aoi)
     if fill_res is not None:

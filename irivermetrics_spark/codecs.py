@@ -82,6 +82,14 @@ def decode_image(buf: bytes) -> np.ndarray:
             # casting straight to uint16 would truncate them to {0,1}.
             # Rescale into the engine's DN domain; floats already in the DN
             # range (max > 2, i.e. not surface reflectance) pass through.
+            # CAVEAT (documented, by design): the domain switch is a
+            # magnitude heuristic — a float raster whose genuine DN
+            # values all fall in [0, 2] (e.g. re-ingesting the engine's
+            # own Pixel_Persistence.tif fractions) is treated as
+            # reflectance and scaled. Ratio-based water rules are
+            # scale-invariant; absolute-value consumers should ingest
+            # such rasters through kernels.geotiff.read_geotiff, which
+            # never rescales.
             vals = np.nan_to_num(vals, nan=0.0, posinf=0.0, neginf=0.0)
             if nodata is not None:
                 vals = np.where(vals == float(nodata), 0.0, vals)

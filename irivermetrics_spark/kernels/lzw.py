@@ -58,6 +58,13 @@ def compress(data: bytes) -> bytes:
         w = bytes([b])
     if w:
         put(table[w], width)
+        # the decoder, on processing this FINAL code, appends one more
+        # table entry than the encoder ever allocated (the encoder only
+        # adds on mismatches, and the last code has no successor), which
+        # can push it across an early-change boundary — mirror that
+        # widen before writing EOI, as libtiff's LZWPostEncode does
+        if next_code == (1 << width) - 2 and width < 12:
+            width += 1
     put(EOI, width)
     if nbits:
         out.append((acc << (8 - nbits)) & 0xFF)

@@ -47,11 +47,23 @@ def _name(s: str) -> bytes:
     return struct.pack(">I", len(raw)) + _pad4(raw)
 
 
+def _check_int_range(arr: np.ndarray, what: str) -> None:
+    """Classic NetCDF has no 64-bit integer: int64 maps to NC_INT, so
+    out-of-range values must raise instead of silently wrapping."""
+    if arr.dtype == np.int64 and arr.size and (
+            arr.max() > 2**31 - 1 or arr.min() < -(2**31)):
+        raise ValueError(
+            f"{what}: int64 values exceed NC_INT range — classic "
+            "NetCDF-3 has no 64-bit integer type")
+
+
 def _att_values(nc_type: int, values) -> bytes:
     if nc_type == 2:  # char attribute = string
         raw = values.encode() if isinstance(values, str) else bytes(values)
         return struct.pack(">I", len(raw)) + _pad4(raw)
-    arr = np.atleast_1d(np.asarray(values)).astype(_NC_TYPES[nc_type])
+    arr = np.atleast_1d(np.asarray(values))
+    _check_int_range(arr, "attribute")
+    arr = arr.astype(_NC_TYPES[nc_type])
     return struct.pack(">I", arr.size) + _pad4(arr.tobytes())
 
 
@@ -96,6 +108,7 @@ def write_netcdf3(dims: dict, variables: dict, gattrs: dict | None = None,
     meta = {}
     for name in order:
         vdims, attrs, data = variables[name]
+        _check_int_range(np.asarray(data), f"variable {name!r}")
         nc_type = _TYPE_OF_DTYPE[np.asarray(data).dtype]
         slab = [dims[d] for d in vdims if dims[d]]  # record dim excluded
         nbytes = int(np.prod(slab, dtype=np.int64)) * _NC_SIZES[nc_type]
@@ -315,6 +328,15 @@ def read_wmask(buf: bytes, var: str = "water") -> tuple[np.ndarray, list, dict]:
         if c.size > 1 and not np.allclose(steps, steps[0]):
             raise ValueError(f"non-uniform {name} coordinate spacing")
     ps = float(abs(np.diff(xs)[0])) if xs.size > 1 else 1.0
+    if xs.size > 1 and ys.size > 1:
+        psy = float(abs(np.diff(ys)[0]))
+        if not np.isclose(ps, psy):
+            raise ValueError(
+                f"non-square pixels (dx={ps}, dy={psy}) — the engine's "
+                "uniform-grid contract needs one pixel size")
+    if xs.size > 1 and np.diff(xs)[0] < 0:  # east-to-west: mirror west-up
+        xs = xs[::-1]
+        cube = cube[:, :, ::-1]
     if ys.size > 1 and np.diff(ys)[0] > 0:  # south-up cube: flip north-up
         ys = ys[::-1]
         cube = cube[:, ::-1, :]

@@ -38,6 +38,64 @@ POINTS_SCHEMA = "image_id string, px int, py int, value tinyint, cell long"
 SUMMARY_MARKER = -9  # value of fused per-image summary rows (px=py=-1)
 
 
+def empty_points_pdf() -> pd.DataFrame:
+    """Zero-row frame with the POINTS_SCHEMA dtypes (Arrow needs them)."""
+    return pd.DataFrame(
+        dict(image_id=pd.Series(dtype="str"), px=pd.Series(dtype="int32"),
+             py=pd.Series(dtype="int32"), value=pd.Series(dtype="int8"),
+             cell=pd.Series(dtype="int64")))
+
+
+def emit_mask_rows(image_id: str, mask: np.ndarray, gx0: float, gy0: float,
+                   ps: float, res: int, corridor_rings: list | None,
+                   aoi_lines: list | None = None,
+                   aoi_buffer: float = 0.0) -> list[pd.DataFrame]:
+    """{1,0,-1} mask -> [points frame (if any), summary frame].
+
+    THE shared emission contract of every mask-producing kernel (the
+    image decode and the NetCDF cube ingest): sparse water/nodata
+    points with hex cell keys, optional buffered-AOI clip, and one
+    fused summary row per image — cell = in-corridor invalid count
+    when ``corridor_rings`` is given (F6 fused), else the presence
+    marker -1. Centralized so the two ingest paths cannot diverge."""
+    from ..functions import geometry
+
+    ys, xs = np.nonzero(mask != 0)
+    if ys.size and aoi_lines is not None:
+        cx = gx0 + (xs + 0.5) * ps
+        cy = gy0 - (ys + 0.5) * ps
+        keep = geometry.min_dist_to_polylines(cx, cy, aoi_lines) <= aoi_buffer
+        ys, xs = ys[keep], xs[keep]
+    out = []
+    if ys.size:
+        vals = mask[ys, xs]
+        cx = gx0 + (xs + 0.5) * ps
+        cy = gy0 - (ys + 0.5) * ps
+        cells = cellindex.hex_cell(cx, cy, res)
+        out.append(pd.DataFrame(dict(
+            image_id=image_id, px=xs.astype(np.int32), py=ys.astype(np.int32),
+            value=vals.astype(np.int8), cell=cells)))
+    if corridor_rings is not None:
+        nod = vals == -1 if ys.size else np.zeros(0, dtype=bool)
+        n_invalid = 0
+        if ys.size and nod.any():
+            member = np.zeros(int(nod.sum()), dtype=bool)
+            mx, my = cx[nod], cy[nod]
+            for ring_x, ring_y in corridor_rings:
+                todo = ~member
+                if not todo.any():
+                    break
+                member[todo] = geometry.point_in_polygon(mx[todo], my[todo], ring_x, ring_y)
+            n_invalid = int(member.sum())
+        summary_cell = np.int64(n_invalid)
+    else:
+        summary_cell = np.int64(-1)  # presence marker only
+    out.append(pd.DataFrame(dict(
+        image_id=[image_id], px=np.int32(-1), py=np.int32(-1),
+        value=np.int8(SUMMARY_MARKER), cell=summary_cell)))
+    return out
+
+
 def decode_points(images: DataFrame, grid: dict, res: int = 9,
                   threshold: float = water.NDWI_THRESHOLD,
                   corridor_rings: list | None = None,
@@ -91,7 +149,7 @@ def decode_points(images: DataFrame, grid: dict, res: int = 9,
     """
     gx0, gy0, ps = grid["gx0"], grid["gy0"], grid["ps"]
     expected_hw = (grid["h"], grid["w"]) if "h" in grid and "w" in grid else None
-    aoi_lines = None
+    aoi_lines, aoi_buffer = None, 0.0
     if aoi is not None:
         aoi_lines = [(np.asarray(lx, dtype=np.float64), np.asarray(ly, dtype=np.float64))
                      for lx, ly in aoi[0]]
@@ -144,54 +202,10 @@ def decode_points(images: DataFrame, grid: dict, res: int = 9,
                 else:
                     raise ValueError(
                         f"unknown water_rule {water_rule!r} (threshold|cluster)")
-                ys, xs = np.nonzero(mask != 0)
-                if ys.size and aoi_lines is not None:
-                    cx = gx0 + (xs + 0.5) * ps
-                    cy = gy0 - (ys + 0.5) * ps
-                    keep = geometry.min_dist_to_polylines(cx, cy, aoi_lines) <= aoi_buffer
-                    ys, xs = ys[keep], xs[keep]
-                if ys.size:
-                    vals = mask[ys, xs]
-                    cx = gx0 + (xs + 0.5) * ps
-                    cy = gy0 - (ys + 0.5) * ps
-                    cells = cellindex.hex_cell(cx, cy, res)
-                    out.append(
-                        pd.DataFrame(
-                            dict(
-                                image_id=image_id,
-                                px=xs.astype(np.int32),
-                                py=ys.astype(np.int32),
-                                value=vals.astype(np.int8),
-                                cell=cells,
-                            )
-                        )
-                    )
-                if corridor_rings is not None:
-                    nod = vals == -1 if ys.size else np.zeros(0, dtype=bool)
-                    n_invalid = 0
-                    if ys.size and nod.any():
-                        member = np.zeros(int(nod.sum()), dtype=bool)
-                        mx, my = cx[nod], cy[nod]
-                        for ring_x, ring_y in corridor_rings:
-                            todo = ~member
-                            if not todo.any():
-                                break
-                            member[todo] = geometry.point_in_polygon(mx[todo], my[todo], ring_x, ring_y)
-                        n_invalid = int(member.sum())
-                    summary_cell = np.int64(n_invalid)
-                else:
-                    summary_cell = np.int64(-1)  # presence marker only
-                out.append(
-                    pd.DataFrame(
-                        dict(image_id=[image_id], px=np.int32(-1), py=np.int32(-1),
-                             value=np.int8(SUMMARY_MARKER), cell=summary_cell)
-                    )
-                )
-            yield pd.concat(out, ignore_index=True) if out else pd.DataFrame(
-                dict(image_id=pd.Series(dtype="str"), px=pd.Series(dtype="int32"),
-                     py=pd.Series(dtype="int32"), value=pd.Series(dtype="int8"),
-                     cell=pd.Series(dtype="int64"))
-            )
+                out.extend(emit_mask_rows(
+                    image_id, mask, gx0, gy0, ps, res, corridor_rings,
+                    aoi_lines=aoi_lines, aoi_buffer=aoi_buffer))
+            yield pd.concat(out, ignore_index=True) if out else empty_points_pdf()
 
     cols = ["image_id", "bytes"] + (["gx0", "gy0", "ps"] if reproject else [])
     if reproject and "crs" in images.columns:

@@ -91,7 +91,7 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text", n_hashes: int = 
         m61 = np.uint64(61)
         with np.errstate(over="ignore"):
             for t in texts:
-                sh = _shingles(t, shingle_k)
+                sh = _shingles(t, shingle_k, unique=False)
                 # (a*x + b) wraps mod 2^64 (the engine hash definition),
                 # then reduces mod 2^61-1; min over shingles. Same
                 # values as _mod_mersenne61, written with in-place ops
@@ -191,16 +191,19 @@ def exact_jaccard_pairs(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id
     (~64 B + 8 B/shingle per doc) and ships it to every executor as a
     Spark broadcast, so the per-pair stage reads two dict lookups and
     one numpy merge-intersect — the right shape while the corpus dim
-    fits executor memory (hundreds of MB ~ millions of docs). Pass
-    False at 10^9-doc scale: the shingle frame then sort-merge-joins
-    onto the pair ids and jaccard runs JVM-side (array_intersect) —
-    fully distributed, no driver/executor-resident dim.
+    fits executor memory. The fast path is SELF-GATING: past 500k docs
+    (several hundred MB of sets) it falls back automatically to the
+    distributed form regardless of the flag, where the shingle frame
+    sort-merge-joins onto the pair ids and jaccard runs JVM-side
+    (array_intersect) — no driver/executor-resident dim at 10^9 docs.
     """
     spark = docs.sparkSession
     target = spark.sparkContext.defaultParallelism
     ds = docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("txt"))
     if ds.rdd.getNumPartitions() < target:
         ds = ds.repartition(target)
+    if broadcast_shingles and docs.count() > 500_000:
+        broadcast_shingles = False  # driver-dim budget exceeded
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def shing(txt: pd.Series) -> pd.Series:

@@ -26,29 +26,53 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
-from ..functions import cellindex, geometry
 from ..kernels import netcdf
-from .decode import POINTS_SCHEMA, SUMMARY_MARKER, with_scene_date
+from .decode import POINTS_SCHEMA, with_scene_date
 
 
 def _scene_name(path: str) -> str:
+    """Filename -> scene id (alphanumeric, per the image_id contract).
+
+    Stripping punctuation alone would collide distinct files
+    ('a_1.nc' / 'a-1.nc' / 'a1.nc' all -> 'a1') and silently merge
+    their (scene, date) dimensions, so any lossy sanitization appends
+    a crc32 of the ORIGINAL basename — distinct files keep distinct
+    scenes."""
+    import zlib
+
     base = os.path.splitext(os.path.basename(path))[0]
-    return re.sub(r"[^A-Za-z0-9]", "", base) or "nc"
+    clean = re.sub(r"[^A-Za-z0-9]", "", base)
+    if clean == base and clean:
+        return clean
+    return (clean or "nc") + format(zlib.crc32(base.encode()), "08x")
 
 
 def nc_mask_points(files: DataFrame, grid: dict, res: int = 9,
                    corridor_rings: list | None = None,
-                   var: str = "water") -> DataFrame:
+                   var: str = "water",
+                   aoi: tuple[list, float] | None = None) -> DataFrame:
     """binaryFile frame (path, content) -> mask-point rows.
 
     grid: the engine's uniform target grid (gx0, gy0, ps, w, h); every
     cube is asserted against it map-side, like the S1 image-table
     uniformity check — mixed-grid .nc inputs fail loudly per file.
+
+    aoi: (lines, buffer_m) — the module-1 buffered-AOI clip, applied
+    per pixel inside the kernel exactly like the image decode path
+    (shared emit_mask_rows), so fused invalid counts and the
+    pipeline's constant invalid_offset stay consistent.
     """
     gx0, gy0, ps = float(grid["gx0"]), float(grid["gy0"]), float(grid["ps"])
     expected_hw = (int(grid["h"]), int(grid["w"]))
+    aoi_lines, aoi_buffer = None, 0.0
+    if aoi is not None:
+        aoi_lines = [(np.asarray(lx, dtype=np.float64), np.asarray(ly, dtype=np.float64))
+                     for lx, ly in aoi[0]]
+        aoi_buffer = float(aoi[1])
 
     def kernel(batches):
+        from .decode import emit_mask_rows, empty_points_pdf
+
         for pdf in batches:
             out = []
             for _, row in pdf.iterrows():
@@ -62,40 +86,14 @@ def nc_mask_points(files: DataFrame, grid: dict, res: int = 9,
                         f"{dict(gx0=gx0, gy0=gy0, ps=ps, w=expected_hw[1], h=expected_hw[0])} "
                         "(uniform-grid contract)")
                 for t, d in enumerate(dates):
-                    image_id = f"{scene}_{d}"
-                    mask = cube[t]
-                    ys, xs = np.nonzero(mask != 0)
-                    n_invalid = 0
-                    if ys.size:
-                        vals = mask[ys, xs]
-                        cx = gx0 + (xs + 0.5) * ps
-                        cy = gy0 - (ys + 0.5) * ps
-                        cells = cellindex.hex_cell(cx, cy, res)
-                        out.append(pd.DataFrame(dict(
-                            image_id=image_id, px=xs.astype(np.int32),
-                            py=ys.astype(np.int32), value=vals.astype(np.int8),
-                            cell=cells)))
-                        if corridor_rings is not None:
-                            nod = vals == -1
-                            if nod.any():
-                                member = np.zeros(int(nod.sum()), dtype=bool)
-                                mx, my = cx[nod], cy[nod]
-                                for ring_x, ring_y in corridor_rings:
-                                    todo = ~member
-                                    if not todo.any():
-                                        break
-                                    member[todo] = geometry.point_in_polygon(
-                                        mx[todo], my[todo], ring_x, ring_y)
-                                n_invalid = int(member.sum())
-                    summary_cell = (np.int64(n_invalid) if corridor_rings is not None
-                                    else np.int64(-1))
-                    out.append(pd.DataFrame(dict(
-                        image_id=[image_id], px=np.int32(-1), py=np.int32(-1),
-                        value=np.int8(SUMMARY_MARKER), cell=summary_cell)))
-            yield pd.concat(out, ignore_index=True) if out else pd.DataFrame(
-                dict(image_id=pd.Series(dtype="str"), px=pd.Series(dtype="int32"),
-                     py=pd.Series(dtype="int32"), value=pd.Series(dtype="int8"),
-                     cell=pd.Series(dtype="int64")))
+                    # shared emission contract with the image decode
+                    # kernel (decode.emit_mask_rows) — the two ingest
+                    # paths cannot diverge on points/summary semantics
+                    out.extend(emit_mask_rows(
+                        f"{scene}_{d}", cube[t], gx0, gy0, ps, res,
+                        corridor_rings, aoi_lines=aoi_lines,
+                        aoi_buffer=aoi_buffer))
+            yield pd.concat(out, ignore_index=True) if out else empty_points_pdf()
 
     pts = files.select("path", "content").mapInPandas(kernel, schema=POINTS_SCHEMA)
     return with_scene_date(pts)
@@ -103,7 +101,8 @@ def nc_mask_points(files: DataFrame, grid: dict, res: int = 9,
 
 def read_wmask_nc(spark: SparkSession, path: str, res: int = 9,
                   corridor_rings: list | None = None,
-                  var: str = "water") -> tuple[DataFrame, dict]:
+                  var: str = "water",
+                  aoi: tuple[list, float] | None = None) -> tuple[DataFrame, dict]:
     """Path (file, directory or glob of classic .nc cubes) ->
     (mask-point DataFrame, grid dict).
 
@@ -120,4 +119,4 @@ def read_wmask_nc(spark: SparkSession, path: str, res: int = 9,
         raise ValueError(f"no files under {path}")
     _, _, grid = netcdf.read_wmask(bytes(first[0]["content"]), var=var)
     return nc_mask_points(files, grid, res=res,
-                          corridor_rings=corridor_rings, var=var), grid
+                          corridor_rings=corridor_rings, var=var, aoi=aoi), grid

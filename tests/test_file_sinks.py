@@ -67,6 +67,15 @@ def test_lzw_codec_boundaries_and_predictor():
     run = b"ab" * 40000  # highly repetitive: long-match path + KwKwK
     assert lzw.decompress(lzw.compress(run)) == run
     assert lzw.decompress(lzw.compress(b"")) == b""
+    # regression: streams ENDING exactly at an early-change boundary —
+    # the decoder's append for the final code crosses the width bump,
+    # so the encoder must widen before EOI (this failed for ~253-byte
+    # high-entropy inputs before the LZWPostEncode-style fix)
+    for seed in range(40):
+        r = np.random.default_rng(seed)
+        for size in (251, 252, 253, 254, 255):
+            d = r.integers(0, 256, size, dtype=np.uint8).tobytes()
+            assert lzw.decompress(lzw.compress(d)) == d, (seed, size)
 
     # predictor=2 (horizontal differencing), as third-party writers
     # emit: forward-difference rows by hand, inject tag 317=2 into the

@@ -185,3 +185,37 @@ def test_nc_plus_shp_end_to_end(spark):
                                    equal_nan=True), c
             else:
                 assert (a[c] == b[c]).all(), c
+
+
+def test_nc_directory_ingest_multi_scene(spark):
+    """A DIRECTORY of per-scene cubes ingests distributed (one task per
+    file) and yields both scenes' (scene, date) dimensions."""
+    from irivermetrics_spark.operators import ncingest
+    from irivermetrics_spark import synth
+
+    fx = synth.make_fixture(w=40, h=20, n_dates=4, n_sections=2, n_scenes=2, seed=13)
+    grid = dict(gx0=fx.gx0, gy0=fx.gy0, ps=fx.pixel_size, w=fx.w, h=fx.h)
+    with tempfile.TemporaryDirectory() as td:
+        for s in range(2):
+            with open(os.path.join(td, f"scene{s}.nc"), "wb") as f:
+                f.write(netcdf.write_wmask(
+                    fx.masks[s], [str(d) for d in fx.dates], grid))
+        pts, g = ncingest.read_wmask_nc(spark, td)
+        assert g["w"] == 40 and g["h"] == 20
+        pdf = pts.toPandas()
+        scenes = sorted(pdf["scene"].unique())
+        assert scenes == ["scene0", "scene1"]
+        # per (scene, date) presence summaries keep the dim complete
+        summ = pdf[pdf["value"] == -9]
+        assert len(summ) == 2 * 4
+        # water points match the truth masks per scene
+        for s in range(2):
+            sub = pdf[(pdf["scene"] == f"scene{s}") & (pdf["value"] == 1)]
+            assert len(sub) == int((fx.masks[s] == 1).sum())
+        # mixed-grid cubes fail loudly
+        bad = dict(grid, gx0=grid["gx0"] + 30.0)
+        with open(os.path.join(td, "scene9.nc"), "wb") as f:
+            f.write(netcdf.write_wmask(
+                fx.masks[0], [str(d) for d in fx.dates], bad))
+        with pytest.raises(Exception, match="uniform-grid"):
+            ncingest.read_wmask_nc(spark, td)[0].count()
