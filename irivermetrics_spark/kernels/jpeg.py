@@ -135,21 +135,26 @@ def fdct2_blocks(blocks: np.ndarray) -> np.ndarray:
 
 
 class _HuffTable:
-    """Canonical Huffman table in T.81 DECODE form."""
+    """Canonical Huffman table with a 16-bit peek LUT.
+
+    The r3 decoder walked the canonical DECODE arrays one BIT at a
+    time (a Python loop iteration per code bit — the profiled hot spot
+    of the whole codec); the LUT maps every 16-bit lookahead straight
+    to (symbol, code length), so the scan loop costs one dict-free
+    lookup per SYMBOL. Entry 0 marks prefixes no code maps to (a valid
+    symbol always packs a nonzero length in the low 5 bits)."""
 
     def __init__(self, bits: list[int], vals: list[int]):
         self.vals = list(vals)
-        self.mincode = [0] * 17
-        self.maxcode = [-1] * 17
-        self.valptr = [0] * 17
+        lut = np.zeros(1 << 16, dtype=np.int32)
         code, k = 0, 0
         for l in range(1, 17):
-            self.valptr[l] = k
-            self.mincode[l] = code
-            code += bits[l - 1]
-            k += bits[l - 1]
-            self.maxcode[l] = code - 1 if bits[l - 1] else -1
+            for _ in range(bits[l - 1]):
+                lut[code << (16 - l):(code + 1) << (16 - l)] = (self.vals[k] << 5) | l
+                code += 1
+                k += 1
             code <<= 1
+        self.lut = lut.tolist()  # plain-list indexing beats np scalar extraction
         # encoder view: symbol -> (code, length)
         self.enc: dict[int, tuple[int, int]] = {}
         code, k = 0, 0
@@ -162,7 +167,13 @@ class _HuffTable:
 
 
 class _BitReader:
-    """MSB-first bit reader over an unstuffed entropy segment."""
+    """MSB-first bit reader over an unstuffed entropy segment.
+
+    The accumulator is masked down to ``nbits`` after every consume —
+    the r3 reader let consumed bits pile up in an ever-growing Python
+    int, making each shift O(stream length). Reads past the segment
+    end yield 1-bits (T.81 pads the final byte with 1s), so the
+    block-bounded scan loops terminate cleanly on truncated data."""
 
     __slots__ = ("data", "pos", "cur", "nbits")
 
@@ -172,27 +183,31 @@ class _BitReader:
         self.cur = 0
         self.nbits = 0
 
-    def _fill(self):
-        if self.pos >= len(self.data):
-            raise EOFError("entropy segment exhausted")
-        self.cur = (self.cur << 8) | self.data[self.pos]
-        self.pos += 1
-        self.nbits += 8
+    def _fill_to(self, n: int):
+        data = self.data
+        ln = len(data)
+        while self.nbits < n:
+            self.cur = (self.cur << 8) | (data[self.pos] if self.pos < ln else 0xFF)
+            self.pos += 1
+            self.nbits += 8
 
     def read(self, n: int) -> int:
-        while self.nbits < n:
-            self._fill()
+        if self.nbits < n:
+            self._fill_to(n)
         self.nbits -= n
         v = (self.cur >> self.nbits) & ((1 << n) - 1)
+        self.cur &= (1 << self.nbits) - 1
         return v
 
     def decode_symbol(self, table: _HuffTable) -> int:
-        code = self.read(1)
-        for l in range(1, 17):
-            if table.maxcode[l] >= 0 and code <= table.maxcode[l]:
-                return table.vals[table.valptr[l] + code - table.mincode[l]]
-            code = (code << 1) | self.read(1)
-        raise ValueError("invalid Huffman code")
+        if self.nbits < 16:
+            self._fill_to(16)
+        e = table.lut[(self.cur >> (self.nbits - 16)) & 0xFFFF]
+        if e == 0:
+            raise ValueError("invalid Huffman code")
+        self.nbits -= e & 31
+        self.cur &= (1 << self.nbits) - 1
+        return e >> 5
 
     def receive_extend(self, s: int) -> int:
         if s == 0:

@@ -184,3 +184,21 @@ def test_noninterleaved_grayscale_with_subsampled_sof():
     patched = jpeg.decode_baseline(bytes(buf))
     plain = jpeg.decode_baseline(jpeg.encode_baseline(img, quality=85))
     assert np.array_equal(patched, plain)
+
+
+def test_decode_speed_not_quadratic():
+    """Regression: the r3 bit reader accumulated consumed bits in an
+    ever-growing Python int (O(stream) per shift — 10.5 s for a noisy
+    256x256 q90 image) and walked codes bit-by-bit. The masked reader
+    + 16-bit LUT decodes the same image in ~0.2 s; the bound below has
+    >10x headroom for host noise while still catching a quadratic
+    regression."""
+    import time
+
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 256, (3, 256, 256), dtype=np.uint8)
+    buf = jpeg.encode_baseline(img, quality=90)
+    t0 = time.time()
+    out = jpeg.decode_baseline(buf)
+    assert out.shape == (3, 256, 256)
+    assert time.time() - t0 < 5.0
