@@ -484,6 +484,9 @@ class _BitWriter:
             self.out.append(b)
             if b == 0xFF:
                 self.out.append(0x00)  # byte stuffing
+        # mask drained bits out — an unbounded accumulator makes every
+        # later shift O(stream length) (the decoder had the same bug)
+        self.cur &= (1 << self.nbits) - 1
 
     def flush(self):
         if self.nbits:

@@ -32,6 +32,7 @@ def compress(data: bytes) -> bytes:
         while nbits >= 8:
             nbits -= 8
             out.append((acc >> nbits) & 0xFF)
+        acc &= (1 << nbits) - 1  # drop drained bits: unbounded acc => O(n) shifts
 
     table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
     next_code = FIRST
@@ -98,6 +99,7 @@ def decompress(data: bytes, max_out: int | None = None) -> bytes:
             nbits += 8
         nbits -= width
         code = (acc >> nbits) & ((1 << width) - 1)
+        acc &= (1 << nbits) - 1  # drop consumed bits (keeps shifts O(1))
         if code == EOI:
             return bytes(out)
         if code == CLEAR:
