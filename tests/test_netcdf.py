@@ -219,3 +219,44 @@ def test_nc_directory_ingest_multi_scene(spark):
                 fx.masks[0], [str(d) for d in fx.dates], bad))
         with pytest.raises(Exception, match="uniform-grid"):
             ncingest.read_wmask_nc(spark, td)[0].count()
+
+
+def test_nc_aoi_clip_and_all_dry(spark):
+    """The nc ingest's buffered-AOI clip matches the shared emission
+    contract (points outside the buffer never emit), and an all-dry
+    cube still yields its full (scene, date) dimension via summary
+    rows (zero-branch metrics downstream)."""
+    from irivermetrics_spark.operators import ncingest
+    from irivermetrics_spark import synth
+
+    fx = synth.make_fixture(w=40, h=20, n_dates=3, n_sections=2, seed=21)
+    grid = dict(gx0=fx.gx0, gy0=fx.gy0, ps=fx.pixel_size, w=fx.w, h=fx.h)
+    # a vertical line on the left edge with a tight buffer: only
+    # pixels within 3 px of x=2 survive the clip
+    lx = fx.gx0 + 2.5 * fx.pixel_size
+    lines = [(np.asarray([lx, lx]), np.asarray([fx.gy0, fx.gy0 - 20 * fx.pixel_size]))]
+    buf_m = 3.0 * fx.pixel_size
+    with tempfile.TemporaryDirectory() as td:
+        with open(os.path.join(td, "s0.nc"), "wb") as f:
+            f.write(netcdf.write_wmask(fx.masks[0], [str(d) for d in fx.dates], grid))
+        pts, _ = ncingest.read_wmask_nc(spark, td, aoi=(lines, buf_m))
+        pdf = pts.toPandas()
+        body = pdf[pdf["value"] != -9]
+        if len(body):
+            cx = grid["gx0"] + (body["px"].to_numpy() + 0.5) * grid["ps"]
+            assert np.all(np.abs(cx - lx) <= buf_m + 1e-9)
+        # clip strictly reduces (fixture has water across the raster)
+        full = ncingest.read_wmask_nc(spark, td)[0].toPandas()
+        assert len(body) < len(full[full["value"] != -9])
+
+        # all-dry cube: summaries alone keep the date dimension
+        dry = np.zeros_like(fx.masks[0])
+        with open(os.path.join(td, "s0.nc"), "wb") as f:
+            f.write(netcdf.write_wmask(dry, [str(d) for d in fx.dates], grid))
+        pdf2 = ncingest.read_wmask_nc(spark, td)[0].toPandas()
+        assert (pdf2["value"] == -9).all() and len(pdf2) == 3
+        from irivermetrics_spark import api
+        res = api.calculate_metrics(spark, os.path.join(td, "s0.nc"), fx.reaches)
+        m = res["metrics"].toPandas()
+        assert len(m) == 3 * 2 and (m["npools"] == 0).all()
+        assert np.allclose(m["wet_area_km2"], 0.0)
