@@ -104,7 +104,10 @@ def decode_points(images: DataFrame, grid: dict, res: int = 9,
                   reproject: bool = False,
                   resample_method: str = "nearest",
                   plane_origin: tuple[float, float] = (-18.0, 120.0),
-                  water_rule: str = "threshold") -> DataFrame:
+                  water_rule: str = "threshold",
+                  warp_frame: str = "tangent",
+                  utm_zone: int | None = None,
+                  utm_south: bool = True) -> DataFrame:
     """images -> sparse mask points with hex cell keys + scene/date cols.
 
     ``grid``: dict(gx0, gy0, ps) — uniform georeferencing (validated by
@@ -185,9 +188,15 @@ def decode_points(images: DataFrame, grid: dict, res: int = 9,
                     src_g = dict(gx0=float(sgx0), gy0=float(sgy0), ps=float(sps))
                     dst_g = dict(gx0=gx0, gy0=gy0, ps=ps, w=grid["w"], h=grid["h"])
                     if scrs == "lonlat":
+                        # warp_frame="utm" + utm_zone: the target grid
+                        # is a TRUE WGS84 UTM grid (the reference's
+                        # estimate_utm_crs form) and the inverse runs
+                        # through the Snyder series — datum-grade on
+                        # wide scenes where the tangent plane drifts
                         arr = resamplek.warp_from_lonlat(
                             arr, src_g, dst_g, plane_origin[0], plane_origin[1],
-                            method=resample_method)
+                            method=resample_method, frame=warp_frame,
+                            zone=utm_zone, south=utm_south)
                     elif scrs == "planar":
                         arr = resamplek.resample(arr, src_g, dst_g, method=resample_method)
                     else:

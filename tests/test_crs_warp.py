@@ -234,3 +234,46 @@ def test_wide_scene_utm_warp_beats_tangent_plane():
     p_utm, p_tan = psnr(utm_out), psnr(tan_out)
     assert p_utm >= 40.0, (p_utm, p_tan)
     assert p_tan < 40.0, (p_utm, p_tan)
+
+
+def test_decode_utm_warp_frame(spark):
+    """End-to-end datum-grade ingest: a lonlat-georeferenced row warps
+    onto a TRUE UTM target grid inside the decode kernel
+    (decode_points(warp_frame='utm')), emitting exactly the points the
+    standalone Snyder-composed warp + water rule produce."""
+    from irivermetrics_spark import codecs
+    from irivermetrics_spark.kernels import resample as rsk, water
+    from irivermetrics_spark.operators import decode as dec
+
+    zone, south = 51, True
+    E0, N0, ps = 500_000.0, 8_000_000.0, 30.0
+    W, H = 40, 24
+    grid = dict(gx0=E0, gy0=N0, ps=ps, w=W, h=H)
+    ee, nn = np.meshgrid(E0 + (np.arange(W) + 0.5) * ps,
+                         N0 - (np.arange(H) + 0.5) * ps)
+    lon_t, lat_t = geometry.utm_to_lonlat(ee.ravel(), nn.ravel(), zone, south)
+    ps_deg = 0.0002
+    lon0d, lat0d = lon_t.min() - 0.002, lat_t.max() + 0.002
+    sw = int((lon_t.max() + 0.002 - lon0d) / ps_deg) + 2
+    sh = int((lat0d - (lat_t.min() - 0.002)) / ps_deg) + 2
+    lons = lon0d + (np.arange(sw) + 0.5) * ps_deg
+    stripe = (lons > lon_t.min() + 0.004) & (lons < lon_t.min() + 0.009)
+    arr = np.zeros((4, sh, sw), np.uint16)
+    arr[0], arr[2] = 800, 900
+    arr[1] = np.where(stripe[None, :], 3000, 1000)   # green
+    arr[3] = np.where(stripe[None, :], 1000, 3000)   # nir -> water ndwi > 0
+    images = spark.createDataFrame(pd.DataFrame([dict(
+        image_id="u1_2020-01-01", bytes=codecs.encode_image(arr),
+        w=sw, h=sh, fmt="raw16", caption="", phash=0,
+        gx0=float(lon0d), gy0=float(lat0d), ps=float(ps_deg), crs="lonlat")]))
+    pts = dec.decode_points(images, grid, reproject=True, warp_frame="utm",
+                            utm_zone=zone, utm_south=south).toPandas()
+    pts = pts[pts["value"] != dec.SUMMARY_MARKER]
+    direct = rsk.warp_from_lonlat(
+        arr, dict(gx0=float(lon0d), gy0=float(lat0d), ps=ps_deg), grid,
+        frame="utm", zone=zone, south=south)
+    em = water.water_mask(direct)
+    ys, xs = np.nonzero(em != 0)
+    assert len(pts) > 0
+    assert set(zip(pts["px"].astype(int), pts["py"].astype(int))) == \
+        set(zip(xs.tolist(), ys.tolist()))
