@@ -3,7 +3,9 @@
 Decoder — full baseline sequential DCT support:
   JFIF/APPn/COM markers, multiple DQT (8- and 16-bit), SOF0/SOF1,
   multiple DHT, DRI restart intervals, interleaved SOS with arbitrary
-  sampling factors (4:4:4, 4:2:2, 4:2:0 ...), byte unstuffing,
+  sampling factors (4:4:4, 4:2:2, 4:2:0 ...), single-component
+  non-interleaved scans (T.81 A.2.2) and multi-scan baseline files,
+  16-bit-LUT Huffman decoding, byte unstuffing,
   per-component DC prediction, dequantization, vectorized 8x8 IDCT,
   chroma upsampling and JFIF YCbCr->RGB. Progressive (SOF2) and
   arithmetic coding are rejected with a clear error.

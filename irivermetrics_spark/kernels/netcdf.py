@@ -327,13 +327,15 @@ def read_wmask(buf: bytes, var: str = "water") -> tuple[np.ndarray, list, dict]:
         steps = np.diff(c)
         if c.size > 1 and not np.allclose(steps, steps[0]):
             raise ValueError(f"non-uniform {name} coordinate spacing")
-    ps = float(abs(np.diff(xs)[0])) if xs.size > 1 else 1.0
-    if xs.size > 1 and ys.size > 1:
-        psy = float(abs(np.diff(ys)[0]))
-        if not np.isclose(ps, psy):
-            raise ValueError(
-                f"non-square pixels (dx={ps}, dy={psy}) — the engine's "
-                "uniform-grid contract needs one pixel size")
+    psx = float(abs(np.diff(xs)[0])) if xs.size > 1 else None
+    psy = float(abs(np.diff(ys)[0])) if ys.size > 1 else None
+    if psx is not None and psy is not None and not np.isclose(psx, psy):
+        raise ValueError(
+            f"non-square pixels (dx={psx}, dy={psy}) — the engine's "
+            "uniform-grid contract needs one pixel size")
+    # a 1-pixel axis has no spacing of its own: borrow the other axis
+    # (square-pixel contract); a 1x1 cube is genuinely ambiguous -> 1.0
+    ps = psx if psx is not None else (psy if psy is not None else 1.0)
     if xs.size > 1 and np.diff(xs)[0] < 0:  # east-to-west: mirror west-up
         xs = xs[::-1]
         cube = cube[:, :, ::-1]

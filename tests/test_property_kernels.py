@@ -133,3 +133,37 @@ def test_pip_consistent_with_winding(verts):
     a = geometry.point_in_polygon(np.array([cx]), np.array([cy]), rx, ry)[0]
     b = geometry.point_in_polygon(np.array([cx]), np.array([cy]), rx, ry)[0]
     assert a == b
+
+
+@given(st.binary(max_size=4000))
+@settings(max_examples=120, deadline=None)
+def test_lzw_roundtrip_property(data):
+    from irivermetrics_spark.kernels import lzw
+
+    assert lzw.decompress(lzw.compress(data)) == data
+
+
+@given(
+    st.integers(1, 6), st.integers(1, 9), st.integers(1, 9),
+    st.sampled_from([1, 2]), st.booleans(),
+)
+@settings(max_examples=60, deadline=None)
+def test_netcdf_wmask_roundtrip_property(t, h, w, version, record_time):
+    import numpy as np
+
+    from irivermetrics_spark.kernels import netcdf
+
+    if h == 1 and w == 1:
+        return  # 1x1 grid: pixel size genuinely unrecoverable
+    rng = np.random.default_rng(t * 100 + h * 10 + w)
+    cube = rng.integers(-1, 2, (t, h, w)).astype(np.int8)
+    dates = [str(np.datetime64("2019-06-01") + np.timedelta64(3 * i, "D"))
+             for i in range(t)]
+    grid = dict(gx0=1000.0, gy0=5000.0, ps=30.0)
+    back, dback, gback = netcdf.read_wmask(
+        netcdf.write_wmask(cube, dates, grid, version=version,
+                           record_time=record_time))
+    assert np.array_equal(back, cube)
+    assert dback == dates
+    assert gback["w"] == w and gback["h"] == h
+    assert np.isclose(gback["gx0"], 1000.0) and np.isclose(gback["gy0"], 5000.0)
