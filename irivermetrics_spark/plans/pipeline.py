@@ -151,6 +151,36 @@ def run(
 
     rings = [(np.asarray(r["ring_x"]), np.asarray(r["ring_y"])) for r in reaches]
 
+    # corridor constants first: they are O(polygons) jobs memoized per
+    # (reaches, grid, res[, aoi]) content and the decode-path stats
+    # observation below needs corridor_total before the mask write runs
+    corridor_cover = zonal.corridor_cover_df(spark, reaches, res)
+    corridor_total = fillop.corridor_pixel_count(spark, corridor_cover, reaches, grid, res)
+    invalid_offset = 0
+    if aoi is not None:
+        # AOI-clipped masks: corridor pixels outside the module-1 buffer
+        # were clipped away -> invalid (reference clips, THEN validates)
+        corridor_in_aoi = fillop.corridor_pixel_count(spark, corridor_cover, reaches, grid, res, aoi=aoi)
+        invalid_offset = corridor_total - corridor_in_aoi
+
+    # per-row F6 predicate on fused summary rows — used by the stats
+    # observation to piggyback the driver's two small decisions (date
+    # prune list, broadcast gates) onto an action that already runs.
+    # Exact kept-ness is a SUM of `cell` over a (scene, date)'s summary
+    # rows; since decode emits exactly one summary row per image, the
+    # per-row predicate equals the exact one, and with duplicate images
+    # it yields a SUPERSET of kept dates (sum-kept => every row kept)
+    # and an OVERESTIMATE of the kept row count — both safe directions
+    # (prune list must not drop kept data; broadcast gate must not
+    # broadcast an unbounded dim). The same float expression as
+    # keep_dates_fused so no FP-edge divergence.
+    _row_kept = (
+        (F.col("value") == decode.SUMMARY_MARKER) & (F.col("cell") >= 0)
+        & ((F.lit(corridor_total) - (F.col("cell") + F.lit(int(invalid_offset))))
+           / F.lit(corridor_total) >= F.lit(0.7))
+    )
+    obs = None
+
     if points is None:
         # S1 uniformity is asserted per image inside the decode kernel
         # (map-side) — no separate validate action barrier. The aoi clip
@@ -167,8 +197,19 @@ def run(
             # plain (unpartitioned) parquet: at local scale a per-date
             # dynamic-partition write costs more in small-file commits than
             # pruning saves; a cluster deployment with years of history
-            # would partitionBy("date") here (see lineage path)
-            points.write.mode("overwrite").parquet(mask_path)
+            # would partitionBy("date") here (see lineage path).
+            # The kept-date stats ride the write job as an Observation —
+            # the r4 serial-floor fix: no separate stats action remains
+            # between the mask sink and the final metrics job.
+            from pyspark.sql import Observation
+
+            obs = Observation()
+            observed = points.observe(
+                obs,
+                F.collect_set(F.when(_row_kept, F.col("date"))).alias("d_kept"),
+                F.sum(F.when(_row_kept, 1).otherwise(0)).alias("n_kept"),
+            )
+            observed.write.mode("overwrite").parquet(mask_path)
             points = spark.read.parquet(mask_path)
         else:
             points = points.persist()
@@ -185,50 +226,71 @@ def run(
         # (an all-nodata image has a summary row, so no date is lost)
         dates = points.select("scene", "date").unionByName(
             summaries.select("scene", "date")).distinct()
-    corridor_cover = zonal.corridor_cover_df(spark, reaches, res)
-    corridor_total = fillop.corridor_pixel_count(spark, corridor_cover, reaches, grid, res)
-    invalid_offset = 0
-    if aoi is not None:
-        # AOI-clipped masks: corridor pixels outside the module-1 buffer
-        # were clipped away -> invalid (reference clips, THEN validates)
-        corridor_in_aoi = fillop.corridor_pixel_count(spark, corridor_cover, reaches, grid, res, aoi=aoi)
-        invalid_offset = corridor_total - corridor_in_aoi
 
     # the decode path always fuses in-corridor invalid counts — only
-    # probe (one tiny pushdown scan) when the caller handed us a points
-    # table, whose summary rows may be presence-only (cell == -1).
-    # Mixed tables (counted AND presence-only summaries unioned from
-    # different module-1 runs) are rejected: the fused path would
-    # silently treat presence-only dates as zero-invalid (ADVICE r2).
-    if images is not None:
-        has_counts = True
-    else:
-        kinds = {bool(r["counted"]) for r in summaries.select(
-            (F.col("cell") >= 0).alias("counted")).distinct().collect()}
-        if len(kinds) == 2:
-            raise ValueError(
-                "mixed mask table: both counted (cell >= 0) and presence-only "
-                "(cell == -1) summary rows present — re-run module 1 uniformly "
-                "(with or without reaches) or split the table per run"
-            )
-        has_counts = kinds == {True}
-    if has_counts:
-        kept = fillop.keep_dates_fused(summaries, dates, corridor_total,
-                                       invalid_offset=invalid_offset)
-    else:
-        kept = fillop.keep_dates(points, dates, corridor_cover, reaches, grid, corridor_total,
+    # probe when the caller handed us a points table, whose summary rows
+    # may be presence-only (cell == -1). Mixed tables (counted AND
+    # presence-only summaries unioned from different module-1 runs) are
+    # rejected: the fused path would silently treat presence-only dates
+    # as zero-invalid (ADVICE r2). The probe rides the same single
+    # action as the kept stats (crossJoin of two tiny aggregates).
+    has_counts = True
+    probe_cols: list = []
+    if images is None:
+        probe_cols = [summaries.agg(
+            F.sum(F.when(F.col("cell") >= 0, 1).otherwise(0)).alias("_n_counted"),
+            F.sum(F.when(F.col("cell") < 0, 1).otherwise(0)).alias("_n_presence"),
+        )]
+
+    def _kept_of(counted: bool) -> DataFrame:
+        if counted:
+            return fillop.keep_dates_fused(summaries, dates, corridor_total,
+                                           invalid_offset=invalid_offset)
+        return fillop.keep_dates(points, dates, corridor_cover, reaches, grid, corridor_total,
                                  invalid_offset=invalid_offset)
-    # the kept (scene, date) dimension stays DISTRIBUTED: the only
-    # driver action is one tiny agg for the distinct-date pruning list
-    # + row count (r2 VERDICT: the old kept.collect() scene->dates map
-    # is GBs at 10^6 scenes x years of dates)
-    kept = kept.persist()
-    stats = kept.agg(
-        F.collect_set("date").alias("d_all"),
-        F.count("*").alias("n_rows"),
-    ).collect()[0]
-    kept_dates_all = sorted(stats["d_all"])
-    n_kept_rows = int(stats["n_rows"])
+
+    # the kept (scene, date) dimension stays DISTRIBUTED: the driver
+    # needs only the distinct-date pruning list + a row-count bound
+    # (r2 VERDICT: the old kept.collect() scene->dates map is GBs at
+    # 10^6 scenes x years of dates). On the mask-write path those came
+    # from the write job's Observation — zero extra actions; otherwise
+    # one fused agg action (stats + counted-probe together).
+    kept = _kept_of(True).persist()
+    if obs is not None:
+        ostats = obs.get
+        kept_dates_all = sorted(d for d in (ostats["d_kept"] or []) if d is not None)
+        n_kept_rows = int(ostats["n_kept"] or 0)
+    else:
+        stats_df = kept.agg(
+            F.collect_set("date").alias("d_all"),
+            F.count("*").alias("n_rows"),
+        )
+        for p in probe_cols:
+            stats_df = stats_df.crossJoin(p)
+        stats = stats_df.collect()[0]
+        if images is None:
+            n_counted = int(stats["_n_counted"] or 0)
+            n_presence = int(stats["_n_presence"] or 0)
+            if n_counted and n_presence:
+                raise ValueError(
+                    "mixed mask table: both counted (cell >= 0) and presence-only "
+                    "(cell == -1) summary rows present — re-run module 1 uniformly "
+                    "(with or without reaches) or split the table per run"
+                )
+            # no summary rows at all (external hand-built table) also
+            # falls back to the corridor-join formulation, like r4
+            has_counts = n_counted > 0
+            if not has_counts:
+                # presence-only masks: re-derive kept via the corridor
+                # join and rerun the (tiny) stats agg on the real kept
+                kept.unpersist()
+                kept = _kept_of(False).persist()
+                stats = kept.agg(
+                    F.collect_set("date").alias("d_all"),
+                    F.count("*").alias("n_rows"),
+                ).collect()[0]
+        kept_dates_all = sorted(stats["d_all"])
+        n_kept_rows = int(stats["n_rows"])
 
     # date-pruning prefilter ahead of the exact (scene, date) join: an
     # isin on the (small) distinct kept-date list pushes into the

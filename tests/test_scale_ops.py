@@ -199,3 +199,45 @@ def test_pq_encoded_reuse_and_broadcast_luts(spark):
     assert direct[key].sort_values(key).values.tolist() == \
         reused[key].sort_values(key).values.tolist()
     enc.unpersist()
+
+
+def test_pq_large_query_batch_no_driver_collect(spark, monkeypatch):
+    """10^5-query PQ batch with driver-side collection BLOCKED: the
+    r4-VERDICT scale seam was pq_topk collecting the query frame and
+    building the (nq, m, k) LUT stack on the driver. The block
+    nested-loop rewrite computes LUTs executor-side; this pins that no
+    code path re-introduces a collect/toPandas of query vectors (the
+    one allowed driver action is queries.count())."""
+    from pyspark.sql import DataFrame
+
+    from irivermetrics_spark.operators import pq
+
+    rng = np.random.default_rng(31)
+    vecs = rng.standard_normal((400, 8))
+    em = spark.createDataFrame(pd.DataFrame({
+        "vec_id": np.arange(len(vecs)),
+        "embedding": [v.astype(np.float32).tolist() for v in vecs],
+    }))
+    books = pq.train_pq(em, m=4, k=16, sample=256, iters=4)
+    enc = pq.pq_encode(em, books).persist()
+    enc.count()
+    # queries are generated IN the cluster (no driver-side vector data):
+    # deterministic per-id trig features
+    queries = spark.range(100_000).select(
+        F.col("id").alias("vec_id"),
+        F.expr("transform(sequence(1, 8), j -> cast(cos(id * j * 0.37) as float))")
+        .alias("embedding"),
+    )
+
+    def _blocked(self, *a, **kw):  # pragma: no cover - failure path
+        raise AssertionError("driver-side collection inside pq_topk")
+
+    monkeypatch.setattr(DataFrame, "collect", _blocked)
+    monkeypatch.setattr(DataFrame, "toPandas", _blocked)
+    monkeypatch.setattr(DataFrame, "toLocalIterator", _blocked)
+    res = pq.pq_topk(em, queries, books, topk=3, shortlist=4,
+                     encoded=enc, enc_blocks=2)
+    n_top1 = res.where(F.col("rank") == 1).count()
+    monkeypatch.undo()
+    assert n_top1 == 100_000
+    enc.unpersist()
