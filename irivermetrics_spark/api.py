@@ -83,6 +83,8 @@ def waterdetect_batch(
     threshold: float = water.NDWI_THRESHOLD,
     eager_grid_check: bool = False,
     water_rule: str = "threshold",
+    export_tif: bool = False,
+    outdir: str | None = None,
 ) -> DataFrame:
     """Module 1: image table -> water-mask point table.
 
@@ -127,8 +129,46 @@ def waterdetect_batch(
                                corridor_rings=rings, aoi=aoi, water_rule=water_rule)
     if mask_path:
         pts.write.mode("overwrite").parquet(mask_path)
-        return spark.read.parquet(mask_path)
+        pts = spark.read.parquet(mask_path)
+    if export_tif:
+        # K1 file sink: one YYYY-MM-DD.tif LZW per (scene, date), the
+        # reference's export_tif branch (src/utils/wd_batch.py:584-588);
+        # calculate_metrics(outdir) re-ingests the directory directly
+        if not outdir:
+            raise ValueError("export_tif=True requires outdir")
+        if not mask_path:
+            pts = pts.persist()  # densify pass must not re-decode later
+        exports.write_date_mask_geotiffs(pts, grid, outdir, aoi=aoi).collect()
     return pts
+
+
+def _path_is_tif_masks(path: str) -> bool:
+    """String da_wmask dispatch: .tif mask directory/glob vs .nc cube.
+
+    Explicit extensions win; a bare directory is probed driver-side for
+    which file kind it holds (first match decides; mixed dirs raise)."""
+    import glob as _glob
+    import os
+
+    low = path.lower()
+    if low.endswith((".tif", ".tiff")):
+        return True
+    if low.endswith(".nc"):
+        return False
+    entries: list[str] = []
+    if os.path.isdir(path):
+        entries = sorted(os.listdir(path))
+    elif _glob.has_magic(path):
+        entries = sorted(os.path.basename(p) for p in _glob.glob(path))
+    tifs = [e for e in entries if e.lower().endswith((".tif", ".tiff"))]
+    ncs = [e for e in entries if e.lower().endswith(".nc")]
+    if tifs and ncs:
+        raise ValueError(
+            f"{path}: holds both .tif masks and .nc cubes — pass an "
+            "extension-explicit glob to pick one ingest path")
+    if not tifs and not ncs:
+        raise ValueError(f"{path}: no .tif or .nc mask files found")
+    return bool(tifs)
 
 
 def calculate_metrics(
@@ -200,16 +240,22 @@ def calculate_metrics(
     if isinstance(da_wmask, str):
         from .operators import ncingest
 
-        # reaches are parsed first so the nc ingest fuses in-corridor
+        # reaches are parsed first so the mask ingest fuses in-corridor
         # invalid counts into its summary rows (F6 fused) — the
-        # presence-only validity fallback join never runs for .nc
+        # presence-only validity fallback join never runs for file
         # input — and the module-1 AOI clip (if any) applies in-kernel
         # exactly like the image decode path
         rings = [(np.asarray(r["ring_x"]), np.asarray(r["ring_y"])) for r in reaches]
-        da_wmask, nc_grid = ncingest.read_wmask_nc(spark, da_wmask, res=res,
-                                                   corridor_rings=rings, aoi=aoi)
+        if _path_is_tif_masks(da_wmask):
+            # K1 interop: a directory/glob of per-date YYYY-MM-DD.tif
+            # masks, the reference module-1 export re-entering module 2
+            da_wmask, file_grid = ncingest.read_wmask_tifs(spark, da_wmask, res=res,
+                                                           corridor_rings=rings, aoi=aoi)
+        else:
+            da_wmask, file_grid = ncingest.read_wmask_nc(spark, da_wmask, res=res,
+                                                         corridor_rings=rings, aoi=aoi)
         if grid is None:
-            grid = nc_grid
+            grid = file_grid
     if grid is None:
         raise ValueError("grid=dict(gx0, gy0, ps, w, h) is required (uniform-grid contract)")
 

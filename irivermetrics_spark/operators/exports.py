@@ -75,6 +75,77 @@ def persistence_raster(pp: DataFrame, grid: dict, scene: str) -> np.ndarray:
     return out
 
 
+def write_date_mask_geotiffs(mask_points: DataFrame, grid: dict, outdir: str,
+                             aoi: tuple[list, float] | None = None,
+                             flat: bool | None = None) -> DataFrame:
+    """K1 file sink: one ``YYYY-MM-DD.tif`` per (scene, date), LZW —
+    the reference's module-1 export (src/utils/wd_batch.py:584-588:
+    ``rio.to_raster(outdir/date.tif, compress='lzw')``), re-readable by
+    ``api.calculate_metrics`` / ``read_wmask_tifs`` as the module-2
+    entry, closing the module1 -> files -> module2 loop.
+
+    Fully distributed: groupBy(scene, date) over the mask-point table
+    (summary rows included, so ALL-DRY dates still get a file) ->
+    ``applyInPandas`` densifies the sparse points into the (h, w)
+    int16 raster ({1 water, 0 dry, -1 nodata}, nodata=-1 like
+    ``wd_mask``'s ``write_nodata(-1)``) and writes the GeoTIFF bytes
+    executor-side. On a cluster ``outdir`` must be shared storage
+    (the same contract as any Spark file sink). Returns the manifest
+    (scene, date, path, n_bytes) — call an action on it to execute.
+
+    ``aoi``: (lines, buffer_m) from the module-1 run — decode DROPS
+    out-of-AOI pixels entirely, so without it clipped pixels would
+    densify as 0 (dry); passing it restores the reference's clip
+    semantics (outside-buffer => nodata -1 in the file).
+
+    ``flat``: files go to ``outdir/DATE.tif`` (the reference's layout)
+    when True, ``outdir/SCENE/DATE.tif`` when False; default None
+    auto-selects flat iff the table has exactly one scene (one tiny
+    distinct action)."""
+    import os
+
+    from ..functions import geometry
+    from ..kernels import geotiff
+
+    gx0, gy0, ps = float(grid["gx0"]), float(grid["gy0"]), float(grid["ps"])
+    h, w = int(grid["h"]), int(grid["w"])
+    if flat is None:
+        flat = mask_points.select("scene").distinct().count() == 1
+    aoi_lines, aoi_buffer = None, 0.0
+    if aoi is not None:
+        aoi_lines = [(np.asarray(lx, dtype=np.float64), np.asarray(ly, dtype=np.float64))
+                     for lx, ly in aoi[0]]
+        aoi_buffer = float(aoi[1])
+
+    def emit(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        scene, date = key
+        ds = pd.Timestamp(date).strftime("%Y-%m-%d")
+        dense = np.zeros((h, w), dtype=np.int16)
+        real = pdf[pdf["px"] >= 0]  # summary rows are px = py = -1
+        if len(real):
+            dense[real["py"].to_numpy(), real["px"].to_numpy()] = \
+                real["value"].to_numpy().astype(np.int16)
+        if aoi_lines is not None:
+            yy, xx = np.mgrid[0:h, 0:w]
+            cx = gx0 + (xx.ravel() + 0.5) * ps
+            cy = gy0 - (yy.ravel() + 0.5) * ps
+            outside = (geometry.min_dist_to_polylines(cx, cy, aoi_lines)
+                       > aoi_buffer).reshape(h, w)
+            dense[outside] = -1
+        buf = geotiff.write_geotiff(dense[None, :, :], dict(gx0=gx0, gy0=gy0, ps=ps),
+                                    nodata=-1.0, compress="lzw")
+        sub = outdir if flat else os.path.join(outdir, str(scene))
+        os.makedirs(sub, exist_ok=True)
+        path = os.path.join(sub, f"{ds}.tif")
+        with open(path, "wb") as f:
+            f.write(buf)
+        return pd.DataFrame({"scene": [str(scene)], "date": [ds],
+                             "path": [path], "n_bytes": [len(buf)]})
+
+    return mask_points.groupBy("scene", "date").applyInPandas(
+        emit, "scene string, date string, path string, n_bytes long")
+
+
 def write_persistence_geotiff(pp: DataFrame, grid: dict, scene: str, path: str) -> None:
     """K2 file sink: the reference's Pixel_Persistence.tif
     (src/irm_main.py:228-233, rio.to_raster) — dense per-scene raster

@@ -99,6 +99,78 @@ def nc_mask_points(files: DataFrame, grid: dict, res: int = 9,
     return with_scene_date(pts)
 
 
+def tif_mask_points(files: DataFrame, grid: dict, res: int = 9,
+                    corridor_rings: list | None = None,
+                    aoi: tuple[list, float] | None = None) -> DataFrame:
+    """binaryFile frame of per-date mask GeoTIFFs -> mask-point rows.
+
+    The K1 counterpart of ``nc_mask_points``: the reference's module 1
+    writes one ``YYYY-MM-DD.tif`` water mask per date
+    (src/utils/wd_batch.py:584-588) and module 2 can re-ingest that
+    directory. Values are the mask classes {1 water, 0 dry, -1 nodata}
+    (``wd_mask`` writes nodata=-1); the scene id comes from the parent
+    directory name (one directory per scene/run, the reference's
+    layout), the date from the filename. Same shared emission contract
+    (decode.emit_mask_rows) as the image and NetCDF ingest paths.
+    """
+    gx0, gy0, ps = float(grid["gx0"]), float(grid["gy0"]), float(grid["ps"])
+    expected_hw = (int(grid["h"]), int(grid["w"]))
+    aoi_lines, aoi_buffer = None, 0.0
+    if aoi is not None:
+        aoi_lines = [(np.asarray(lx, dtype=np.float64), np.asarray(ly, dtype=np.float64))
+                     for lx, ly in aoi[0]]
+        aoi_buffer = float(aoi[1])
+
+    def kernel(batches):
+        from ..kernels import geotiff
+        from .decode import emit_mask_rows, empty_points_pdf
+
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                path = row["path"]
+                m = re.search(r"(\d{4}-\d{2}-\d{2})", os.path.basename(path))
+                if not m:
+                    raise ValueError(f"{path}: no YYYY-MM-DD date in mask filename")
+                scene = _scene_name(os.path.dirname(path) or "scene")
+                arr, g, _nodata = geotiff.read_geotiff(bytes(row["content"]))
+                mask = arr[0].astype(np.int8)
+                if (mask.shape != expected_hw) or not (
+                        np.isclose(g["gx0"], gx0) and np.isclose(g["gy0"], gy0)
+                        and np.isclose(g["ps"], ps)):
+                    raise ValueError(
+                        f"{path}: mask grid {g} shape {mask.shape} != target "
+                        f"{dict(gx0=gx0, gy0=gy0, ps=ps)} {expected_hw} "
+                        "(uniform-grid contract)")
+                out.extend(emit_mask_rows(
+                    f"{scene}_{m.group(1)}", mask, gx0, gy0, ps, res,
+                    corridor_rings, aoi_lines=aoi_lines, aoi_buffer=aoi_buffer))
+            yield pd.concat(out, ignore_index=True) if out else empty_points_pdf()
+
+    pts = files.select("path", "content").mapInPandas(kernel, schema=POINTS_SCHEMA)
+    return with_scene_date(pts)
+
+
+def read_wmask_tifs(spark: SparkSession, path: str, res: int = 9,
+                    corridor_rings: list | None = None,
+                    aoi: tuple[list, float] | None = None) -> tuple[DataFrame, dict]:
+    """Path (directory or glob of per-date mask .tifs) ->
+    (mask-point DataFrame, grid dict). Grid from one driver-side header
+    parse of the first file, re-asserted per file in the kernel —
+    mirrors ``read_wmask_nc``."""
+    from ..kernels import geotiff
+
+    files = spark.read.format("binaryFile").option("pathGlobFilter", "*.tif*").load(path)
+    first = files.select("content").limit(1).collect()
+    if not first:
+        raise ValueError(f"no .tif files under {path}")
+    arr, g, _ = geotiff.read_geotiff(bytes(first[0]["content"]))
+    grid = dict(gx0=g["gx0"], gy0=g["gy0"], ps=g["ps"],
+                w=int(arr.shape[2]), h=int(arr.shape[1]))
+    return tif_mask_points(files, grid, res=res,
+                           corridor_rings=corridor_rings, aoi=aoi), grid
+
+
 def read_wmask_nc(spark: SparkSession, path: str, res: int = 9,
                   corridor_rings: list | None = None,
                   var: str = "water",
