@@ -63,13 +63,19 @@ def encode_image(arr: np.ndarray, fmt: str = FMT_RAW16) -> bytes:
     raise ValueError(f"unknown fmt {fmt!r}")
 
 
-def decode_image(buf: bytes) -> np.ndarray:
+def decode_image(buf: bytes, reflectance_scale: bool | None = None) -> np.ndarray:
     """Decode engine bytes back to a (nbands, h, w) uint16 array.
 
     Also accepts uncompressed GeoTIFF scene bytes (the reference's
     native input format, src/utils/wd_batch.py rioxarray ingest) via
     the from-scratch reader (kernels/geotiff.py) — a reference user's
-    .tif reflectance stack drops straight into the image table."""
+    .tif reflectance stack drops straight into the image table.
+
+    ``reflectance_scale`` (float TIFFs only): True forces the x10000
+    reflectance->DN rescale, False forbids it; the default None keeps
+    the magnitude heuristic below but WARNS when it fires (ADVICE r4:
+    the silent heuristic misscaled genuine small-valued float rasters
+    with only a source-comment caveat)."""
     if buf[:4] in (b"II*\x00", b"MM\x00*"):
         from .kernels import geotiff
 
@@ -93,7 +99,17 @@ def decode_image(buf: bytes) -> np.ndarray:
             vals = np.nan_to_num(vals, nan=0.0, posinf=0.0, neginf=0.0)
             if nodata is not None:
                 vals = np.where(vals == float(nodata), 0.0, vals)
-            if vals.size and vals.max() <= 2.0:
+            if reflectance_scale is True:
+                vals = vals * 10000.0
+            elif reflectance_scale is None and vals.size and vals.max() <= 2.0:
+                import warnings
+
+                warnings.warn(
+                    "decode_image: float TIFF with max <= 2.0 treated as 0..1 "
+                    "surface reflectance and rescaled x10000 to the DN domain; "
+                    "pass reflectance_scale=False if these are genuine "
+                    "small-valued data, or read via kernels.geotiff.read_geotiff "
+                    "(never rescales)", stacklevel=2)
                 vals = vals * 10000.0
         return np.clip(vals, 0, np.iinfo(np.uint16).max).astype(np.uint16)
     if buf[:4] != MAGIC:

@@ -48,13 +48,21 @@ def _name(s: str) -> bytes:
 
 
 def _check_int_range(arr: np.ndarray, what: str) -> None:
-    """Classic NetCDF has no 64-bit integer: int64 maps to NC_INT, so
-    out-of-range values must raise instead of silently wrapping."""
-    if arr.dtype == np.int64 and arr.size and (
+    """Classic NetCDF has no 64-bit integer (int64 maps to NC_INT) and
+    no unsigned byte (uint8 maps to NC_BYTE, signed): out-of-range
+    values must raise instead of silently wrapping (ADVICE r4: the
+    uint8 > 127 case wrapped negative while int64 failed loudly)."""
+    if not arr.size:
+        return
+    if arr.dtype == np.int64 and (
             arr.max() > 2**31 - 1 or arr.min() < -(2**31)):
         raise ValueError(
             f"{what}: int64 values exceed NC_INT range — classic "
             "NetCDF-3 has no 64-bit integer type")
+    if arr.dtype == np.uint8 and arr.max() > 127:
+        raise ValueError(
+            f"{what}: uint8 values exceed NC_BYTE range (signed, max "
+            "127) — cast to int16 for classic NetCDF-3")
 
 
 def _att_values(nc_type: int, values) -> bytes:
@@ -94,12 +102,15 @@ def write_netcdf3(dims: dict, variables: dict, gattrs: dict | None = None,
     gattrs = gattrs or {}
     dim_names = list(dims)
     rec_dim = next((n for n, ln in dims.items() if ln == 0), None)
-    numrecs = 0
+    # None-initialized so a first record var with 0 rows cannot mask a
+    # disagreement with a later non-empty one (ADVICE r4)
+    numrecs = None
     for name, (vdims, _, data) in variables.items():
         if vdims and vdims[0] == rec_dim:
-            if numrecs and data.shape[0] != numrecs:
+            if numrecs is not None and data.shape[0] != numrecs:
                 raise ValueError("record variables disagree on record count")
             numrecs = data.shape[0]
+    numrecs = numrecs or 0
 
     # per-var layout: nc_type, slab shape (without record dim), vsize
     order = list(variables)  # fixed vars first in the data section
@@ -252,7 +263,11 @@ def read_netcdf3(buf: bytes) -> dict:
         slab = [dims[dim_names[d]] for d in dimids[1:]]
         recsize = int(np.prod(slab, dtype=np.int64)) * _NC_SIZES[nc_type]
     if streaming:
-        numrecs = ((len(buf) - record[0][5]) // recsize) if record else 0
+        # record data starts at the LOWEST record-var begin offset —
+        # writers need not declare the first record var at the lowest
+        # offset (ADVICE r4: record[0] assumed declaration order)
+        rec_start = min((v[5] for v in record), default=0)
+        numrecs = ((len(buf) - rec_start) // recsize) if record else 0
 
     out = {}
     for name, dimids, attrs, nc_type, vsize, begin in var_defs:

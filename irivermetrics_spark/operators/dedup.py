@@ -28,6 +28,11 @@ _MERSENNE = np.uint64((1 << 61) - 1)
 _WEIGHTS_CACHE: dict[int, np.ndarray] = {}
 
 
+# driver/executor-resident shingle-dim budget for the exact-jaccard
+# broadcast fast path (same 100 MB ceiling as distccl.resolve_components)
+BROADCAST_BUDGET_BYTES = 100 * 1024 * 1024
+
+
 def _shingles(text: str, k: int = 5, unique: bool = True) -> np.ndarray:
     """``unique=False`` skips the O(n log n) sort: a min over the
     shingle MULTISET equals the min over the set, so the minhash
@@ -202,8 +207,17 @@ def exact_jaccard_pairs(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id
     ds = docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("txt"))
     if ds.rdd.getNumPartitions() < target:
         ds = ds.repartition(target)
-    if broadcast_shingles and docs.count() > 500_000:
-        broadcast_shingles = False  # driver-dim budget exceeded
+    if broadcast_shingles:
+        # byte-aware self-gate (ADVICE r4: a fixed doc-count threshold
+        # misses sub-500k corpora of LONG documents): character
+        # shingles are bounded by text length, so one fused agg bounds
+        # the broadcast dict at ~64 B/doc + 8 B/shingle against the
+        # same 100 MB budget distccl's resolve_components uses
+        est = ds.agg(F.count("*").alias("n"),
+                     F.sum(F.length("txt")).alias("chars")).collect()[0]
+        est_bytes = 64 * int(est["n"] or 0) + 8 * int(est["chars"] or 0)
+        if est_bytes > BROADCAST_BUDGET_BYTES:
+            broadcast_shingles = False  # driver-dim budget exceeded
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def shing(txt: pd.Series) -> pd.Series:
@@ -228,7 +242,15 @@ def exact_jaccard_pairs(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id
         lk = bc.value
         out = np.empty(len(ia))
         for i, (x, y) in enumerate(zip(ia, ib)):
-            sa_, sb_ = lk[x], lk[y]
+            sa_, sb_ = lk.get(x), lk.get(y)
+            if sa_ is None or sb_ is None:
+                # caller-supplied pairs referencing ids outside `docs`
+                # (e.g. a different corpus slice) — name the id instead
+                # of an opaque executor KeyError (ADVICE r4)
+                missing = x if sa_ is None else y
+                raise ValueError(
+                    f"candidate pair references id {missing!r} absent from "
+                    "the docs frame — pass the corpus slice the pairs came from")
             inter = np.intersect1d(sa_, sb_, assume_unique=True).shape[0]
             out[i] = inter / (sa_.shape[0] + sb_.shape[0] - inter)
         return pd.Series(out)
