@@ -33,13 +33,33 @@ from pyspark.sql import types as T
 from ..functions import geometry
 
 
+# session-scoped memo for the two cover dimension frames: the covers
+# are pure functions of (polygon layer, res), and rebuilding them cost
+# ~1.6 s of driver->JVM row serialization PER pipeline run (the r5
+# serial-floor profile: more than half the non-compute flagship time).
+# Keyed by applicationId so a restarted session never reuses dead
+# DataFrame handles.
+_COVER_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _cover_key(spark: SparkSession, reaches: list[dict], res: int) -> tuple:
+    from .fillop import rings_content_key
+
+    return (spark.sparkContext.applicationId, rings_content_key(reaches), res)
+
+
 def cover_df(spark: SparkSession, reaches: list[dict], res: int = 9) -> DataFrame:
     """Per-section hex cover (cell, section, full) — the broadcast side."""
-    rows = []
+    key = ("per",) + _cover_key(spark, reaches, res)
+    cached = _COVER_CACHE.get(key)
+    if cached is not None:
+        return cached
+    cells_l, sect_l, full_l = [], [], []
     for r in reaches:
         cells, is_full = geometry.polygon_cover_hex(r["ring_x"], r["ring_y"], res)
-        for c, f in zip(cells.tolist(), is_full.tolist()):
-            rows.append((int(c), r["section"], bool(f)))
+        cells_l.append(cells.astype(np.int64))
+        sect_l.extend([str(r["section"])] * cells.shape[0])
+        full_l.append(is_full.astype(bool))
     schema = T.StructType(
         [
             T.StructField("cell", T.LongType(), False),
@@ -47,13 +67,29 @@ def cover_df(spark: SparkSession, reaches: list[dict], res: int = 9) -> DataFram
             T.StructField("full", T.BooleanType(), False),
         ]
     )
-    return spark.createDataFrame(rows, schema)
+    pdf = pd.DataFrame({
+        "cell": np.concatenate(cells_l) if cells_l else np.zeros(0, dtype=np.int64),
+        "section": pd.Series(sect_l, dtype=object),
+        "full": np.concatenate(full_l) if full_l else np.zeros(0, dtype=bool),
+    })
+    # Arrow path (pandas input) instead of per-row pickling
+    df = spark.createDataFrame(pdf, schema)
+    if len(_COVER_CACHE) >= 64:  # bound: drop oldest (insertion order)
+        _COVER_CACHE.pop(next(iter(_COVER_CACHE)))
+    _COVER_CACHE[key] = df
+    return df
 
 
 def corridor_cover_df(spark: SparkSession, reaches: list[dict], res: int = 9) -> DataFrame:
     """Dissolved-corridor cover: union of section covers, full if any."""
+    key = ("corr",) + _cover_key(spark, reaches, res)
+    cached = _COVER_CACHE.get(key)
+    if cached is not None:
+        return cached
     per = cover_df(spark, reaches, res)
-    return per.groupBy("cell").agg(F.max("full").alias("full"))
+    df = per.groupBy("cell").agg(F.max("full").alias("full"))
+    _COVER_CACHE[key] = df
+    return df
 
 
 def _refine_factory(reaches: list[dict], grid: dict, all_touched: bool):

@@ -34,6 +34,61 @@ from pyspark.sql import functions as F
 from ..operators import decode, fillop, metrics, morphology, zonal
 
 
+class _LazyFrames(dict):
+    """Result dict whose export entries build their (pure plan-side)
+    DataFrames on first access. Fully dict-compatible: membership,
+    iteration and len see the lazy keys; values()/items() force-build
+    so callers that snapshot the dict still get every frame."""
+
+    def __init__(self, **eager):
+        super().__init__(eager)
+        self._factories: dict = {}
+
+    def add_factory(self, key, fn) -> None:
+        self._factories[key] = fn
+
+    def _build(self, key):
+        if not dict.__contains__(self, key) and key in self._factories:
+            self[key] = self._factories[key]()
+        return dict.__getitem__(self, key)
+
+    def __getitem__(self, key):
+        return self._build(key)
+
+    def get(self, key, default=None):
+        try:
+            return self._build(key)
+        except KeyError:
+            return default
+
+    def __contains__(self, key):
+        return dict.__contains__(self, key) or key in self._factories
+
+    def _build_all(self):
+        for k in list(self._factories):
+            self._build(k)
+
+    def keys(self):
+        self._build_all()
+        return dict.keys(self)
+
+    def values(self):
+        self._build_all()
+        return dict.values(self)
+
+    def items(self):
+        self._build_all()
+        return dict.items(self)
+
+    def __iter__(self):
+        self._build_all()
+        return dict.__iter__(self)
+
+    def __len__(self):
+        self._build_all()
+        return dict.__len__(self)
+
+
 class LazyKeptMap(dict):
     """scene -> sorted ISO kept-date list, materialized on first read.
 
@@ -334,7 +389,6 @@ def run(
 
     # per-scene kept-date counts as a distributed dim (broadcast inside)
     nd_df = kept.groupBy("scene").agg(F.count("*").alias("n_kept"))
-    pers_px = metrics.pixel_persistence_px(water_joined, nd_df)
     pers = metrics.persistence(water_joined, nd_df, grid["ps"])
     pools = morphology.pool_rows(water_joined, reaches, grid, min_pool_size=min_pool_size)
     grid_df = metrics.dimension_grid(spark, kept, reaches)
@@ -345,22 +399,26 @@ def run(
 
     from ..operators import exports as exports_op
 
-    lines = exports_op.pool_lines(pools, grid)
-    return dict(
-        polygons=exports_op.pool_polygons(water_joined, reaches, grid, min_pool_size),
-        lines=lines,
-        points=exports_op.line_points(lines),
+    # export plans build on first access: each is ~0.1 s of py4j
+    # expression construction that a metrics-only caller (the common
+    # path) never uses — part of the r5 serial-floor cut
+    out = _LazyFrames(
         mask_points=points,
         kept=kept,
         water=water,
         water_joined=water_joined,
         persistence=pers,
-        persistence_px=pers_px,
         pools=pools,
         metrics=final,
         kept_map=LazyKeptMap(kept),
         corridor_total=corridor_total,
     )
+    out.add_factory("polygons", lambda: exports_op.pool_polygons(
+        water_joined, reaches, grid, min_pool_size))
+    out.add_factory("lines", lambda: exports_op.pool_lines(pools, grid))
+    out.add_factory("points", lambda: exports_op.line_points(out["lines"]))
+    out.add_factory("persistence_px", lambda: metrics.pixel_persistence_px(water_joined, nd_df))
+    return out
 
 
 def images_df(spark: SparkSession, images_pdf) -> DataFrame:
