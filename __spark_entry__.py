@@ -1143,20 +1143,40 @@ def _q_multimodal_stats(spark, sf):
 
     from irivermetrics_spark import codecs
 
+    from irivermetrics_spark.kernels import webp
+
     NB, H, W = 3, 12, 17
 
     def gen(k: int) -> np.ndarray:
         b, y, x = np.meshgrid(np.arange(NB), np.arange(H), np.arange(W), indexing="ij")
         return ((k * 7919 + b * 104729 + y * 131 + x * 17) % 20001).astype(np.uint16)
 
-    rows = [dict(image_id=f"gen_{k}", bytes=codecs.encode_image(gen(k))) for k in range(10)]
+    def gen8(k: int) -> np.ndarray:
+        b, y, x = np.meshgrid(np.arange(NB), np.arange(H), np.arange(W), indexing="ij")
+        return ((k * 7919 + b * 104729 + y * 131 + x * 17) % 256).astype(np.uint8)
+
+    rows = [dict(image_id=f"gen_{k}", fmt="raw16",
+                 bytes=codecs.encode_image(gen(k))) for k in range(10)]
+    # r5: five rows flow through the from-scratch VP8L codec (opaque
+    # alpha + the 8-bit formula), each exercising a different encoder/
+    # decoder path — predictor, color cache, palette
+    for k in range(10, 15):
+        rgb = gen8(k)
+        planes = np.concatenate([np.full((1, H, W), 255, dtype=np.uint8), rgb])
+        kw = ({"use_predictor": True, "block_bits": 3} if k % 3 == 0
+              else {"cache_bits": 5} if k % 3 == 1 else {"use_palette": True})
+        rows.append(dict(image_id=f"webp_{k}", fmt="webp",
+                         bytes=webp.encode_vp8l(planes, **kw)))
     images = spark.createDataFrame(pd.DataFrame(rows))
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
-            for image_id, buf in zip(pdf["image_id"], pdf["bytes"]):
-                arr = codecs.decode_image(bytes(buf))
+            for image_id, fmt, buf in zip(pdf["image_id"], pdf["fmt"], pdf["bytes"]):
+                if fmt == "webp":
+                    arr = webp.decode_webp_gray16(bytes(buf))
+                else:
+                    arr = codecs.decode_image(bytes(buf))
                 out.append(dict(
                     image_id=image_id,
                     mean_brightness=float(arr.mean()),
@@ -1734,12 +1754,22 @@ def oracle_sql() -> dict[str, str]:
               SELECT k.range AS k,
                      ((k.range * 7919 + b.range * 104729 + y.range * 131 + x.range * 17) % 20001) AS v
               FROM range(10) k, range(3) b, range(12) y, range(17) x
+            ), px8 AS (
+              SELECT k.range AS k,
+                     ((k.range * 7919 + b.range * 104729 + y.range * 131 + x.range * 17) % 256) AS v
+              FROM range(10, 15) k, range(3) b, range(12) y, range(17) x
             )
             SELECT 'gen_' || CAST(k AS VARCHAR) AS image_id,
                    ROUND(AVG(v), 6) AS mean_brightness,
                    CAST(3 AS BIGINT) AS band_count,
                    CAST(COUNT(*) AS BIGINT) AS n_px
             FROM px GROUP BY k
+            UNION ALL
+            SELECT 'webp_' || CAST(k AS VARCHAR) AS image_id,
+                   ROUND(AVG(v), 6) AS mean_brightness,
+                   CAST(3 AS BIGINT) AS band_count,
+                   CAST(COUNT(*) AS BIGINT) AS n_px
+            FROM px8 GROUP BY k
         """,
         # J1 membership predicate in pure SQL: crossing-number PIP
         # (engine edge rule: half-open (ya>py)!=(yb>py), strict px<xint)

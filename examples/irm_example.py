@@ -68,6 +68,17 @@ def main() -> None:
                                      grid=grid, section_name_col="section")
         print(f"\nTest 2 (image table): {res2['metrics'].count()} metric rows")
 
+        # ---- Test 3: module 1 exports per-date YYYY-MM-DD.tif masks
+        # (wd_batch export_tif=True), module 2 re-ingests the folder —
+        # the reference's two-module file workflow end-to-end ----
+        tifdir = os.path.join(td, "wmasks")
+        api.waterdetect_batch(spark, images, grid=grid, reaches=fx.reaches,
+                              export_tif=True, outdir=tifdir)
+        res3 = api.calculate_metrics(spark, tifdir, f"{shp_base}.shp",
+                                     grid=grid, section_name_col="section")
+        print(f"\nTest 3 (per-date .tif folder): {res3['metrics'].count()} metric rows "
+              f"from {len(os.listdir(tifdir))} mask files")
+
     spark.stop()
 
 

@@ -4,11 +4,12 @@ feature-extract over opaque ``binary`` payloads.
 Images, audio and video are carried as BinaryType columns with typed
 metadata; all processing is batched Arrow ``mapInPandas`` — the Spark
 plumbing (schemas, partitioning, batch shapes) is real and tested.
-The engine's own raster format decodes for real (codecs.py); external
-codecs (JPEG/PNG/MP3/H.264) are STUBBED behind ``NotImplementedError``
-with a clearly-marked deterministic fake for pipeline testing, because
-the runtime has no image/audio libraries — the contract for swapping a
-real decoder in is the single ``_decode_any`` function.
+Every IMAGE format decodes for real with zero external libraries: the
+engine's own raster formats (codecs.py), JPEG (kernels/jpeg.py), PNG
+(kernels/png.py) and lossless WebP (kernels/webp.py) are all
+from-scratch codecs; audio/video payloads use the engine raster
+container (concatenated frames), and the single swap-in point for any
+further external codec is ``_decode_any``.
 
 - resize: real nearest-neighbor + block-mean downsample (pure numpy)
 - frame_sample: video = concatenated raster frames; every k-th frame
@@ -34,13 +35,14 @@ def _decode_any(buf: bytes, fmt: str) -> np.ndarray:
     """Single swap-in point for real codecs.
 
     ``jpeg`` is decoded by the engine's own from-scratch baseline
-    codec (kernels/jpeg.py — full baseline JFIF incl. 4:2:0) and
-    ``png`` by the from-scratch RFC 2083 codec (kernels/png.py — all
-    five scanline filters, palette/tRNS, stdlib-zlib DEFLATE); both
-    conformance-tested on committed third-party files. The web's two
-    dominant image formats need no external library. Sample values
-    stay in their native 8-bit range (0-255) widened to the engine's
-    uint16 plane dtype. webp remains honestly stubbed.
+    codec (kernels/jpeg.py — full baseline JFIF incl. 4:2:0), ``png``
+    by the from-scratch RFC 2083 codec (kernels/png.py — all five
+    scanline filters, palette/tRNS, stdlib-zlib DEFLATE), and ``webp``
+    by the from-scratch VP8L lossless codec (kernels/webp.py — all
+    four transforms, color cache, LZ77, meta prefix codes; lossy VP8
+    raises with a clear error). The web's dominant image formats need
+    no external library. Sample values stay in their native 8-bit
+    range (0-255) widened to the engine's uint16 plane dtype.
     """
     if fmt in (codecs.FMT_RAW16, codecs.FMT_QLOSSY):
         return codecs.decode_image(buf)
@@ -53,9 +55,9 @@ def _decode_any(buf: bytes, fmt: str) -> np.ndarray:
 
         return png.decode_png(bytes(buf)).astype(np.uint16)
     if fmt == "webp":
-        # STUB: VP8 entropy coding is out of scope for a from-scratch
-        # build; a deployment installs pillow and decodes here.
-        raise NotImplementedError(f"external codec {fmt!r} requires an image library")
+        from ..kernels import webp
+
+        return webp.decode_webp_gray16(bytes(buf))
     raise ValueError(f"unknown fmt {fmt!r}")
 
 

@@ -52,3 +52,56 @@ def start_mask_sink(points: DataFrame, mask_path: str, checkpoint_path: str,
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+BINARY_FILE_SCHEMA = T.StructType(
+    [
+        T.StructField("path", T.StringType(), False),
+        T.StructField("modificationTime", T.TimestampType(), False),
+        T.StructField("length", T.LongType(), False),
+        T.StructField("content", T.BinaryType(), False),
+    ]
+)
+
+
+def stream_nc_decode(spark: SparkSession, nc_path: str, grid: dict, res: int = 9,
+                     corridor_rings: list | None = None, var: str = "water",
+                     aoi: tuple[list, float] | None = None) -> DataFrame:
+    """readStream over a directory of classic NetCDF water-mask cubes ->
+    streaming mask points (the reference's entry format, served
+    incrementally).
+
+    The ``binaryFile`` source is a FileFormat, so Spark's
+    FileStreamSource tails the directory with the same exactly-once
+    file-tracking as the parquet image stream; each micro-batch decodes
+    its new cubes through the SAME distributed kernel as the batch path
+    (operators/ncingest.nc_mask_points — one task per cube, shared
+    emit_mask_rows contract), so batch and stream cannot diverge."""
+    from ..operators import ncingest
+
+    stream = (
+        spark.readStream.format("binaryFile")
+        .schema(BINARY_FILE_SCHEMA)
+        .option("pathGlobFilter", "*.nc")
+        .load(nc_path)
+    )
+    return ncingest.nc_mask_points(stream, grid, res=res,
+                                   corridor_rings=corridor_rings, var=var, aoi=aoi)
+
+
+def stream_tif_mask_decode(spark: SparkSession, tif_path: str, grid: dict, res: int = 9,
+                           corridor_rings: list | None = None,
+                           aoi: tuple[list, float] | None = None) -> DataFrame:
+    """Same, for a directory of per-date YYYY-MM-DD.tif masks (the K1
+    module-1 export): the streaming serving layer accepts every mask
+    container the batch path accepts."""
+    from ..operators import ncingest
+
+    stream = (
+        spark.readStream.format("binaryFile")
+        .schema(BINARY_FILE_SCHEMA)
+        .option("pathGlobFilter", "*.tif*")
+        .load(tif_path)
+    )
+    return ncingest.tif_mask_points(stream, grid, res=res,
+                                    corridor_rings=corridor_rings, aoi=aoi)

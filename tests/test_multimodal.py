@@ -32,10 +32,10 @@ def test_resize_images_spark(spark):
 
 
 def test_external_codec_stub_raises():
-    # webp remains stubbed; jpeg/png are REAL from-scratch decoders
-    # (kernels/jpeg.py, kernels/png.py) — bad input fails loudly
-    with pytest.raises(NotImplementedError):
-        multimodal._decode_any(b"RIFF....WEBP", "webp")
+    # jpeg/png/webp are all REAL from-scratch decoders (kernels/
+    # jpeg.py, png.py, webp.py) — bad input fails loudly
+    with pytest.raises(ValueError, match="RIFF|VP8L"):
+        multimodal._decode_any(b"RIFF\x04\x00\x00\x00WEBP", "webp")
     with pytest.raises(ValueError, match="truncated|SOS"):
         multimodal._decode_any(b"\xff\xd8\xff", "jpeg")
     with pytest.raises(ValueError, match="PNG"):

@@ -167,3 +167,137 @@ def test_netcdf_wmask_roundtrip_property(t, h, w, version, record_time):
     assert dback == dates
     assert gback["w"] == w and gback["h"] == h
     assert np.isclose(gback["gx0"], 1000.0) and np.isclose(gback["gy0"], 5000.0)
+
+
+# ---- geotiff + shapefile codec round-trips (r5: the same hypothesis
+# treatment lzw/netcdf/jpeg received in r4) ----
+
+_GT_DTYPES = ["uint8", "uint16", "int16", "uint32", "int32", "float32", "float64"]
+
+
+@st.composite
+def _geotiff_cases(draw):
+    from hypothesis.extra import numpy as hnp
+
+    dt = np.dtype(draw(st.sampled_from(_GT_DTYPES)))
+    nb = draw(st.integers(1, 3))
+    h = draw(st.integers(1, 11))
+    w = draw(st.integers(1, 13))
+    if dt.kind == "f":
+        elems = st.floats(-1e6, 1e6, allow_nan=False, width=32)
+    else:
+        info = np.iinfo(dt)
+        elems = st.integers(int(info.min), int(info.max))
+    arr = draw(hnp.arrays(dtype=dt, shape=(nb, h, w), elements=elems))
+    compress = draw(st.sampled_from([None, "lzw"]))
+    nodata = draw(st.one_of(st.none(), st.just(-1.0), st.just(0.0)))
+    gx0 = draw(st.floats(-1e7, 1e7, allow_nan=False))
+    gy0 = draw(st.floats(-1e7, 1e7, allow_nan=False))
+    ps = draw(st.floats(0.01, 1e4, allow_nan=False))
+    return arr, dict(gx0=gx0, gy0=gy0, ps=ps), nodata, compress
+
+
+@settings(max_examples=60, deadline=None)
+@given(_geotiff_cases())
+def test_geotiff_roundtrip_property(case):
+    from irivermetrics_spark.kernels import geotiff
+
+    arr, grid, nodata, compress = case
+    buf = geotiff.write_geotiff(arr, grid, nodata=nodata, compress=compress)
+    back, g, nd = geotiff.read_geotiff(buf)
+    assert back.dtype == arr.dtype
+    np.testing.assert_array_equal(back, arr)
+    assert g["gx0"] == grid["gx0"] and g["gy0"] == grid["gy0"] and g["ps"] == grid["ps"]
+    if nodata is None:
+        assert nd is None
+    else:
+        assert nd == nodata
+
+
+_coord = st.floats(-1e6, 1e6, allow_nan=False, allow_infinity=False)
+
+
+@st.composite
+def _ring_sets(draw):
+    n_shapes = draw(st.integers(1, 4))
+    shapes = []
+    for _ in range(n_shapes):
+        n_parts = draw(st.integers(1, 3))
+        parts = []
+        for _ in range(n_parts):
+            n = draw(st.integers(3, 8))
+            xs = np.asarray(draw(st.lists(_coord, min_size=n, max_size=n)))
+            ys = np.asarray(draw(st.lists(_coord, min_size=n, max_size=n)))
+            parts.append((xs, ys))
+        shapes.append(parts)
+    return shapes
+
+
+def _canon_ring(px, py):
+    """Independent restatement of the writer's polygon canonicalization:
+    close the ring, then orient clockwise by the shoelace sign."""
+    px, py = np.asarray(px, dtype=np.float64), np.asarray(py, dtype=np.float64)
+    if px[0] != px[-1] or py[0] != py[-1]:
+        px, py = np.append(px, px[0]), np.append(py, py[0])
+    area2 = np.sum(px[:-1] * py[1:] - px[1:] * py[:-1])  # CCW-positive shoelace
+    if area2 > 0:  # counter-clockwise -> reverse
+        px, py = px[::-1], py[::-1]
+    return px, py
+
+
+@settings(max_examples=40, deadline=None)
+@given(_ring_sets())
+def test_shapefile_polygon_roundtrip_property(shapes):
+    from irivermetrics_spark.kernels import shapefile as shp
+
+    fields = [("name", "C", 8, 0), ("val", "N", 12, 3)]
+    records = [(f"s{i}", i + 0.125) for i in range(len(shapes))]
+    files = shp.write_shapefile(shp.POLYGON, shapes, fields, records)
+    st_, back, recs = shp.read_shapefile(files["shp"], files["dbf"])
+    assert st_ == shp.POLYGON and len(back) == len(shapes)
+    for orig, got in zip(shapes, back):
+        assert len(got) == len(orig)
+        for (ox, oy), (gx, gy) in zip(orig, got):
+            ex, ey = _canon_ring(ox, oy)
+            if np.array_equal(gx, ex) and np.array_equal(gy, ey):
+                continue
+            # the writer's edge-sum and this shoelace agree except at FP
+            # sign ties, which only happen on (near-)zero-area rings —
+            # there either orientation is a valid canonical form
+            np.testing.assert_array_equal(gx, ex[::-1])
+            np.testing.assert_array_equal(gy, ey[::-1])
+            area2 = abs(np.sum(ex[:-1] * ey[1:] - ex[1:] * ey[:-1]))
+            maxc = max(1.0, np.abs(ex).max(), np.abs(ey).max())
+            assert area2 <= 1e-6 * maxc * maxc
+    for (name, val), rec in zip(records, recs):
+        assert rec[0] == name
+        assert float(rec[1]) == val  # .3f decimals preserve the .125
+
+
+@settings(max_examples=40, deadline=None)
+@given(_ring_sets())
+def test_shapefile_polyline_roundtrip_property(shapes):
+    from irivermetrics_spark.kernels import shapefile as shp
+
+    files = shp.write_shapefile(shp.POLYLINE, shapes, [("id", "N", 8, 0)],
+                                [(i,) for i in range(len(shapes))])
+    st_, back, recs = shp.read_shapefile(files["shp"], files["dbf"])
+    assert st_ == shp.POLYLINE
+    for orig, got in zip(shapes, back):
+        for (ox, oy), (gx, gy) in zip(orig, got):
+            np.testing.assert_array_equal(gx, np.asarray(ox, dtype=np.float64))
+            np.testing.assert_array_equal(gy, np.asarray(oy, dtype=np.float64))
+    assert [int(r[0]) for r in recs] == list(range(len(shapes)))
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.tuples(_coord, _coord), min_size=1, max_size=10))
+def test_shapefile_point_roundtrip_property(pts):
+    from irivermetrics_spark.kernels import shapefile as shp
+
+    files = shp.write_shapefile(shp.POINT, pts, [("id", "N", 8, 0)],
+                                [(i,) for i in range(len(pts))])
+    st_, back, _ = shp.read_shapefile(files["shp"], files["dbf"])
+    assert st_ == shp.POINT
+    for (ox, oy), (gx, gy) in zip(pts, back):
+        assert gx == ox and gy == oy
