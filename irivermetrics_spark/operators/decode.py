@@ -46,6 +46,60 @@ def empty_points_pdf() -> pd.DataFrame:
              cell=pd.Series(dtype="int64")))
 
 
+# per-worker corridor-membership bitmaps: in-corridor is a pure
+# function of (polygon layer, grid), and the per-image PIP over nodata
+# points was the decode kernel's hottest line (~75 % of emit time in
+# the r5 profile). One full-grid PIP per worker per (rings, grid)
+# amortizes across every image that task decodes; pixel centers use
+# the SAME float expression, so the booleans are bit-identical to the
+# per-point path. Gated to 4M-pixel grids (4 MB bitmap + bounded temp
+# rows); larger rasters keep the per-point path.
+_BITMAP_PIXEL_GATE = 4_000_000
+_RINGS_DIGEST_MEMO: dict[int, str] = {}
+_CORRIDOR_BITMAPS: dict[tuple, np.ndarray] = {}
+
+
+def _corridor_bitmap(corridor_rings: list, gx0: float, gy0: float, ps: float,
+                     h: int, w: int) -> np.ndarray:
+    from ..functions import geometry
+
+    digest = _RINGS_DIGEST_MEMO.get(id(corridor_rings))
+    if digest is None:
+        import hashlib
+
+        hsh = hashlib.sha1()
+        for rx, ry in corridor_rings:
+            hsh.update(np.ascontiguousarray(rx, dtype=np.float64).tobytes())
+            hsh.update(np.ascontiguousarray(ry, dtype=np.float64).tobytes())
+        digest = hsh.hexdigest()
+        if len(_RINGS_DIGEST_MEMO) > 64:
+            _RINGS_DIGEST_MEMO.clear()
+        _RINGS_DIGEST_MEMO[id(corridor_rings)] = digest
+    key = (digest, float(gx0), float(gy0), float(ps), int(h), int(w))
+    bm = _CORRIDOR_BITMAPS.get(key)
+    if bm is not None:
+        return bm
+    bm = np.zeros((h, w), dtype=bool)
+    cx_row = gx0 + (np.arange(w) + 0.5) * ps
+    step = max(1, 262_144 // max(w, 1))  # ~2 MB of float64 temps per band
+    for y0 in range(0, h, step):
+        y1 = min(y0 + step, h)
+        cy = gy0 - (np.arange(y0, y1) + 0.5) * ps
+        cxf = np.broadcast_to(cx_row, (y1 - y0, w)).ravel()
+        cyf = np.repeat(cy, w)
+        member = np.zeros(cxf.shape[0], dtype=bool)
+        for ring_x, ring_y in corridor_rings:
+            todo = ~member
+            if not todo.any():
+                break
+            member[todo] = geometry.point_in_polygon(cxf[todo], cyf[todo], ring_x, ring_y)
+        bm[y0:y1] = member.reshape(y1 - y0, w)
+    if len(_CORRIDOR_BITMAPS) >= 8:  # a few MB each — keep the hot few
+        _CORRIDOR_BITMAPS.pop(next(iter(_CORRIDOR_BITMAPS)))
+    _CORRIDOR_BITMAPS[key] = bm
+    return bm
+
+
 def emit_mask_rows(image_id: str, mask: np.ndarray, gx0: float, gy0: float,
                    ps: float, res: int, corridor_rings: list | None,
                    aoi_lines: list | None = None,
@@ -79,14 +133,19 @@ def emit_mask_rows(image_id: str, mask: np.ndarray, gx0: float, gy0: float,
         nod = vals == -1 if ys.size else np.zeros(0, dtype=bool)
         n_invalid = 0
         if ys.size and nod.any():
-            member = np.zeros(int(nod.sum()), dtype=bool)
-            mx, my = cx[nod], cy[nod]
-            for ring_x, ring_y in corridor_rings:
-                todo = ~member
-                if not todo.any():
-                    break
-                member[todo] = geometry.point_in_polygon(mx[todo], my[todo], ring_x, ring_y)
-            n_invalid = int(member.sum())
+            h, w = mask.shape
+            if h * w <= _BITMAP_PIXEL_GATE:
+                bm = _corridor_bitmap(corridor_rings, gx0, gy0, ps, h, w)
+                n_invalid = int(bm[ys[nod], xs[nod]].sum())
+            else:
+                member = np.zeros(int(nod.sum()), dtype=bool)
+                mx, my = cx[nod], cy[nod]
+                for ring_x, ring_y in corridor_rings:
+                    todo = ~member
+                    if not todo.any():
+                        break
+                    member[todo] = geometry.point_in_polygon(mx[todo], my[todo], ring_x, ring_y)
+                n_invalid = int(member.sum())
         summary_cell = np.int64(n_invalid)
     else:
         summary_cell = np.int64(-1)  # presence marker only
