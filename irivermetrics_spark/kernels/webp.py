@@ -161,9 +161,8 @@ def _length_limited_lengths(freqs: list[int], max_len: int = 15) -> list[int]:
         out = [0] * len(freqs)
         out[syms[0]] = 1
         return out
-    # package-merge over (weight, {sym: count}) items
+    # package-merge over (weight, (syms...)) items
     items = sorted((freqs[s], (s,)) for s in syms)
-    packages: list[tuple[int, tuple]] = []
     merged = items
     for _ in range(max_len - 1):
         paired = []
@@ -611,7 +610,6 @@ def decode_vp8l(buf: bytes) -> np.ndarray:
 
     transforms = []  # read order
     xsize = w
-    palette = None
     while br.bits(1):
         ttype = br.bits(2)
         if ttype in (0, 1):  # predictor / color: block data sub-image
@@ -629,7 +627,6 @@ def decode_vp8l(buf: bytes) -> np.ndarray:
             pal = pal_img[0].astype(np.uint32)
             for i in range(1, n_colors):
                 pal[i] = np.uint32(_add_pixels(int(pal[i]), int(pal[i - 1])))
-            palette = pal
             if n_colors <= 2:
                 wbits = 3
             elif n_colors <= 4:
@@ -740,7 +737,7 @@ def _encode_image_data(bw: _BitWriter, img: np.ndarray, use_cache_bits: int = 0,
     fb = [0] * 256
     fa = [0] * 256
     fd = [0] * 40
-    for kind, v, d in tokens:
+    for kind, v, _ in tokens:
         if kind == "lit":
             a_, r_, g_, b_ = _unpack(v)
             fg[g_] += 1
@@ -763,7 +760,7 @@ def _encode_image_data(bw: _BitWriter, img: np.ndarray, use_cache_bits: int = 0,
         _write_prefix_code(bw, lengths)
         codes.append(_canonical_codes(lengths))
     cg, cr, cb, ca, cd = codes
-    for kind, v, d in tokens:
+    for kind, v, _ in tokens:
         if kind == "lit":
             a_, r_, g_, b_ = _unpack(v)
             _write_symbol(bw, cg, g_)
