@@ -145,19 +145,32 @@ def waterdetect_batch(
 def _path_is_tif_masks(path: str) -> bool:
     """String da_wmask dispatch: .tif mask directory/glob vs .nc cube.
 
-    Explicit extensions win; a bare directory is probed driver-side for
-    which file kind it holds (first match decides; mixed dirs raise)."""
+    Explicit extensions always win. A bare LOCAL directory/glob is
+    probed driver-side (top level plus one subdirectory level — the
+    multi-scene export layout is outdir/SCENE/DATE.tif); mixed dirs
+    raise. URI-schemed paths (s3a://, hdfs://, file:/...) cannot be
+    probed with local os calls, so they keep the pre-r5 entry contract
+    and dispatch to the NetCDF reader — pass an extension-explicit
+    path or glob to pick the tif ingest remotely."""
     import glob as _glob
     import os
+    import re as _re
 
     low = path.lower()
     if low.endswith((".tif", ".tiff")):
         return True
     if low.endswith(".nc"):
         return False
+    if _re.match(r"^[A-Za-z][A-Za-z0-9+.\-]*:", path) and not os.path.exists(path):
+        return False  # remote URI: undetectable locally -> .nc default
     entries: list[str] = []
     if os.path.isdir(path):
-        entries = sorted(os.listdir(path))
+        for e in sorted(os.listdir(path)):
+            full = os.path.join(path, e)
+            if os.path.isdir(full):
+                entries.extend(sorted(os.listdir(full)))  # scene subdirs
+            else:
+                entries.append(e)
     elif _glob.has_magic(path):
         entries = sorted(os.path.basename(p) for p in _glob.glob(path))
     tifs = [e for e in entries if e.lower().endswith((".tif", ".tiff"))]

@@ -27,9 +27,12 @@ self-referential round-trips plus hand-built streams (documented —
 the container/bit layout follows the public spec byte-for-byte).
 
 Per-pixel Python loops are confined to the entropy-coded symbol
-stream; all bit readers/writers use small masked accumulators (the
-r4 lesson: an undrained big-int accumulator makes every shift
-O(stream))."""
+stream and the inverse PREDICTOR transform (inherently sequential:
+most modes read the just-reconstructed left neighbor); the color
+transform, palette unbundling and subtract-green inverses are fully
+vectorized numpy. All bit readers/writers use small masked
+accumulators (the r4 lesson: an undrained big-int accumulator makes
+every shift O(stream))."""
 
 from __future__ import annotations
 
@@ -472,18 +475,26 @@ def _color_delta(t: int, c: int) -> int:
 
 
 def _apply_inverse_color(img: np.ndarray, cdata: np.ndarray, block_bits: int) -> None:
+    # fully vectorized: the color transform has no cross-pixel
+    # dependency. (x + delta) & 0xFF == (x + (delta & 0xFF)) & 0xFF
+    # (same residue class), and numpy's >> on negative int32 is the
+    # arithmetic shift the scalar _color_delta relies on.
     h, w = img.shape
-    for y in range(h):
-        for x in range(w):
-            cx = int(cdata[y >> block_bits, x >> block_bits])
-            g2r = (cx >> 0) & 0xFF
-            g2b = (cx >> 8) & 0xFF
-            r2b = (cx >> 16) & 0xFF
-            p = int(img[y, x])
-            a, r, g, b = _unpack(p)
-            r = (r + _color_delta(g2r, g)) & 0xFF
-            b = (b + _color_delta(g2b, g) + _color_delta(r2b, r)) & 0xFF
-            img[y, x] = np.uint32(_pack(a, r, g, b))
+    cmap = cdata[np.arange(h)[:, None] >> block_bits,
+                 np.arange(w)[None, :] >> block_bits]
+    g2r = (cmap & np.uint32(0xFF)).astype(np.uint8).astype(np.int8).astype(np.int32)
+    g2b = ((cmap >> np.uint32(8)) & np.uint32(0xFF)).astype(np.uint8).astype(np.int8).astype(np.int32)
+    r2b = ((cmap >> np.uint32(16)) & np.uint32(0xFF)).astype(np.uint8).astype(np.int8).astype(np.int32)
+    a = (img >> np.uint32(24)) & np.uint32(0xFF)
+    r = ((img >> np.uint32(16)) & np.uint32(0xFF)).astype(np.int32)
+    g = ((img >> np.uint32(8)) & np.uint32(0xFF)).astype(np.int32)
+    b = (img & np.uint32(0xFF)).astype(np.int32)
+    g_s = g.astype(np.uint8).astype(np.int8).astype(np.int32)
+    r_new = (r + ((g2r * g_s) >> 5)) & 0xFF
+    r_s = r_new.astype(np.uint8).astype(np.int8).astype(np.int32)
+    b_new = (b + ((g2b * g_s) >> 5) + ((r2b * r_s) >> 5)) & 0xFF
+    img[:] = ((a << np.uint32(24)) | (r_new.astype(np.uint32) << np.uint32(16))
+              | (g.astype(np.uint32) << np.uint32(8)) | b_new.astype(np.uint32))
 
 
 def _apply_subtract_green_inverse(img: np.ndarray) -> None:
@@ -646,18 +657,19 @@ def decode_vp8l(buf: bytes) -> np.ndarray:
         if ttype == 3:
             wbits = arg
             if wbits:
+                # vectorized sub-byte unbundle: per-pixel shift amounts
+                # are a pure function of x
                 per = 1 << wbits
                 ibits = 8 >> wbits
                 mask = (1 << ibits) - 1
-                out = np.zeros((h, w), dtype=np.uint32)
-                for y in range(h):
-                    for x in range(w):
-                        packed = int(img[y, x >> wbits])
-                        idx = ((packed >> 8) >> (ibits * (x & (per - 1)))) & mask
-                        if idx >= len(data):
-                            raise ValueError("palette index out of range")
-                        out[y, x] = data[idx]
-                img = out
+                xs = np.arange(w)
+                greens = (img >> np.uint32(8)) & np.uint32(0xFF)  # (h, packed_w)
+                shifts = (ibits * (xs & (per - 1))).astype(np.uint32)
+                idx = ((greens[:, xs >> wbits] >> shifts[None, :])
+                       & np.uint32(mask)).astype(np.int64)
+                if idx.size and idx.max() >= len(data):
+                    raise ValueError("palette index out of range")
+                img = data[idx]
             else:
                 green = ((img >> np.uint32(8)) & np.uint32(0xFF)).astype(np.int64)
                 if green.max() >= len(data):

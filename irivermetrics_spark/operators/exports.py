@@ -75,6 +75,47 @@ def persistence_raster(pp: DataFrame, grid: dict, scene: str) -> np.ndarray:
     return out
 
 
+# per-worker memo for the K1 export's out-of-AOI raster: a pure
+# function of (AOI lines, buffer, grid) that was recomputed inside
+# every (scene, date) group — the dominant cost of a many-date export.
+# Same reference-identity + content-digest pattern as
+# decode._RINGS_DIGEST_MEMO (bare id() could alias a recycled address).
+_AOI_RASTER_MEMO: dict[int, tuple] = {}
+_AOI_RASTERS: dict[tuple, np.ndarray] = {}
+
+
+def _aoi_outside_raster(aoi_lines: list, aoi_buffer: float, gx0: float,
+                        gy0: float, ps: float, h: int, w: int) -> np.ndarray:
+    from ..functions import geometry
+
+    memo = _AOI_RASTER_MEMO.get(id(aoi_lines))
+    if memo is not None and memo[0] is aoi_lines:
+        digest = memo[1]
+    else:
+        import hashlib
+
+        hsh = hashlib.sha1()
+        for lx, ly in aoi_lines:
+            hsh.update(np.ascontiguousarray(lx, dtype=np.float64).tobytes())
+            hsh.update(np.ascontiguousarray(ly, dtype=np.float64).tobytes())
+        digest = hsh.hexdigest()
+        if len(_AOI_RASTER_MEMO) > 64:
+            _AOI_RASTER_MEMO.clear()
+        _AOI_RASTER_MEMO[id(aoi_lines)] = (aoi_lines, digest)
+    key = (digest, float(aoi_buffer), float(gx0), float(gy0), float(ps), h, w)
+    out = _AOI_RASTERS.get(key)
+    if out is None:
+        yy, xx = np.mgrid[0:h, 0:w]
+        cx = gx0 + (xx.ravel() + 0.5) * ps
+        cy = gy0 - (yy.ravel() + 0.5) * ps
+        out = (geometry.min_dist_to_polylines(cx, cy, aoi_lines)
+               > aoi_buffer).reshape(h, w)
+        if len(_AOI_RASTERS) >= 8:
+            _AOI_RASTERS.pop(next(iter(_AOI_RASTERS)))
+        _AOI_RASTERS[key] = out
+    return out
+
+
 def write_date_mask_geotiffs(mask_points: DataFrame, grid: dict, outdir: str,
                              aoi: tuple[list, float] | None = None,
                              flat: bool | None = None) -> DataFrame:
@@ -104,7 +145,6 @@ def write_date_mask_geotiffs(mask_points: DataFrame, grid: dict, outdir: str,
     distinct action)."""
     import os
 
-    from ..functions import geometry
     from ..kernels import geotiff
 
     gx0, gy0, ps = float(grid["gx0"]), float(grid["gy0"]), float(grid["ps"])
@@ -126,12 +166,9 @@ def write_date_mask_geotiffs(mask_points: DataFrame, grid: dict, outdir: str,
             dense[real["py"].to_numpy(), real["px"].to_numpy()] = \
                 real["value"].to_numpy().astype(np.int16)
         if aoi_lines is not None:
-            yy, xx = np.mgrid[0:h, 0:w]
-            cx = gx0 + (xx.ravel() + 0.5) * ps
-            cy = gy0 - (yy.ravel() + 0.5) * ps
-            outside = (geometry.min_dist_to_polylines(cx, cy, aoi_lines)
-                       > aoi_buffer).reshape(h, w)
-            dense[outside] = -1
+            # date-independent: one distance sweep per worker per
+            # (AOI, grid), not one per exported date
+            dense[_aoi_outside_raster(aoi_lines, aoi_buffer, gx0, gy0, ps, h, w)] = -1
         buf = geotiff.write_geotiff(dense[None, :, :], dict(gx0=gx0, gy0=gy0, ps=ps),
                                     nodata=-1.0, compress="lzw")
         sub = outdir if flat else os.path.join(outdir, str(scene))

@@ -160,7 +160,13 @@ def read_wmask_tifs(spark: SparkSession, path: str, res: int = 9,
     mirrors ``read_wmask_nc``."""
     from ..kernels import geotiff
 
-    files = spark.read.format("binaryFile").option("pathGlobFilter", "*.tif*").load(path)
+    # case-insensitive glob (Hadoop globs are case-sensitive, unlike
+    # the driver-side dispatch probe) + recursive lookup for the
+    # multi-scene outdir/SCENE/DATE.tif export layout
+    files = (spark.read.format("binaryFile")
+             .option("pathGlobFilter", "*.[tT][iI][fF]*")
+             .option("recursiveFileLookup", "true")
+             .load(path))
     first = files.select("content").limit(1).collect()
     if not first:
         raise ValueError(f"no .tif files under {path}")

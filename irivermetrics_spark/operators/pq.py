@@ -121,11 +121,14 @@ def pq_topk(embeddings: DataFrame, queries: DataFrame, books: np.ndarray, topk: 
        broadcast of either data side;
     3. each (enc_block, q_chunk) cogroup scores its code block against
        its LUT chunk in numpy and keeps a local top-``n_short`` per
-       query. A block's local top-n_short provably contains the block's
-       members of the GLOBAL top-n_short (anything ordered below a
-       global-top element is itself global-top), so the per-query
-       window below reconstructs exactly the same shortlist the old
-       single-pass scorer produced — value-identical by construction.
+       query under the (adist, id) TOTAL order — ids break adist ties,
+       which PQ makes common (distinct vectors, identical codes), so
+       the cut is deterministic regardless of block layout. A block's
+       local top-n_short provably contains the block's members of the
+       GLOBAL top-n_short (anything ordered below a global-top element
+       is itself global-top), so the per-query window below
+       reconstructs exactly the global shortlist — independent of
+       ``enc_blocks``/cluster size by construction.
 
     Flat ADC work is inherently O(N * nq); the replicated shuffle is
     one extra copy of the 1-byte/sub codes per query chunk, amortized
@@ -187,7 +190,11 @@ def pq_topk(embeddings: DataFrame, queries: DataFrame, books: np.ndarray, topk: 
         for qid, blob in zip(lut_pdf["query_id"], lut_pdf["lut"]):
             lut = np.frombuffer(blob, dtype=np.float64).reshape(m, k)
             d = lut[cols[None, :], codes].sum(axis=1)  # ADC: m lookups/row
-            keep = np.argsort(d)[:n_short]  # per-block shortlist
+            # block-local cut under the SAME (adist, id) total order as
+            # the global window — a bare argsort breaks adist ties by
+            # position, making the surviving shortlist (and thus the
+            # reranked topk when codes collide) depend on block layout
+            keep = np.lexsort((ids, d))[:n_short]
             outs.append(pd.DataFrame({
                 "query_id": np.int64(qid),
                 "id": ids[keep].astype(np.int64),

@@ -82,7 +82,7 @@ def stream_nc_decode(spark: SparkSession, nc_path: str, grid: dict, res: int = 9
     stream = (
         spark.readStream.format("binaryFile")
         .schema(BINARY_FILE_SCHEMA)
-        .option("pathGlobFilter", "*.nc")
+        .option("pathGlobFilter", "*.[nN][cC]")
         .load(nc_path)
     )
     return ncingest.nc_mask_points(stream, grid, res=res,
@@ -100,7 +100,8 @@ def stream_tif_mask_decode(spark: SparkSession, tif_path: str, grid: dict, res: 
     stream = (
         spark.readStream.format("binaryFile")
         .schema(BINARY_FILE_SCHEMA)
-        .option("pathGlobFilter", "*.tif*")
+        .option("pathGlobFilter", "*.[tT][iI][fF]*")
+        .option("recursiveFileLookup", "true")
         .load(tif_path)
     )
     return ncingest.tif_mask_points(stream, grid, res=res,
