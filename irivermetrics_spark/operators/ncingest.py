@@ -191,7 +191,11 @@ def read_wmask_nc(spark: SparkSession, path: str, res: int = 9,
     ``da_wmask`` directly — reference workflow parity:
     ``calculate_metrics(xr.open_dataset(nc).water, rcor_extent)``.
     """
-    files = spark.read.format("binaryFile").load(path)
+    # case-insensitive .nc filter: a directory holding README/aux files
+    # next to the cubes should not crash the classic-format parser
+    files = (spark.read.format("binaryFile")
+             .option("pathGlobFilter", "*.[nN][cC]")
+             .load(path))
     first = files.select("content").limit(1).collect()
     if not first:
         raise ValueError(f"no files under {path}")
