@@ -134,3 +134,25 @@ def test_property_roundtrip_random():
             planes = rng.integers(0, 256, size=(4, h, w)).astype(np.uint8)
             kw = {"use_meta": True, "color_cte": tuple(int(v) for v in rng.integers(0, 256, 3))}
         _rt(planes, **kw)
+
+
+def test_cross_codec_real_artwork_through_webp():
+    """The committed third-party artwork (conformance_pal.png, decoded
+    by the independent from-scratch PNG codec) re-encodes LOSSLESSLY
+    through the VP8L encoder in every transform mode and decodes back
+    bit-identical — tying the webp codec to a real image, not just
+    synthetic fixtures."""
+    import os
+
+    from irivermetrics_spark.kernels import png
+
+    data = os.path.join(os.path.dirname(__file__), "data")
+    rgba = png.decode_png(open(os.path.join(data, "conformance_pal.png"), "rb").read())
+    assert rgba.shape[0] == 4  # RGBA from the palette+tRNS expansion
+    # PNG planes are RGBA; VP8L wants ARGB
+    argb = np.stack([rgba[3], rgba[0], rgba[1], rgba[2]]).astype(np.uint8)
+    for kw in ({}, {"use_predictor": True, "block_bits": 3},
+               {"cache_bits": 6}, {"use_palette": True},
+               {"color_cte": (33, 190, 7)}):
+        out = webp.decode_vp8l(webp.encode_vp8l(argb, **kw))
+        np.testing.assert_array_equal(out, argb)
