@@ -144,3 +144,66 @@ def fingerprint_series(texts: pd.Series) -> pd.Series:
 def with_fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
     fp = F.pandas_udf(fingerprint_series, "long")
     return docs.withColumn("fingerprint", fp(F.col(text_col)))
+
+
+def dup_line_fraction(text: Column) -> Column:
+    """Fraction of lines that are duplicates of an earlier line — the
+    Gopher/C4 repetition filter family (Rae et al. 2021 §A1.1:
+    documents whose duplicate-line fraction exceeds ~0.3 are boiler-
+    plate/menu pages). Pure JVM expressions: split -> trim/filter ->
+    1 - distinct/total. Empty/one-line docs score 0.0."""
+    lines = F.filter(
+        F.transform(F.split(text, "\n", -1), lambda l: F.trim(l)),
+        lambda l: F.length(l) > 0)
+    n = F.size(lines)
+    nd = F.size(F.array_distinct(lines))
+    return F.when(n > 1, F.lit(1.0) - nd.cast("double") / n.cast("double")).otherwise(F.lit(0.0))
+
+
+def top_ngram_fraction(text: Column, n: int = 2) -> Column:
+    """Fraction of the document's word n-grams occupied by the single
+    most frequent n-gram (Gopher §A1.1 top-n-gram filter: a page whose
+    top 2-gram covers >20% of it is usually templated). JVM-side:
+    words -> zip_with shifted copies -> aggregate a count map -> max.
+    Documents with fewer than ``n`` words score 0.0."""
+    words = F.filter(F.split(F.lower(text), r"\s+", -1), lambda w: F.length(w) > 0)
+    nw = F.size(words)
+    if n == 1:
+        grams = words
+    else:
+        # n-gram i = words[i] .. words[i+n-1]; build by zipping the
+        # array with its slice offsets (no explode/shuffle)
+        grams = words
+        for k in range(1, n):
+            grams = F.zip_with(
+                F.slice(grams, 1, F.greatest(nw - k, F.lit(0))),
+                F.slice(words, k + 1, F.greatest(nw - k, F.lit(0))),
+                lambda a, b: F.concat_ws(" ", a, b))
+    total = F.size(grams)
+    # top count = longest run of equal adjacent elements in the SORTED
+    # gram array: O(n log n) sort + O(n) run-length aggregate with a
+    # two-field accumulator — linear state, no per-doc count map (a
+    # map-building aggregate is O(n^2) on long documents)
+    s = F.array_sort(grams)
+    eq = F.zip_with(
+        F.slice(s, 1, F.greatest(total - 1, F.lit(0))),
+        F.slice(s, 2, F.greatest(total - 1, F.lit(0))),
+        lambda a, b: a == b)
+    run = F.aggregate(
+        eq,
+        F.struct(F.lit(1).alias("cur"), F.lit(1).alias("best")),
+        lambda acc, e: F.struct(
+            F.when(e, acc["cur"] + 1).otherwise(F.lit(1)).alias("cur"),
+            F.greatest(acc["best"], F.when(e, acc["cur"] + 1).otherwise(F.lit(1))).alias("best")),
+    )
+    return F.when(total >= 1, run["best"].cast("double") / total.cast("double")).otherwise(F.lit(0.0))
+
+
+def with_repetition_signals(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition columns: ``dup_line_frac`` and
+    ``top_bigram_frac`` — the standard web-corpus boilerplate filters
+    next to the length/punct/stopword quality features. All JVM
+    higher-order functions: zero Python, zero shuffle, codegen'd."""
+    t = F.col(text_col)
+    return docs.withColumn("dup_line_frac", F.round(dup_line_fraction(t), 6)) \
+               .withColumn("top_bigram_frac", F.round(top_ngram_fraction(t, 2), 6))
