@@ -47,9 +47,15 @@ def wet_area_slice(spark: SparkSession, points: DataFrame, reaches: list[dict],
 
 def start_flagship_stream(spark: SparkSession, images_path: str, mask_path: str,
                           out_path: str, checkpoint_path: str, reaches: list[dict],
-                          grid: dict, res: int = 9):
-    """images dir (stream) -> mask table (append, exactly-once) ->
-    wet-area table (overwrite per micro-batch). Returns the query."""
+                          grid: dict, res: int = 9, source: str = "images"):
+    """input dir (stream) -> mask table (append, exactly-once) ->
+    wet-area table (overwrite per micro-batch). Returns the query.
+
+    ``source``: "images" (parquet image table, the default), "nc"
+    (directory of classic NetCDF cubes — the reference's entry format)
+    or "tif" (per-date YYYY-MM-DD.tif masks, the K1 export layout).
+    All three produce the same mask-point schema through the shared
+    emit_mask_rows contract, so the serving layer is source-agnostic."""
     import numpy as np
 
     from ..operators import decode as decode_op
@@ -57,9 +63,18 @@ def start_flagship_stream(spark: SparkSession, images_path: str, mask_path: str,
     rings = [(np.asarray(r["ring_x"]), np.asarray(r["ring_y"])) for r in reaches]
     # corridor rings fused into the streaming decode so the mask table
     # carries the counted summary rows the fused F6 path needs
-    points = decode_op.decode_points(
-        spark.readStream.schema(ingest.IMAGE_SCHEMA).parquet(images_path),
-        grid, res=res, corridor_rings=rings)
+    if source == "images":
+        points = decode_op.decode_points(
+            spark.readStream.schema(ingest.IMAGE_SCHEMA).parquet(images_path),
+            grid, res=res, corridor_rings=rings)
+    elif source == "nc":
+        points = ingest.stream_nc_decode(spark, images_path, grid, res=res,
+                                         corridor_rings=rings)
+    elif source == "tif":
+        points = ingest.stream_tif_mask_decode(spark, images_path, grid, res=res,
+                                               corridor_rings=rings)
+    else:
+        raise ValueError(f"unknown source {source!r} (images|nc|tif)")
 
     def process(batch_df, batch_id):
         # 1. append this batch's mask points (exactly-once: the stream

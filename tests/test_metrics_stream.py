@@ -100,3 +100,50 @@ def test_streaming_selective_scene_recompute(spark):
     got = after.sort_values(["scene", "ds"]).reset_index(drop=True)
     assert list(got.scene) == list(want.scene) and list(got.ds) == list(want.ds)
     assert list(got.n_wet_px) == list(want["count"])
+
+
+def test_streaming_nc_source_batch_identical(spark):
+    """The reference's .nc entry format drives the SAME two-layer
+    streaming pipeline: cubes stream in via binaryFile, a late cube
+    restarts the query from checkpoint, and the final wet-area table
+    equals the batch pipeline over all cubes' points."""
+    from pyspark.sql import functions as F
+
+    from irivermetrics_spark.kernels import netcdf
+    from irivermetrics_spark.operators import ncingest
+
+    fx = synth.make_fixture(w=40, h=20, n_dates=5, n_sections=2, n_scenes=3, seed=23)
+    grid = dict(gx0=fx.gx0, gy0=fx.gy0, ps=fx.pixel_size, w=fx.w, h=fx.h)
+    base = tempfile.mkdtemp(prefix="mstream_nc_")
+    nc_dir, mask_dir = os.path.join(base, "cubes"), os.path.join(base, "mask")
+    out_dir, ckpt = os.path.join(base, "wet"), os.path.join(base, "ckpt")
+    os.makedirs(nc_dir)
+
+    def write_cube(s):
+        with open(os.path.join(nc_dir, f"scene{s}.nc"), "wb") as f:
+            f.write(netcdf.write_wmask(fx.masks[s], [str(d) for d in fx.dates], grid))
+
+    write_cube(0)
+    write_cube(1)
+    q = metrics_stream.start_flagship_stream(spark, nc_dir, mask_dir, out_dir,
+                                             ckpt, fx.reaches, grid, source="nc")
+    q.awaitTermination(180)
+
+    write_cube(2)  # late cube, new query resumes from checkpoint
+    q2 = metrics_stream.start_flagship_stream(spark, nc_dir, mask_dir, out_dir,
+                                              ckpt, fx.reaches, grid, source="nc")
+    q2.awaitTermination(180)
+
+    got = spark.read.parquet(out_dir).toPandas().sort_values(
+        ["scene", "ds"]).reset_index(drop=True)
+    # batch reference: same cubes through the batch binaryFile ingest
+    rings = None
+    batch_pts, _ = ncingest.read_wmask_nc(
+        spark, nc_dir,
+        corridor_rings=[(r["ring_x"], r["ring_y"]) for r in fx.reaches])
+    want, pres = metrics_stream.wet_area_slice(spark, batch_pts, fx.reaches, grid)
+    want = want.toPandas().sort_values(["scene", "ds"]).reset_index(drop=True)
+    assert got[["scene", "ds", "n_wet_px"]].equals(want[["scene", "ds", "n_wet_px"]])
+    assert sorted(got["scene"].unique()) == ["scene0", "scene1", "scene2"]
+    pres["kept"].unpersist()
+    pres["water_joined"].unpersist()
