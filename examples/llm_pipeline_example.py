@@ -1,0 +1,68 @@
+"""End-to-end training-data preparation over the synthetic corpus:
+the LLM-pipeline operator suite chained the way a real 100 TB curation
+job would run.
+
+    documents --exact dedup--> --quality + repetition filter-->
+              --MinHash-LSH near-dup clusters--> --keeper per cluster-->
+    embeddings --IVF ANN--> nearest-neighbor retrieval for the keepers
+
+Every stage is a DataFrame transformation (bucketed candidate
+generation, no all-pairs anywhere); the same code runs unchanged on a
+multi-executor cluster — parallelism only changes partition counts.
+
+Run:  python examples/llm_pipeline_example.py  [sf_dir]
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from irivermetrics_spark.operators import dedup, ivf, textops  # noqa: E402
+from irivermetrics_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_spark("llm_pipeline", master="local[8]", shuffle_partitions=16)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n0 = docs.count()
+
+    # 1. exact dedup (md5 groupBy, one shuffle): keep the min-id doc
+    # of every identical-text group
+    keep_ids = docs.groupBy(F.md5("text").alias("h")).agg(
+        F.min("doc_id").alias("doc_id")).select("doc_id")
+    exact = docs.join(keep_ids, "doc_id")
+    n1 = exact.count()
+
+    # 2. quality + repetition gate (all JVM column expressions)
+    feats = textops.with_repetition_signals(textops.with_text_features(exact))
+    kept = feats.filter(
+        (F.col("quality") >= 0.3) & (F.col("dup_line_frac") <= 0.3)
+        & (F.col("top_bigram_frac") <= 0.5))
+    n2 = kept.count()
+
+    # 3. MinHash-LSH near-dup clusters -> one keeper per cluster
+    cand = dedup.lsh_candidates(kept, "doc_id", "text")
+    pairs = dedup.exact_jaccard_pairs(kept, cand).filter(F.col("jaccard") >= 0.8)
+    keepers = dedup.keep_canonical(kept, pairs, "doc_id")
+    n3 = keepers.count()
+
+    # 4. ANN retrieval over the embedding table for a sample of keepers
+    em = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = ivf.train_centroids(em, n_lists=8)
+    assigned = ivf.ivf_assign(em, cents).persist()
+    queries = em.limit(5)
+    hits = ivf.ivf_topk(em, queries, cents, k=3, nprobe=3, assigned=assigned)
+    n4 = hits.count()
+
+    print(f"\ndocuments: {n0} -> exact-deduped {n1} -> quality-kept {n2} "
+          f"-> near-dup keepers {n3}; ANN rows for 5 queries: {n4}")
+    print(hits.orderBy("query_id", "rank").toPandas().to_string(index=False))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
