@@ -66,19 +66,31 @@ _DIST_MAP = [
 
 
 class _BitReader:
-    """LSB-first reader with a small drained accumulator."""
+    """LSB-first reader with a small drained accumulator.
+
+    Reads past the end yield zeros (the spec's padding behavior) but
+    only up to a small slack: a corrupt header + zero-filled reads can
+    otherwise "decode" a declared 16k x 16k image from a 30-byte
+    buffer one 0-bit symbol at a time — a multi-second garbage-input
+    slow path (r5 fuzz finding). 32 bytes of slack covers any final
+    symbol's codes + extra bits with room to spare."""
+
+    _PAST_END_SLACK = 32  # bytes
 
     def __init__(self, data: bytes):
         self.data = data
         self.pos = 0
         self.acc = 0
         self.n = 0
+        self.overrun = 0
 
     def bits(self, k: int) -> int:
         while self.n < k:
             if self.pos >= len(self.data):
-                self.acc |= 0 << self.n  # spec: reads past end yield zeros
-                self.n += 8
+                self.overrun += 1
+                if self.overrun > self._PAST_END_SLACK:
+                    raise ValueError("truncated VP8L stream (read past end)")
+                self.n += 8  # zero byte
             else:
                 self.acc |= self.data[self.pos] << self.n
                 self.pos += 1

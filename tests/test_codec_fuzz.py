@@ -1,0 +1,87 @@
+"""Garbage-input robustness for every from-scratch codec: corrupt or
+adversarial buffers must raise promptly (any exception type) — never
+hang, never allocate per a declared-but-unbacked size. Deterministic
+fuzz corpus; a decoder that starts looping shows up as a test timeout."""
+
+import struct
+import time
+
+import numpy as np
+import pytest
+
+from irivermetrics_spark import codecs
+from irivermetrics_spark.kernels import geotiff, jpeg, lzw, netcdf, png, webp
+
+_PREFIX = {
+    "geotiff": b"II*\x00",
+    "netcdf": b"CDF\x01",
+    "webp": b"RIFF\x30\x00\x00\x00WEBPVP8L\x20\x00\x00\x00\x2f",
+    "png": bytes([137, 80, 78, 71, 13, 10, 26, 10]),
+    "jpeg": b"\xff\xd8\xff\xe0",
+    "codecs": b"",
+}
+_DECODE = {
+    "geotiff": geotiff.read_geotiff,
+    "netcdf": netcdf.read_netcdf3,
+    "webp": webp.decode_vp8l,
+    "png": png.decode_png,
+    "jpeg": jpeg.decode_baseline,
+    "codecs": codecs.decode_image,
+}
+
+
+@pytest.mark.parametrize("name", sorted(_DECODE))
+def test_random_bytes_fail_fast(name):
+    rng = np.random.default_rng(99)
+    t0 = time.time()
+    for _ in range(200):
+        n = int(rng.integers(0, 400))
+        buf = _PREFIX[name] + bytes(rng.integers(0, 256, n, dtype=np.uint8))
+        try:
+            _DECODE[name](buf)  # a rare valid parse is fine
+        except Exception:
+            pass
+    assert time.time() - t0 < 20.0  # no pathological slow path
+
+
+def test_inflated_size_fields_fail_fast():
+    """Headers declaring huge dims/strips over a tiny payload must not
+    trigger giant allocations or long loops."""
+    good_nc = netcdf.write_netcdf3(
+        {"y": 2, "x": 2}, {"v": (("y", "x"), {}, np.ones((2, 2), dtype=np.int32))})
+    good_tif = geotiff.write_geotiff(np.ones((1, 2, 2), dtype=np.uint8),
+                                     dict(gx0=0.0, gy0=0.0, ps=1.0))
+    t0 = time.time()
+    for off in range(8, min(len(good_nc) - 4, 120), 4):
+        b = bytearray(good_nc)
+        b[off:off + 4] = struct.pack(">I", 2 ** 30)
+        try:
+            netcdf.read_netcdf3(bytes(b))
+        except Exception:
+            pass
+    for off in range(8, min(len(good_tif) - 2, 200), 2):
+        b = bytearray(good_tif)
+        b[off:off + 2] = struct.pack("<H", 65535)
+        try:
+            geotiff.read_geotiff(bytes(b))
+        except Exception:
+            pass
+    assert time.time() - t0 < 20.0
+
+
+def test_webp_max_dims_empty_body_fails_fast():
+    from irivermetrics_spark.kernels.webp import _BitWriter
+
+    bw = _BitWriter()
+    bw.bits(16382, 14)
+    bw.bits(16382, 14)
+    bw.bits(0, 1)
+    bw.bits(0, 3)
+    bw.bits(0, 1)
+    payload = b"\x2f" + bw.done()
+    vp8l = b"VP8L" + struct.pack("<I", len(payload)) + payload
+    buf = b"RIFF" + struct.pack("<I", len(b"WEBP" + vp8l)) + b"WEBP" + vp8l
+    t0 = time.time()
+    with pytest.raises(Exception):
+        webp.decode_vp8l(buf)
+    assert time.time() - t0 < 5.0
