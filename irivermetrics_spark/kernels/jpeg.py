@@ -463,7 +463,8 @@ def _to_output(frame, planes) -> np.ndarray:
     r = y + 1.402 * (cr - 128.0)
     g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
     b = y + 1.772 * (cb - 128.0)
-    rgb = np.stack([r, g, b])
+    rgb = np.empty((3,) + r.shape, dtype=r.dtype)  # np.stack is slow >100MB here
+    rgb[0], rgb[1], rgb[2] = r, g, b
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
 
 

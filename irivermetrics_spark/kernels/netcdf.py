@@ -284,7 +284,9 @@ def read_netcdf3(buf: bytes) -> dict:
                               offset=begin + r * recsize)
                 for r in range(numrecs)
             ]
-            data = (np.stack(parts).reshape(shape) if parts
+            # concatenate, not np.stack: this numpy's stack hits a
+            # pathological slow path on >~100 MB inputs (r5 finding)
+            data = (np.concatenate(parts).reshape(shape) if parts
                     else np.zeros(shape, dtype=dt))
         else:
             n = int(np.prod(shape, dtype=np.int64)) if shape else 1

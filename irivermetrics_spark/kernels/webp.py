@@ -494,35 +494,35 @@ def _apply_inverse_color(img: np.ndarray, cdata: np.ndarray, block_bits: int) ->
     h, w = img.shape
     cmap = cdata[np.arange(h)[:, None] >> block_bits,
                  np.arange(w)[None, :] >> block_bits]
-    g2r = (cmap & np.uint32(0xFF)).astype(np.uint8).astype(np.int8).astype(np.int32)
-    g2b = ((cmap >> np.uint32(8)) & np.uint32(0xFF)).astype(np.uint8).astype(np.int8).astype(np.int32)
-    r2b = ((cmap >> np.uint32(16)) & np.uint32(0xFF)).astype(np.uint8).astype(np.int8).astype(np.int32)
-    a = (img >> np.uint32(24)) & np.uint32(0xFF)
-    r = ((img >> np.uint32(16)) & np.uint32(0xFF)).astype(np.int32)
-    g = ((img >> np.uint32(8)) & np.uint32(0xFF)).astype(np.int32)
-    b = (img & np.uint32(0xFF)).astype(np.int32)
+    g2r = (cmap & 0xFF).astype(np.uint8).astype(np.int8).astype(np.int32)
+    g2b = ((cmap >> 8) & 0xFF).astype(np.uint8).astype(np.int8).astype(np.int32)
+    r2b = ((cmap >> 16) & 0xFF).astype(np.uint8).astype(np.int8).astype(np.int32)
+    a = (img >> 24) & 0xFF
+    r = ((img >> 16) & 0xFF).astype(np.int32)
+    g = ((img >> 8) & 0xFF).astype(np.int32)
+    b = (img & 0xFF).astype(np.int32)
     g_s = g.astype(np.uint8).astype(np.int8).astype(np.int32)
     r_new = (r + ((g2r * g_s) >> 5)) & 0xFF
     r_s = r_new.astype(np.uint8).astype(np.int8).astype(np.int32)
     b_new = (b + ((g2b * g_s) >> 5) + ((r2b * r_s) >> 5)) & 0xFF
-    img[:] = ((a << np.uint32(24)) | (r_new.astype(np.uint32) << np.uint32(16))
-              | (g.astype(np.uint32) << np.uint32(8)) | b_new.astype(np.uint32))
+    img[:] = ((a << 24) | (r_new.astype(np.uint32) << 16)
+              | (g.astype(np.uint32) << 8) | b_new.astype(np.uint32))
 
 
 def _apply_subtract_green_inverse(img: np.ndarray) -> None:
-    g = (img >> np.uint32(8)) & np.uint32(0xFF)
-    r = (((img >> np.uint32(16)) & np.uint32(0xFF)) + g) & np.uint32(0xFF)
-    b = ((img & np.uint32(0xFF)) + g) & np.uint32(0xFF)
-    img &= np.uint32(0xFF00FF00)
-    img |= (r << np.uint32(16)) | b
+    g = (img >> 8) & 0xFF
+    r = (((img >> 16) & 0xFF) + g) & 0xFF
+    b = ((img & 0xFF) + g) & 0xFF
+    img &= 0xFF00FF00
+    img |= (r << 16) | b
 
 
 def _subtract_green(img: np.ndarray) -> np.ndarray:
-    g = (img >> np.uint32(8)) & np.uint32(0xFF)
-    r = (((img >> np.uint32(16)) & np.uint32(0xFF)) - g) & np.uint32(0xFF)
-    b = ((img & np.uint32(0xFF)) - g) & np.uint32(0xFF)
-    out = img & np.uint32(0xFF00FF00)
-    out |= (r << np.uint32(16)) | b
+    g = (img >> 8) & 0xFF
+    r = (((img >> 16) & 0xFF) - g) & 0xFF
+    b = ((img & 0xFF) - g) & 0xFF
+    out = img & 0xFF00FF00
+    out |= (r << 16) | b
     return out
 
 
@@ -546,7 +546,7 @@ def _decode_image_data(br: _BitReader, w: int, h: int, allow_meta: bool) -> np.n
         mw = (w + (1 << meta_bits) - 1) >> meta_bits
         mh = (h + (1 << meta_bits) - 1) >> meta_bits
         meta_img = _decode_image_data(br, mw, mh, allow_meta=False)
-        meta = ((meta_img >> np.uint32(8)) & np.uint32(0xFFFF)).astype(np.int64)
+        meta = ((meta_img >> 8) & 0xFFFF).astype(np.int64)
         n_groups = int(meta.max()) + 1
     groups = []
     green_alpha = 256 + 24 + (1 << cache_bits if cache_bits else 0)
@@ -568,6 +568,7 @@ def _decode_image_data(br: _BitReader, w: int, h: int, allow_meta: bool) -> np.n
         else:
             gsel = groups[0]
         gdec, rdec, bdec, adec, ddec = gsel
+        state_before = (br.pos, br.n, br.overrun)
         s = gdec.read(br)
         if s < 256:  # literal
             g = s
@@ -579,6 +580,8 @@ def _decode_image_data(br: _BitReader, w: int, h: int, allow_meta: bool) -> np.n
             if cache is not None:
                 cache[_cache_hash(px, cache_bits)] = px
             pos += 1
+            zero_bit_period = 1
+            zero_bit_dist = None
         elif s < 280:  # backward reference
             length = _prefix_decode(br, s - 256)
             dsym = ddec.read(br)
@@ -598,16 +601,47 @@ def _decode_image_data(br: _BitReader, w: int, h: int, allow_meta: bool) -> np.n
                 if cache is not None:
                     cache[_cache_hash(px, cache_bits)] = px
                 pos += 1
+            zero_bit_period = length
+            zero_bit_dist = dist
         else:  # color cache
             if cache is None:
                 raise ValueError("cache symbol without color cache")
             flat[pos] = cache[s - 280]
             pos += 1
+            zero_bit_period = 1
+            zero_bit_dist = 0  # cache replay keeps emitting cache[s-280]
+        # steady-state bulk path: single-symbol codes are 0-bit, so a
+        # constant or periodic tail (our own flat-image encoder emits
+        # these legally) — or a garbage header with huge declared dims
+        # (r5 fuzz) — would otherwise loop w*h times in Python reading
+        # nothing. If a whole iteration consumed zero bits and the
+        # prefix-code group is position-independent, every remaining
+        # iteration is identical: finish vectorized.
+        if (pos < total and meta is None and cache is None
+                and (br.pos, br.n, br.overrun) == state_before):
+            rem = total - pos
+            if zero_bit_dist is None or zero_bit_dist == 0:
+                flat[pos:] = flat[pos - 1]
+            else:
+                if rem % zero_bit_period:
+                    # the scalar loop raises when a final backref would
+                    # overrun the image — keep that strictness
+                    raise ValueError("corrupt LZ77 reference")
+                d = zero_bit_dist
+                src = flat[pos - d:pos].copy()
+                reps = -(-rem // d)
+                flat[pos:] = np.tile(src, reps)[:rem]
+            pos = total
     return flat.reshape(h, w)
 
 
-def decode_vp8l(buf: bytes) -> np.ndarray:
-    """Lossless .webp bytes -> (4, h, w) uint8 ARGB planes."""
+def decode_vp8l(buf: bytes, max_pixels: int = 1 << 26) -> np.ndarray:
+    """Lossless .webp bytes -> (4, h, w) uint8 ARGB planes.
+
+    ``max_pixels`` bounds the header-declared image size (default 64M
+    pixels, ~1 GB of ARGB working set) so a 30-byte buffer claiming the
+    format maximum 16383x16383 cannot force a giant allocation; raise
+    it explicitly for genuinely huge rasters."""
     if buf[:4] != b"RIFF" or buf[8:12] != b"WEBP":
         raise ValueError("not a WebP RIFF container")
     p = 12
@@ -630,6 +664,10 @@ def decode_vp8l(buf: bytes) -> np.ndarray:
     br.bits(1)  # alpha hint
     if br.bits(3) != 0:
         raise ValueError("unknown VP8L version")
+    if w * h > max_pixels:
+        raise ValueError(
+            f"declared size {w}x{h} exceeds max_pixels={max_pixels} "
+            "(pass a larger bound for genuinely huge rasters)")
 
     transforms = []  # read order
     xsize = w
@@ -675,15 +713,15 @@ def decode_vp8l(buf: bytes) -> np.ndarray:
                 ibits = 8 >> wbits
                 mask = (1 << ibits) - 1
                 xs = np.arange(w)
-                greens = (img >> np.uint32(8)) & np.uint32(0xFF)  # (h, packed_w)
+                greens = (img >> 8) & 0xFF  # (h, packed_w)
                 shifts = (ibits * (xs & (per - 1))).astype(np.uint32)
                 idx = ((greens[:, xs >> wbits] >> shifts[None, :])
-                       & np.uint32(mask)).astype(np.int64)
+                       & mask).astype(np.int64)
                 if idx.size and idx.max() >= len(data):
                     raise ValueError("palette index out of range")
                 img = data[idx]
             else:
-                green = ((img >> np.uint32(8)) & np.uint32(0xFF)).astype(np.int64)
+                green = ((img >> 8) & 0xFF).astype(np.int64)
                 if green.max() >= len(data):
                     raise ValueError("palette index out of range")
                 img = data[green]
@@ -692,14 +730,16 @@ def decode_vp8l(buf: bytes) -> np.ndarray:
         elif ttype == 1:
             _apply_inverse_color(img, data, arg)
         elif ttype == 0:
-            modes = (data >> np.uint32(8)) & np.uint32(0xFF)
+            modes = (data >> 8) & 0xFF
             _apply_inverse_predictor(img, modes, arg)
 
-    a = (img >> np.uint32(24)) & np.uint32(0xFF)
-    r = (img >> np.uint32(16)) & np.uint32(0xFF)
-    g = (img >> np.uint32(8)) & np.uint32(0xFF)
-    b = img & np.uint32(0xFF)
-    return np.stack([a, r, g, b]).astype(np.uint8)
+    # zero-arithmetic unpack: little-endian uint32 pixel bytes are
+    # [b, g, r, a]; np.stack is avoided — this numpy build's stack is
+    # ~170x slower than a plain copy above ~100 MB (r5 finding)
+    v = np.ascontiguousarray(img).view(np.uint8).reshape(img.shape[0], img.shape[1], 4)
+    out = np.empty((4,) + img.shape, dtype=np.uint8)
+    out[0], out[1], out[2], out[3] = v[..., 3], v[..., 2], v[..., 1], v[..., 0]
+    return out
 
 
 # -------------------------------------------------------------- encoder
@@ -848,7 +888,7 @@ def encode_vp8l(planes: np.ndarray, use_predictor: bool = False,
     if planes.ndim != 3 or planes.shape[0] != 4:
         raise ValueError("expected (4, h, w) ARGB planes")
     a, r, g, b = (planes[i].astype(np.uint32) for i in range(4))
-    img = (a << np.uint32(24)) | (r << np.uint32(16)) | (g << np.uint32(8)) | b
+    img = (a << 24) | (r << 16) | (g << 8) | b
     h, w = img.shape
     if not (1 <= w <= 1 << 14 and 1 <= h <= 1 << 14):
         raise ValueError("dims out of VP8L 14-bit range")
@@ -888,9 +928,9 @@ def encode_vp8l(planes: np.ndarray, use_predictor: bool = False,
                 for x in range(w):
                     packed[y, x >> wbits] |= np.uint32(
                         int(idx[y, x]) << (ibits * (x & (per - 1))))
-            coded = (np.uint32(0xFF) << np.uint32(24)) | (packed << np.uint32(8))
+            coded = (np.uint32(0xFF) << 24) | (packed << 8)
         else:
-            coded = (np.uint32(0xFF) << np.uint32(24)) | (idx << np.uint32(8))
+            coded = (np.uint32(0xFF) << 24) | (idx << 8)
         bw.bits(0, 1)  # end of transforms
         _encode_image_data(bw, coded, rle=True)
     else:
@@ -921,8 +961,8 @@ def encode_vp8l(planes: np.ndarray, use_predictor: bool = False,
             bw.bits(1, 1)
             bw.bits(0, 2)  # predictor
             bw.bits(block_bits - 2, 3)
-            mode_img = (np.uint32(0xFF) << np.uint32(24)) | (
-                modes.astype(np.uint32) << np.uint32(8))
+            mode_img = (np.uint32(0xFF) << 24) | (
+                modes.astype(np.uint32) << 8)
             _encode_image_data(bw, mode_img, rle=True, is_sub=True)
             img = _forward_predictor(img, modes, block_bits)
             # inverse order on decode: predictor is inverted LAST, so

@@ -85,3 +85,42 @@ def test_webp_max_dims_empty_body_fails_fast():
     with pytest.raises(Exception):
         webp.decode_vp8l(buf)
     assert time.time() - t0 < 5.0
+
+
+def test_webp_single_symbol_huge_dims_fast():
+    """Five single-symbol (0-bit) prefix codes + huge declared dims is
+    a LEGAL constant image in ~30 bytes; the steady-state bulk path
+    must decode it vectorized, not one 0-bit symbol at a time (the r5
+    garbage-input slow path: 13 s before, ~0.15 s after)."""
+    from irivermetrics_spark.kernels.webp import _BitWriter
+
+    bw = _BitWriter()
+    bw.bits(2047, 14)
+    bw.bits(2047, 14)
+    bw.bits(0, 1)
+    bw.bits(0, 3)
+    bw.bits(0, 1)  # no transforms
+    bw.bits(0, 1)  # no cache
+    bw.bits(0, 1)  # no meta
+    for _ in range(5):  # simple 1-symbol codes: symbol 0, 1-bit form
+        bw.bits(1, 1)
+        bw.bits(0, 1)
+        bw.bits(0, 1)
+        bw.bits(0, 1)
+    payload = b"\x2f" + bw.done()
+    vp8l = b"VP8L" + struct.pack("<I", len(payload)) + payload
+    buf = b"RIFF" + struct.pack("<I", len(b"WEBP" + vp8l)) + b"WEBP" + vp8l
+    t0 = time.time()
+    out = webp.decode_vp8l(buf)
+    assert time.time() - t0 < 5.0
+    assert out.shape == (4, 2048, 2048) and not out.any()
+    # over the pixel cap -> immediate clear error, no allocation
+    bw2 = _BitWriter()
+    bw2.bits(16382, 14)
+    bw2.bits(16382, 14)
+    bw2.bits(0, 4)
+    p2 = b"\x2f" + bw2.done()
+    v2 = b"VP8L" + struct.pack("<I", len(p2)) + p2
+    b2 = b"RIFF" + struct.pack("<I", len(b"WEBP" + v2)) + b"WEBP" + v2
+    with pytest.raises(ValueError, match="max_pixels"):
+        webp.decode_vp8l(b2)
