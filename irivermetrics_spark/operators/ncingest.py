@@ -191,11 +191,17 @@ def read_wmask_nc(spark: SparkSession, path: str, res: int = 9,
     ``da_wmask`` directly — reference workflow parity:
     ``calculate_metrics(xr.open_dataset(nc).water, rcor_extent)``.
     """
-    # case-insensitive .nc filter: a directory holding README/aux files
-    # next to the cubes should not crash the classic-format parser
-    files = (spark.read.format("binaryFile")
-             .option("pathGlobFilter", "*.[nN][cC]")
-             .load(path))
+    # case-insensitive .nc filter for DIRECTORIES only: a dir holding
+    # README/aux files next to the cubes should not crash the parser,
+    # but a direct file path or explicit glob (any extension, e.g.
+    # .nc4 or extension-less temp files — the parser validates the CDF
+    # magic itself) must keep loading as before (r5 review)
+    reader = spark.read.format("binaryFile")
+    import os as _os
+
+    if _os.path.isdir(path):
+        reader = reader.option("pathGlobFilter", "*.[nN][cC]")
+    files = reader.load(path)
     first = files.select("content").limit(1).collect()
     if not first:
         raise ValueError(f"no files under {path}")

@@ -152,8 +152,13 @@ def dup_line_fraction(text: Column) -> Column:
     documents whose duplicate-line fraction exceeds ~0.3 are boiler-
     plate/menu pages). Pure JVM expressions: split -> trim/filter ->
     1 - distinct/total. Empty/one-line docs score 0.0."""
+    # CRLF-aware split + FULL whitespace trim: Spark's F.trim strips
+    # only ASCII spaces, which left '\r' on every non-final line of a
+    # CRLF document (so no two lines ever matched) and let tab-only
+    # lines count as content (r5 review)
     lines = F.filter(
-        F.transform(F.split(text, "\n", -1), lambda l: F.trim(l)),
+        F.transform(F.split(text, "\r?\n", -1),
+                    lambda l: F.regexp_replace(l, r"(?U)^\s+|\s+$", "")),
         lambda l: F.length(l) > 0)
     n = F.size(lines)
     nd = F.size(F.array_distinct(lines))
@@ -164,9 +169,12 @@ def top_ngram_fraction(text: Column, n: int = 2) -> Column:
     """Fraction of the document's word n-grams occupied by the single
     most frequent n-gram (Gopher §A1.1 top-n-gram filter: a page whose
     top 2-gram covers >20% of it is usually templated). JVM-side:
-    words -> zip_with shifted copies -> aggregate a count map -> max.
-    Documents with fewer than ``n`` words score 0.0."""
-    words = F.filter(F.split(F.lower(text), r"\s+", -1), lambda w: F.length(w) > 0)
+    words -> zip_with shifted copies -> array_sort -> linear run-length
+    aggregate (max equal-adjacent run = top count). Documents with
+    fewer than ``n`` words score 0.0."""
+    # (?U): Java \s is ASCII-only by default; web text joins words
+    # with U+00A0 etc., which must split like the Python oracle does
+    words = F.filter(F.split(F.lower(text), r"(?U)\s+", -1), lambda w: F.length(w) > 0)
     nw = F.size(words)
     if n == 1:
         grams = words

@@ -77,6 +77,10 @@ def start_flagship_stream(spark: SparkSession, images_path: str, mask_path: str,
         raise ValueError(f"unknown source {source!r} (images|nc|tif)")
 
     def process(batch_df, batch_id):
+        # foreachBatch frames re-read the SOURCE per action — without a
+        # persist the expensive decode kernel would run once for the
+        # append and again for the scene list (r5 review)
+        batch_df = batch_df.persist()
         # 1. append this batch's mask points (exactly-once: the stream
         #    checkpoint owns which source files entered which batch)
         batch_df.write.mode("append").partitionBy("date").parquet(mask_path)
@@ -94,6 +98,7 @@ def start_flagship_stream(spark: SparkSession, images_path: str, mask_path: str,
             .partitionBy("scene").parquet(out_path))
         pres["kept"].unpersist()
         pres["water_joined"].unpersist()
+        batch_df.unpersist()
 
     return (
         points.writeStream.foreachBatch(process)

@@ -137,7 +137,6 @@ def test_streaming_nc_source_batch_identical(spark):
     got = spark.read.parquet(out_dir).toPandas().sort_values(
         ["scene", "ds"]).reset_index(drop=True)
     # batch reference: same cubes through the batch binaryFile ingest
-    rings = None
     batch_pts, _ = ncingest.read_wmask_nc(
         spark, nc_dir,
         corridor_rings=[(r["ring_x"], r["ring_y"]) for r in fx.reaches])

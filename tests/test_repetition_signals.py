@@ -35,6 +35,10 @@ DOCS = [
     "one\n\n\none\n  one  \ntwo",                         # whitespace lines
     "x y x y x y x y x y x y",                            # alternating
     "unique words only appear once in this entire doc",
+    "a\r\na",                                             # CRLF dup (r5 review)
+    "menu\r\nhome\r\nmenu\r\nmenu",                     # CRLF boilerplate
+    "\t\n\t\nreal content here",                         # tab-only lines
+    "buy\u00a0now buy\u00a0now buy\u00a0now and more words here",  # nbsp joins
 ]
 
 
