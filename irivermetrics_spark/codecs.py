@@ -159,6 +159,6 @@ def phash64(arr: np.ndarray) -> int:
     bits = (blocks.ravel() > med).astype(np.uint64)
     val = np.uint64(0)
     for i, bit in enumerate(bits):
-        val |= bit << np.uint64(i)
+        val |= bit << np.uint64(i)  # scalar<<scalar: uint64 needs a uint shift operand
     # reinterpret as signed for Spark LongType
     return int(np.int64(val))

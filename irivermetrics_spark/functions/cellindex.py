@@ -42,18 +42,18 @@ _KIND_QUAD = 1
 def _pack(kind: int, res: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """Pack (kind[1b], res[5b], a[28b], b[28b]) -> int64."""
     return (
-        (np.int64(kind) << np.int64(61))
-        | (res.astype(np.int64) << np.int64(56))
-        | ((a.astype(np.int64) + _OFFSET) << np.int64(28))
+        (np.int64(kind) << 61)
+        | (res.astype(np.int64) << 56)
+        | ((a.astype(np.int64) + _OFFSET) << 28)
         | (b.astype(np.int64) + _OFFSET)
     )
 
 
 def _unpack(cell: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     cell = np.asarray(cell, dtype=np.int64)
-    kind = (cell >> np.int64(61)) & np.int64(0x3)
-    res = (cell >> np.int64(56)) & np.int64(0x1F)
-    a = ((cell >> np.int64(28)) & np.int64((1 << 28) - 1)) - _OFFSET
+    kind = (cell >> 61) & np.int64(0x3)
+    res = (cell >> 56) & np.int64(0x1F)
+    a = ((cell >> 28) & np.int64((1 << 28) - 1)) - _OFFSET
     b = (cell & np.int64((1 << 28) - 1)) - _OFFSET
     return kind, res, a, b
 
@@ -153,20 +153,20 @@ def quad_cell(x: np.ndarray, y: np.ndarray, level: int,
     xi = np.clip(((np.asarray(x, dtype=np.float64) - x0) / extent * n).astype(np.int64), 0, n - 1)
     yi = np.clip(((np.asarray(y, dtype=np.float64) - y0) / extent * n).astype(np.int64), 0, n - 1)
     return (
-        (np.int64(_KIND_QUAD) << np.int64(61))
-        | (np.int64(level) << np.int64(56))
+        (np.int64(_KIND_QUAD) << 61)
+        | (np.int64(level) << 56)
         | _morton(xi, yi)
     )
 
 
 def quad_parent(cell: np.ndarray, parent_level: int) -> np.ndarray:
     cell = np.asarray(cell, dtype=np.int64)
-    level = (cell >> np.int64(56)) & np.int64(0x1F)
+    level = (cell >> 56) & np.int64(0x1F)
     code = cell & np.int64((1 << 56) - 1)
     shift = 2 * (level - parent_level)
     return (
-        (np.int64(_KIND_QUAD) << np.int64(61))
-        | (np.int64(parent_level) << np.int64(56))
+        (np.int64(_KIND_QUAD) << 61)
+        | (np.int64(parent_level) << 56)
         | (code >> shift)
     )
 
@@ -175,10 +175,10 @@ def _morton(xi: np.ndarray, yi: np.ndarray) -> np.ndarray:
     """Interleave bits of two int64 arrays (<=28 bits each)."""
     def spread(v: np.ndarray) -> np.ndarray:
         v = v.astype(np.uint64)
-        v = (v | (v << np.uint64(16))) & np.uint64(0x0000FFFF0000FFFF)
-        v = (v | (v << np.uint64(8))) & np.uint64(0x00FF00FF00FF00FF)
-        v = (v | (v << np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
-        v = (v | (v << np.uint64(2))) & np.uint64(0x3333333333333333)
-        v = (v | (v << np.uint64(1))) & np.uint64(0x5555555555555555)
+        v = (v | (v << 16)) & np.uint64(0x0000FFFF0000FFFF)
+        v = (v | (v << 8)) & np.uint64(0x00FF00FF00FF00FF)
+        v = (v | (v << 4)) & np.uint64(0x0F0F0F0F0F0F0F0F)
+        v = (v | (v << 2)) & np.uint64(0x3333333333333333)
+        v = (v | (v << 1)) & np.uint64(0x5555555555555555)
         return v
-    return (spread(xi) | (spread(yi) << np.uint64(1))).astype(np.int64)
+    return (spread(xi) | (spread(yi) << 1)).astype(np.int64)

@@ -65,8 +65,8 @@ def _mod_mersenne61(x: np.ndarray) -> np.ndarray:
     """x mod (2^61 - 1) via shift-fold (2^61 === 1), exactly equal to
     ``x % _MERSENNE`` but ~3 ops instead of a hardware division — the
     signature UDF is the dominant cost of the whole dedup operator."""
-    x = (x & _MERSENNE) + (x >> np.uint64(61))   # < 2^61 + 7
-    x = (x & _MERSENNE) + (x >> np.uint64(61))   # < 2^61 + 1
+    x = (x & _MERSENNE) + (x >> 61)   # < 2^61 + 7
+    x = (x & _MERSENNE) + (x >> 61)   # < 2^61 + 1
     return np.where(x >= _MERSENNE, x - _MERSENNE, x)
 
 
@@ -93,7 +93,6 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text", n_hashes: int = 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def sig(texts: pd.Series) -> pd.Series:
         out = []
-        m61 = np.uint64(61)
         with np.errstate(over="ignore"):
             for t in texts:
                 sh = _shingles(t, shingle_k, unique=False)
@@ -103,10 +102,10 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text", n_hashes: int = 
                 # so the (64, n) hot matrix allocates once, not 6x.
                 m = sh[None, :] * a_col
                 m += b_col
-                hi = m >> m61
+                hi = m >> 61
                 m &= _MERSENNE
                 m += hi
-                np.right_shift(m, m61, out=hi)
+                np.right_shift(m, 61, out=hi)
                 m &= _MERSENNE
                 m += hi
                 np.subtract(m, _MERSENNE, out=m, where=m >= _MERSENNE)

@@ -58,7 +58,7 @@ def pack_label(tx, ty, lab, tile: int):
         raise ValueError(f"tile coordinate out of packable range (+/-2^{coord_bits - 1})")
     if (lab >= (1 << lbl_bits)).any():
         raise ValueError(f"local label overflow: >= 2^{lbl_bits} components in one {tile}x{tile} tile")
-    return ((tx << np.int64(coord_bits) | ty) << np.int64(lbl_bits)) + lab
+    return ((tx << int(coord_bits) | ty) << int(lbl_bits)) + lab
 
 
 def _minlabel_propagation(edges: DataFrame, key_cols: list[str], max_iters: int = 64) -> DataFrame:

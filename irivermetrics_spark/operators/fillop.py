@@ -260,12 +260,12 @@ def filled_water(points: DataFrame, kept_idx: DataFrame, reaches: list[dict],
             return empty
         n_t = int(pdf["n_t"].iloc[0])
         # vectorized (px, py) -> universe index: sorted packed-key lookup
-        ukey = ux.astype(np.int64) << np.int64(32) | uy.astype(np.int64)
+        ukey = ux.astype(np.int64) << 32 | uy.astype(np.int64)
         order = np.argsort(ukey)
         su = ukey[order]
         px_a = pdf["px"].to_numpy(dtype=np.int64)
         py_a = pdf["py"].to_numpy(dtype=np.int64)
-        pkey = px_a << np.int64(32) | py_a
+        pkey = px_a << 32 | py_a
         pos = np.minimum(np.searchsorted(su, pkey), su.size - 1)
         ok = su[pos] == pkey  # points outside the corridor universe drop
         j = order[pos[ok]]
