@@ -300,10 +300,14 @@ def _write_prefix_code(bw: _BitWriter, lengths: list[int]) -> None:
         bw.bits(cl_lengths[_CODE_LENGTH_ORDER[i]], 3)
     bw.bits(0, 1)  # no max_symbol: full alphabet coded (runs cover tails)
     codes = _canonical_codes(cl_lengths)
+    # single-symbol code-length codes are 0-bit (decoders read nothing),
+    # so only the run-extra bits may be emitted in that case
+    single_cl = len(codes) == 1
     for sym, extra, ebits in stream:
-        code, l = codes[sym]
-        for b in range(l - 1, -1, -1):
-            bw.bits((code >> b) & 1, 1)
+        if not single_cl:
+            code, l = codes[sym]
+            for b in range(l - 1, -1, -1):
+                bw.bits((code >> b) & 1, 1)
         if ebits:
             bw.bits(extra, ebits)
 
@@ -375,7 +379,10 @@ def _clamp_add_sub_half(ave: int, tl: int) -> int:
     for sh in (24, 16, 8, 0):
         a = (ave >> sh) & 0xFF
         b = (tl >> sh) & 0xFF
-        v = a + (a - b) // 2
+        # spec/libwebp use C division: (a - b) / 2 truncates toward zero,
+        # so odd negative diffs differ from Python floor-division by one
+        d = a - b
+        v = a + (abs(d) >> 1 if d >= 0 else -(abs(d) >> 1))
         out |= max(0, min(255, v)) << sh
     return out
 
@@ -386,7 +393,7 @@ def _select(l: int, t: int, tl: int) -> int:
         p = ((l >> sh) & 0xFF) + ((t >> sh) & 0xFF) - ((tl >> sh) & 0xFF)
         pa += abs(p - ((l >> sh) & 0xFF))
         pb += abs(p - ((t >> sh) & 0xFF))
-    return l if pa <= pb else t
+    return l if pa < pb else t  # spec: tie (pa == pb) selects T
 
 
 def _predict(mode: int, l: int, t: int, tl: int, tr: int) -> int:

@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from .dedup import BROADCAST_BUDGET_BYTES
 from .similarity import cosine_expr
 
 
@@ -214,10 +215,12 @@ def pq_topk(embeddings: DataFrame, queries: DataFrame, books: np.ndarray, topk: 
         .drop("srank", "adist")
     )
     # exact rerank on the shortlist only; broadcast the query side only
-    # while it is dimension-sized (same 2M gate as the pipeline dims)
+    # while its estimated payload (full float64 vectors, not row count —
+    # 2M x 768-dim would be ~12 GB) fits the same 100 MB budget the
+    # dedup/distccl driver-side structures use
     base = embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("nvec"))
     qdf = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
-    if nq <= 2_000_000:
+    if nq * (m * dsub * 8 + 8) <= BROADCAST_BUDGET_BYTES:
         qdf = F.broadcast(qdf)
     rer = (
         short.join(base, "id")
