@@ -148,26 +148,9 @@ def pq_topk(embeddings: DataFrame, queries: DataFrame, books: np.ndarray, topk: 
     n_short = shortlist * topk
     bc_books = sess.sparkContext.broadcast(books)
 
-    def make_luts(batches):
-        bk = bc_books.value  # (m, k, dsub)
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            Q = _normalize(np.stack([np.asarray(v, dtype=np.float64) for v in pdf["qvec"]]))
-            # (n, m, k): same subtract/square/sum-over-dsub expression as
-            # the old driver loop, so every float is bit-identical
-            luts = np.stack([
-                ((bk[j][None, :, :] - Q[:, None, j * dsub:(j + 1) * dsub]) ** 2).sum(axis=2)
-                for j in range(m)
-            ], axis=1)
-            yield pd.DataFrame({
-                "query_id": pdf["query_id"].to_numpy(),
-                "lut": [l.tobytes() for l in luts],
-            })
-
     q_luts = (
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
-        .mapInPandas(make_luts, "query_id long, lut binary")
+        .mapInPandas(_lut_mapper(bc_books, m, dsub), "query_id long, lut binary")
         .withColumn("q_chunk", F.pmod(F.xxhash64("query_id"), F.lit(n_chunks)).cast("int"))
         .withColumn("enc_block", F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1))))
     )
@@ -176,7 +159,43 @@ def pq_topk(embeddings: DataFrame, queries: DataFrame, books: np.ndarray, topk: 
         .withColumn("enc_block", F.pmod(F.xxhash64("id"), F.lit(n_blocks)).cast("int"))
         .withColumn("q_chunk", F.explode(F.sequence(F.lit(0), F.lit(n_chunks - 1))))
     )
+    scored = (
+        enc_keyed.groupBy("enc_block", "q_chunk")
+        .cogroup(q_luts.groupBy("enc_block", "q_chunk"))
+        .applyInPandas(_block_scorer(m, k, n_short), "query_id long, id long, adist double")
+    )
+    return _shortlist_rerank(scored, embeddings, queries, nq, m * dsub,
+                             n_short, topk, id_col, vec_col, round_to)
 
+
+def _adc_luts(bk: np.ndarray, qvecs, m: int, dsub: int) -> np.ndarray:
+    """(n, m, k) ADC tables; the ONE float expression every PQ path
+    shares (r4 kept it bit-identical to the retired driver loop)."""
+    Q = _normalize(np.stack([np.asarray(v, dtype=np.float64) for v in qvecs]))
+    return np.stack([
+        ((bk[j][None, :, :] - Q[:, None, j * dsub:(j + 1) * dsub]) ** 2).sum(axis=2)
+        for j in range(m)
+    ], axis=1)
+
+
+def _lut_mapper(bc_books, m: int, dsub: int):
+    """mapInPandas fn: (query_id, qvec) batches -> (query_id, lut bytes)."""
+    def make_luts(batches):
+        bk = bc_books.value  # (m, k, dsub)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            luts = _adc_luts(bk, pdf["qvec"], m, dsub)
+            yield pd.DataFrame({
+                "query_id": pdf["query_id"].to_numpy(),
+                "lut": [l.tobytes() for l in luts],
+            })
+
+    return make_luts
+
+
+def _block_scorer(m: int, k: int, n_short: int):
+    """cogroup applyInPandas fn: ADC-score one (codes, LUTs) block pair."""
     cols = np.arange(m)
 
     def score_block(enc_pdf: pd.DataFrame, lut_pdf: pd.DataFrame) -> pd.DataFrame:
@@ -203,11 +222,13 @@ def pq_topk(embeddings: DataFrame, queries: DataFrame, books: np.ndarray, topk: 
             }))
         return pd.concat(outs, ignore_index=True)
 
-    scored = (
-        enc_keyed.groupBy("enc_block", "q_chunk")
-        .cogroup(q_luts.groupBy("enc_block", "q_chunk"))
-        .applyInPandas(score_block, "query_id long, id long, adist double")
-    )
+    return score_block
+
+
+def _shortlist_rerank(scored: DataFrame, embeddings: DataFrame, queries: DataFrame,
+                      nq: int, dim: int, n_short: int, topk: int,
+                      id_col: str, vec_col: str, round_to: int | None) -> DataFrame:
+    """Global (adist, id) shortlist window + exact cosine rerank."""
     w_short = Window.partitionBy("query_id").orderBy(F.asc("adist"), F.asc("id"))
     short = (
         scored.withColumn("srank", F.row_number().over(w_short))
@@ -220,7 +241,7 @@ def pq_topk(embeddings: DataFrame, queries: DataFrame, books: np.ndarray, topk: 
     # dedup/distccl driver-side structures use
     base = embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("nvec"))
     qdf = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
-    if nq * (m * dsub * 8 + 8) <= BROADCAST_BUDGET_BYTES:
+    if nq * (dim * 8 + 8) <= BROADCAST_BUDGET_BYTES:
         qdf = F.broadcast(qdf)
     rer = (
         short.join(base, "id")
@@ -236,3 +257,135 @@ def pq_topk(embeddings: DataFrame, queries: DataFrame, books: np.ndarray, topk: 
         .where(F.col("rank") <= topk)
         .select("query_id", F.col("id").alias("neighbor_id"), "cosine", "rank")
     )
+
+
+def ivf_pq_index(embeddings: DataFrame, C: np.ndarray, books: np.ndarray,
+                 id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """(id, list_id, codes) — coarse + fine quantization in ONE pass.
+
+    At 10^9x scale this persisted table IS the ANN index: ~1 + m bytes
+    of payload per vector; the raw vectors are touched again only by
+    the rerank join on the per-query shortlist.
+    """
+    from .ivf import _assign_udf
+
+    assign = _assign_udf(C, top=1)
+    m, k, dsub = books.shape
+
+    # same float expression as pq_encode's UDF, inlined so one scan
+    # produces both quantizations
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def enc(vecs: pd.Series) -> pd.Series:
+        X = _normalize(np.stack([np.asarray(v, dtype=np.float64) for v in vecs]))
+        codes = np.empty((X.shape[0], m), dtype=np.int32)
+        for j in range(m):
+            sub = X[:, j * dsub:(j + 1) * dsub]
+            d2 = ((sub[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+            codes[:, j] = np.argmin(d2, axis=1)
+        return pd.Series([row.tolist() for row in codes])
+
+    return embeddings.select(
+        F.col(id_col).alias("id"),
+        F.element_at(assign(vec_col), 1).alias("list_id"),
+        enc(vec_col).alias("codes"),
+    )
+
+
+def ivf_pq_topk(embeddings: DataFrame, queries: DataFrame, C: np.ndarray,
+                books: np.ndarray, topk: int = 5, nprobe: int = 4,
+                shortlist: int = 4, id_col: str = "vec_id",
+                vec_col: str = "embedding", index: DataFrame | None = None,
+                round_to: int | None = None, q_chunk: int = 4096,
+                enc_blocks: int | None = None) -> DataFrame:
+    """IVF routing + PQ scoring: (query_id, neighbor_id, cosine, rank).
+
+    The composed 10^9 x 10^6 path pq_topk's docstring names: flat ADC
+    is O(N * nq); here each query ADC-scores only its ``nprobe`` probed
+    inverted lists (~ nprobe/n_lists of the data), and memory per
+    candidate is the m-byte PQ code, not the raw vector.
+
+    Plan shape (everything shuffle-joined, nothing driver-side):
+    1. one ``mapInPandas`` over the query frame emits, per query, the
+       (m, k) ADC table (bit-identical float expression to pq_topk's)
+       AND its nprobe probed list ids — the codebooks + centroids ride
+       one tiny broadcast each;
+    2. probed lists explode; codes carry their ``list_id`` from
+       :func:`ivf_pq_index` (each base row lives in EXACTLY one list,
+       so routing never duplicates a candidate — no dropDuplicates);
+    3. within a list the same 2-D (enc_block x q_chunk) cogrouped block
+       nested-loop as pq_topk scores codes against LUTs; ``enc_block``
+       hash-splits big lists so one hot river... hot LIST cannot pin a
+       single task (skew guard), and the block-local (adist, id)
+       lexsort cut composes with the global shortlist window by the
+       same contains-its-global-members argument as pq_topk;
+    4. exact cosine rerank on the per-query shortlist only.
+
+    ``nprobe == n_lists`` degenerates to flat pq_topk's candidate set
+    (every list probed), which with a generous shortlist makes the
+    result provably equal to the brute-force ranking — the
+    configuration the DuckDB ``ann_ivf_pq`` oracle pins. Recall at
+    nprobe < n_lists is pytest-gated on clustered data.
+    """
+    m, k, dsub = books.shape
+    n_lists = C.shape[0]
+    nprobe = min(nprobe, n_lists)
+    sess = embeddings.sparkSession
+    if index is None:
+        index = ivf_pq_index(embeddings, C, books, id_col, vec_col)
+    nq = queries.count()
+    if not nq:
+        raise ValueError("empty query set")
+    n_chunks = max(1, -(-nq // q_chunk))
+    # LUT replication = nprobe * n_blocks; default keeps the product at
+    # ~cluster parallelism, matching flat pq_topk's shuffle volume
+    n_blocks = enc_blocks or max(1, -(-sess.sparkContext.defaultParallelism // nprobe))
+    n_short = shortlist * topk
+    bc_books = sess.sparkContext.broadcast(books)
+
+    # probe lists via the shared assign UDF (same float expression the
+    # index side used), then attach LUTs computed once per query
+    from .ivf import _assign_udf
+
+    probe = _assign_udf(C, top=nprobe)
+    q_probed = (
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+        .withColumn("lists", probe("qvec"))
+    )
+    q_luts = (
+        q_probed.mapInPandas(
+            _lut_list_mapper(bc_books, m, dsub),
+            "query_id long, lut binary, lists array<int>")
+        .withColumn("list_id", F.explode("lists"))
+        .drop("lists")
+        .withColumn("q_chunk", F.pmod(F.xxhash64("query_id"), F.lit(n_chunks)).cast("int"))
+        .withColumn("enc_block", F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1))))
+    )
+    enc_keyed = (
+        index
+        .withColumn("enc_block", F.pmod(F.xxhash64("id"), F.lit(n_blocks)).cast("int"))
+        .withColumn("q_chunk", F.explode(F.sequence(F.lit(0), F.lit(n_chunks - 1))))
+    )
+    scored = (
+        enc_keyed.groupBy("list_id", "enc_block", "q_chunk")
+        .cogroup(q_luts.groupBy("list_id", "enc_block", "q_chunk"))
+        .applyInPandas(_block_scorer(m, k, n_short), "query_id long, id long, adist double")
+    )
+    return _shortlist_rerank(scored, embeddings, queries, nq, m * dsub,
+                             n_short, topk, id_col, vec_col, round_to)
+
+
+def _lut_list_mapper(bc_books, m: int, dsub: int):
+    """Like _lut_mapper but passes the precomputed probe lists through."""
+    def make(batches):
+        bk = bc_books.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            luts = _adc_luts(bk, pdf["qvec"], m, dsub)
+            yield pd.DataFrame({
+                "query_id": pdf["query_id"].to_numpy(),
+                "lut": [l.tobytes() for l in luts],
+                "lists": pdf["lists"].to_numpy(),
+            })
+
+    return make

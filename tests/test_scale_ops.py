@@ -241,3 +241,118 @@ def test_pq_large_query_batch_no_driver_collect(spark, monkeypatch):
     monkeypatch.undo()
     assert n_top1 == 100_000
     enc.unpersist()
+
+# ------------------------------------------------------ IVF+PQ composition
+
+def test_ivf_pq_full_probe_equals_flat_pq(spark):
+    """nprobe == n_lists probes every inverted list, so the composed
+    path's candidate pool — and, because the ADC LUT/score expressions
+    are shared (_adc_luts/_block_scorer), its floats — must reproduce
+    flat pq_topk exactly, which the ann_pq oracle already pins to the
+    brute ranking."""
+    from irivermetrics_spark.operators import ivf, pq
+
+    rng = np.random.default_rng(33)
+    centers = rng.standard_normal((5, 32))
+    vecs = np.concatenate([c + 0.15 * rng.standard_normal((24, 32)) for c in centers])
+    pdf = pd.DataFrame({"vec_id": np.arange(len(vecs)),
+                        "embedding": [v.astype(np.float32).tolist() for v in vecs]})
+    em = spark.createDataFrame(pdf)
+    q = em.filter(F.col("vec_id") % 17 == 3)
+    C = ivf.train_centroids(em, n_lists=5, sample=128, iters=5)
+    books = pq.train_pq(em, m=8, k=16, sample=128, iters=5)
+    flat = pq.pq_topk(em, q, books, topk=4, shortlist=10, round_to=6).toPandas()
+    comp = pq.ivf_pq_topk(em, q, C, books, topk=4, nprobe=5, shortlist=10,
+                          round_to=6).toPandas()
+    key = ["query_id", "neighbor_id", "cosine", "rank"]
+    assert flat[key].sort_values(key).values.tolist() == \
+        comp[key].sort_values(key).values.tolist()
+
+
+def test_ivf_pq_recall_at_partial_probe(spark):
+    """nprobe < n_lists on clustered data: the routed candidate set is a
+    strict subset yet recall stays high — the operating point the
+    composition exists for."""
+    from irivermetrics_spark.operators import ivf, pq
+
+    rng = np.random.default_rng(34)
+    centers = rng.standard_normal((6, 32))
+    vecs = np.concatenate([c + 0.1 * rng.standard_normal((30, 32)) for c in centers])
+    pdf = pd.DataFrame({"vec_id": np.arange(len(vecs)),
+                        "embedding": [v.astype(np.float32).tolist() for v in vecs]})
+    em = spark.createDataFrame(pdf)
+    q = em.filter(F.col("vec_id") < 5)
+    C = ivf.train_centroids(em, n_lists=6, sample=256, iters=6)
+    books = pq.train_pq(em, m=8, k=32, sample=256, iters=6)
+    brute = similarity.brute_topk(em, q, k=5).toPandas()
+    approx = pq.ivf_pq_topk(em, q, C, books, topk=5, nprobe=2, shortlist=8).toPandas()
+    hits = 0
+    for qid in range(5):
+        b = set(brute[brute.query_id == qid].neighbor_id)
+        a = set(approx[approx.query_id == qid].neighbor_id)
+        hits += len(a & b)
+    assert hits / 25 >= 0.8
+
+
+def test_ivf_pq_index_reuse_identical(spark):
+    """ivf_pq_topk(index=) — the persisted-index path a 10^9-row
+    deployment uses — is value-transparent vs the direct call, and the
+    index is one row per vector with (list_id, m codes)."""
+    from irivermetrics_spark.operators import ivf, pq
+
+    rng = np.random.default_rng(35)
+    vecs = rng.standard_normal((90, 16))
+    pdf = pd.DataFrame({"vec_id": np.arange(len(vecs)),
+                        "embedding": [v.astype(np.float32).tolist() for v in vecs]})
+    em = spark.createDataFrame(pdf)
+    q = em.filter(F.col("vec_id") < 4)
+    C = ivf.train_centroids(em, n_lists=4, sample=90, iters=4)
+    books = pq.train_pq(em, m=4, k=16, sample=90, iters=4)
+    idx = pq.ivf_pq_index(em, C, books).persist()
+    ipdf = idx.toPandas()
+    assert len(ipdf) == 90 and ipdf.list_id.between(0, 3).all()
+    assert all(len(c) == 4 for c in ipdf.codes)
+    direct = pq.ivf_pq_topk(em, q, C, books, topk=3, nprobe=4, shortlist=8,
+                            round_to=6).toPandas()
+    reused = pq.ivf_pq_topk(em, q, C, books, topk=3, nprobe=4, shortlist=8,
+                            index=idx, round_to=6).toPandas()
+    key = ["query_id", "neighbor_id", "rank"]
+    assert direct[key].sort_values(key).values.tolist() == \
+        reused[key].sort_values(key).values.tolist()
+    idx.unpersist()
+
+
+def test_ivf_pq_block_layout_invariant(spark):
+    """enc_blocks / q_chunk must not change results (the lexsorted
+    block-local cut argument, now composed with list routing)."""
+    from irivermetrics_spark.operators import ivf, pq
+
+    rng = np.random.default_rng(36)
+    vecs = rng.standard_normal((80, 16))
+    pdf = pd.DataFrame({"vec_id": np.arange(len(vecs)),
+                        "embedding": [v.astype(np.float32).tolist() for v in vecs]})
+    em = spark.createDataFrame(pdf)
+    q = em.filter(F.col("vec_id") % 10 == 1)
+    C = ivf.train_centroids(em, n_lists=4, sample=80, iters=4)
+    books = pq.train_pq(em, m=4, k=16, sample=80, iters=4)
+    key = ["query_id", "neighbor_id", "cosine", "rank"]
+    outs = []
+    for blocks, chunk in [(1, 4096), (3, 2), (7, 3)]:
+        outs.append(pq.ivf_pq_topk(em, q, C, books, topk=3, nprobe=4,
+                                   shortlist=8, round_to=6, enc_blocks=blocks,
+                                   q_chunk=chunk).toPandas()[key]
+                    .sort_values(key).values.tolist())
+    assert outs[0] == outs[1] == outs[2]
+
+
+def test_a9_stats_matches_pandas(spark):
+    """A9 (dev-scope mean/stddev threshold) — board entry retired in r6
+    for the ann_ivf_pq swap; semantics stay pinned here vs pandas."""
+    import __spark_entry__ as entry
+
+    got = entry._q_a9_stats(spark, "/root/testdata/sf0.001").toPandas()
+    raw = pd.read_parquet("/root/testdata/sf0.001/customer.parquet")
+    exp = raw.groupby("c_nationkey")["c_acctbal"].agg(["mean", "std"]).round(4)
+    got = got.sort_values("c_nationkey").reset_index(drop=True)
+    assert np.allclose(got.avg_bal, exp["mean"].to_numpy())
+    assert np.allclose(got.sd_bal, exp["std"].to_numpy())
