@@ -295,13 +295,11 @@ def calculate_metrics(
         if export_PP:
             exports.write_pixel_persistence(result["persistence_px"], f"{outdir}/pixel_persistence.parquet")
             # the reference's Pixel_Persistence.tif (irm_main.py:228-233)
-            # via the from-scratch GeoTIFF writer, one file per scene
-            scenes = [r["scene"] for r in result["persistence_px"].select("scene").distinct().collect()]
-            for sc in scenes:
-                suffix = "" if len(scenes) == 1 else f"_{sc}"
-                exports.write_persistence_geotiff(
-                    result["persistence_px"], grid, sc,
-                    f"{outdir}/Pixel_Persistence{suffix}.tif")
+            # via the from-scratch GeoTIFF writer — ALL scenes densify
+            # and write executor-side in one distributed pass (the r5
+            # driver for-loop was one Spark job per scene)
+            exports.write_persistence_geotiffs(
+                result["persistence_px"], grid, outdir).collect()
     return result
 
 

@@ -220,3 +220,45 @@ def test_float32_reflectance_tif_decodes_to_dn_domain():
     assert dn.max() > 2.0
     out2 = codecs.decode_image(geotiff.write_geotiff(dn, dict(gx0=0, gy0=0, ps=30.0)))
     assert np.array_equal(out2, np.clip(dn, 0, 65535).astype(np.uint16))
+
+
+def test_persistence_geotiffs_distributed_multi_scene(spark):
+    """The distributed K2 sink (r5-VERDICT scale seam: a driver
+    for-loop launching one job per scene) writes every scene in one
+    pass, and its single-scene file is byte-identical to the singular
+    write_persistence_geotiff."""
+    import pandas as pd
+
+    from irivermetrics_spark.operators import exports
+
+    grid = dict(gx0=1000.0, gy0=5000.0, ps=30.0, w=12, h=9)
+    rng = np.random.default_rng(41)
+    rows = []
+    for sc in ("sA", "sB", "sC"):
+        for _ in range(20):
+            # overlapping sections share pixels -> exercises the max()
+            rows.append(dict(scene=sc, section=str(rng.integers(0, 2)),
+                             px=int(rng.integers(0, 12)), py=int(rng.integers(0, 9)),
+                             pp=float(rng.integers(1, 5) / 5.0)))
+    pp = spark.createDataFrame(pd.DataFrame(rows))
+    outdir = tempfile.mkdtemp(prefix="pp_multi_")
+    manifest = exports.write_persistence_geotiffs(pp, grid, outdir).toPandas()
+    assert sorted(manifest.scene) == ["sA", "sB", "sC"]
+    names = set(os.listdir(outdir))
+    assert names == {f"Pixel_Persistence_{s}.tif" for s in ("sA", "sB", "sC")}
+    for sc in ("sA", "sB", "sC"):
+        arr, g, nd = geotiff.read_geotiff(
+            open(f"{outdir}/Pixel_Persistence_{sc}.tif", "rb").read())
+        truth = exports.persistence_raster(pp, grid, sc)
+        assert np.allclose(arr[0], truth.astype(np.float32)) and nd == 0.0
+        assert np.isclose(g["gx0"], grid["gx0"]) and g["ps"] == grid["ps"]
+
+    # single scene: flat name + byte identity with the singular writer
+    one = pp.where("scene = 'sB'")
+    out1 = tempfile.mkdtemp(prefix="pp_one_")
+    exports.write_persistence_geotiffs(one, grid, out1).collect()
+    assert os.listdir(out1) == ["Pixel_Persistence.tif"]
+    ref_path = os.path.join(out1, "ref.tif")
+    exports.write_persistence_geotiff(one, grid, "sB", ref_path)
+    assert (open(f"{out1}/Pixel_Persistence.tif", "rb").read()
+            == open(ref_path, "rb").read())
