@@ -657,9 +657,12 @@ def _q_pip_oracle(spark, sf):
 
 
 def _q_haversine_oracle(spark, sf):
-    """Exact haversine + planar->lonlat bridge, DuckDB-oracle-checked —
-    the kNN re-rank distance (functions/geometry.py:haversine_m,
-    planar_to_lonlat) re-derived in SQL trigonometry."""
+    """Exact haversine + planar->lonlat bridge re-derived in SQL
+    trigonometry. Retired from the driver board in r6 to hold the
+    50-entry cap while text_repetition joined: the identical haversine
+    + planar->lonlat SQL lives inside the knn_pools oracle (which
+    re-ranks by it), so C7 stays hash-pinned there; this function
+    remains callable and pinned by tests/test_scale_ops.py."""
     import pandas as pd
 
     from irivermetrics_spark.functions import geometry
@@ -683,6 +686,65 @@ def _q_haversine_oracle(spark, sf):
         F.round(F.avg("dist_m"), 4).alias("avg_dist_m"),
         F.round(F.max("dist_m"), 4).alias("max_dist_m"),
         F.round(F.min("dist_m"), 4).alias("min_dist_m"),
+    )
+
+
+# the retired haversine_oracle SQL, kept for the pytest pin
+# (tests/test_scale_ops.py::test_haversine_retired_entry_still_matches_duckdb)
+HAVERSINE_RETIRED_SQL = """
+    WITH pts AS (
+      SELECT value * 11.3 AS x1, (event_id % 211) * 13.7 AS y1,
+             value * 5.9 + 1500.0 AS x2, (event_id % 173) * 23.1 AS y2
+      FROM events WHERE value IS NOT NULL
+    ), ll AS (
+      SELECT 120.0 + x1 / (((pi() * 6371008.8) / 180.0) * cos(-18.0 * (pi() / 180.0))) AS lon1,
+             -18.0 + y1 / ((pi() * 6371008.8) / 180.0) AS lat1,
+             120.0 + x2 / (((pi() * 6371008.8) / 180.0) * cos(-18.0 * (pi() / 180.0))) AS lon2,
+             -18.0 + y2 / ((pi() * 6371008.8) / 180.0) AS lat2
+      FROM pts
+    ), r AS (
+      SELECT lat1 * (pi() / 180.0) AS la1, lon1 * (pi() / 180.0) AS lo1,
+             lat2 * (pi() / 180.0) AS la2, lon2 * (pi() / 180.0) AS lo2
+      FROM ll
+    ), d AS (
+      SELECT ROUND(2.0 * 6371008.8 * asin(sqrt(LEAST(GREATEST(
+               sin((la2 - la1) / 2.0) * sin((la2 - la1) / 2.0)
+               + (cos(la1) * cos(la2)) * (sin((lo2 - lo1) / 2.0) * sin((lo2 - lo1) / 2.0)),
+             0.0), 1.0))), 4) AS dist_m
+      FROM r
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           ROUND(AVG(dist_m), 4) AS avg_dist_m,
+           ROUND(MAX(dist_m), 4) AS max_dist_m,
+           ROUND(MIN(dist_m), 4) AS min_dist_m
+    FROM d
+"""
+
+
+def _q_text_repetition(spark, sf):
+    """Gopher-style repetition quality signals (textops.py:149-217,
+    Rae et al. 2021 §A1.1), DuckDB-value-pinned. The synthetic corpus
+    is single-line, so the entry first re-chunks each document's words
+    into 2-word lines joined by '\\n' (even doc_id) or '\\r\\n' (odd —
+    exercising the CRLF-aware split) with pure JVM expressions, then
+    runs the REAL operator: dup_line_frac (1 - distinct/total lines)
+    and top_bigram_frac (array_sort + linear run-length aggregate).
+    The oracle recomputes both from DuckDB list algebra over the same
+    re-chunking. Small vocab => both signals are far from constant
+    (non-vacuous across the corpus)."""
+    from irivermetrics_spark.operators import textops
+
+    d = _t(spark, sf, "documents")
+    lines = ("transform(sequence(0, CAST(ceil(size(split(text, ' ', -1)) / 2.0) AS INT) - 1), "
+             "i -> concat_ws(' ', slice(split(text, ' ', -1), i * 2 + 1, 2)))")
+    mtext = (f"CASE WHEN doc_id % 2 = 1 THEN array_join({lines}, '\\r\\n') "
+             f"ELSE array_join({lines}, '\\n') END")
+    multi = d.selectExpr("doc_id", f"{mtext} AS text")
+    out = textops.with_repetition_signals(multi)
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "dup_line_frac",
+        "top_bigram_frac",
     )
 
 
@@ -1279,7 +1341,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tile_assign_oracle": _q_tile_assign_oracle,
         "quad_assign_oracle": _q_quad_assign_oracle,
         "pip_oracle": _q_pip_oracle,
-        "haversine_oracle": _q_haversine_oracle,
+        "text_repetition": _q_text_repetition,
         "pathlen_oracle": _q_pathlen_oracle,
         # ---- rows-only (no SQL form; numpy-parity pytested) ----
         "flagship_metrics": _q_flagship_metrics,
@@ -1613,33 +1675,48 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(SUM(x), 4) AS sum_x
             FROM hits GROUP BY 1
         """,
-        "haversine_oracle": """
-            WITH pts AS (
-              SELECT value * 11.3 AS x1, (event_id % 211) * 13.7 AS y1,
-                     value * 5.9 + 1500.0 AS x2, (event_id % 173) * 23.1 AS y2
-              FROM events WHERE value IS NOT NULL
-            ), ll AS (
-              SELECT 120.0 + x1 / (((pi() * 6371008.8) / 180.0) * cos(-18.0 * (pi() / 180.0))) AS lon1,
-                     -18.0 + y1 / ((pi() * 6371008.8) / 180.0) AS lat1,
-                     120.0 + x2 / (((pi() * 6371008.8) / 180.0) * cos(-18.0 * (pi() / 180.0))) AS lon2,
-                     -18.0 + y2 / ((pi() * 6371008.8) / 180.0) AS lat2
-              FROM pts
-            ), r AS (
-              SELECT lat1 * (pi() / 180.0) AS la1, lon1 * (pi() / 180.0) AS lo1,
-                     lat2 * (pi() / 180.0) AS la2, lon2 * (pi() / 180.0) AS lo2
-              FROM ll
-            ), d AS (
-              SELECT ROUND(2.0 * 6371008.8 * asin(sqrt(LEAST(GREATEST(
-                       sin((la2 - la1) / 2.0) * sin((la2 - la1) / 2.0)
-                       + (cos(la1) * cos(la2)) * (sin((lo2 - lo1) / 2.0) * sin((lo2 - lo1) / 2.0)),
-                     0.0), 1.0))), 4) AS dist_m
-              FROM r
+        "text_repetition": """
+            WITH base AS (
+              SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+            ), lined AS (
+              -- the entry's 2-word re-chunking (line joiner is irrelevant
+              -- here: the lines themselves are compared/counted)
+              SELECT doc_id,
+                     list_transform(range(0, CAST(ceil(len(ws) / 2.0) AS INT)),
+                                    i -> array_to_string(list_slice(ws, i * 2 + 1, i * 2 + 2), ' ')) AS ls,
+                     ws
+              FROM base
+            ), dup AS (
+              SELECT doc_id,
+                     list_filter(list_transform(ls, l -> trim(l)), l -> len(l) > 0) AS tl
+              FROM lined
+            ), dupf AS (
+              SELECT doc_id,
+                     CASE WHEN len(tl) > 1
+                          THEN ROUND(1.0 - CAST(len(list_distinct(tl)) AS DOUBLE) / len(tl), 6)
+                          ELSE 0.0 END AS dup_line_frac
+              FROM dup
+            ), words AS (
+              SELECT doc_id,
+                     list_filter(list_transform(ws, w -> lower(w)), w -> len(w) > 0) AS w2
+              FROM lined
+            ), grams AS (
+              SELECT doc_id, len(w2) - 1 AS total,
+                     unnest(list_transform(range(1, len(w2)), i -> w2[i] || ' ' || w2[i + 1])) AS gram
+              FROM words WHERE len(w2) >= 2
+            ), cnt AS (
+              SELECT doc_id, total, gram, COUNT(*) AS c
+              FROM grams GROUP BY doc_id, total, gram
+            ), top AS (
+              SELECT doc_id, ROUND(CAST(MAX(c) AS DOUBLE) / ANY_VALUE(total), 6) AS top_bigram_frac
+              FROM cnt GROUP BY doc_id
             )
-            SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
-                   ROUND(AVG(dist_m), 4) AS avg_dist_m,
-                   ROUND(MAX(dist_m), 4) AS max_dist_m,
-                   ROUND(MIN(dist_m), 4) AS min_dist_m
-            FROM d
+            SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+                   f.dup_line_frac,
+                   COALESCE(t.top_bigram_frac, 0.0) AS top_bigram_frac
+            FROM documents d
+            JOIN dupf f ON d.doc_id = f.doc_id
+            LEFT JOIN top t ON d.doc_id = t.doc_id
         """,
         "text_tokens_bpe": """
             WITH t AS (

@@ -356,3 +356,22 @@ def test_a9_stats_matches_pandas(spark):
     got = got.sort_values("c_nationkey").reset_index(drop=True)
     assert np.allclose(got.avg_bal, exp["mean"].to_numpy())
     assert np.allclose(got.sd_bal, exp["std"].to_numpy())
+
+
+def test_haversine_retired_entry_still_matches_duckdb(spark):
+    """haversine_oracle was retired from the driver board in r6 (its
+    SQL lives verbatim inside the knn_pools oracle, which re-ranks by
+    it); the standalone entry stays pinned here against the retired
+    DuckDB SQL."""
+    import duckdb
+
+    import __spark_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+    got = entry._q_haversine_oracle(spark, sf).toPandas()
+    con = duckdb.connect()
+    con.sql(f"create view events as select * from '{sf}/events.parquet'")
+    want = con.sql(entry.HAVERSINE_RETIRED_SQL).df()
+    assert int(got.n_pairs[0]) == int(want.n_pairs[0])
+    for c in ("avg_dist_m", "max_dist_m", "min_dist_m"):
+        assert np.isclose(got[c][0], want[c][0], atol=1e-4), c
