@@ -36,6 +36,7 @@ POINTS_SCHEMA = "image_id string, px int, py int, value tinyint, cell long"
 
 
 SUMMARY_MARKER = -9  # value of fused per-image summary rows (px=py=-1)
+QUARANTINE_MARKER = -10  # value of per-image quarantine rows (px=py=-1)
 
 
 def empty_points_pdf() -> pd.DataFrame:
@@ -172,7 +173,8 @@ def decode_points(images: DataFrame, grid: dict, res: int = 9,
                   water_rule: str = "threshold",
                   warp_frame: str = "tangent",
                   utm_zone: int | None = None,
-                  utm_south: bool = True) -> DataFrame:
+                  utm_south: bool = True,
+                  on_undecodable: str = "raise") -> DataFrame:
     """images -> sparse mask points with hex cell keys + scene/date cols.
 
     ``grid``: dict(gx0, gy0, ps) — uniform georeferencing (validated by
@@ -214,7 +216,19 @@ def decode_points(images: DataFrame, grid: dict, res: int = 9,
     (kernels.resample.warp_from_lonlat, origin ``plane_origin``);
     rows marked ``"planar"`` (or with no crs column) take the affine
     path.
+
+    ``on_undecodable``: ``"raise"`` (default — the reference-parity
+    contract: a malformed scene fails the run loudly) or
+    ``"quarantine"`` — any image whose decode/contract-check raises
+    (lossy-VP8 webp, truncated bytes, band/shape violations) emits ONE
+    quarantine row (px=py=-1, value=QUARANTINE_MARKER, cell=-1)
+    instead of failing the task: the web-crawl regime, where a single
+    bad payload must never kill a 10^6-row partition. Split the output
+    with :func:`quarantined` / :func:`drop_quarantined`.
     """
+    if on_undecodable not in ("raise", "quarantine"):
+        raise ValueError(f"on_undecodable {on_undecodable!r} (raise|quarantine)")
+    quarantine = on_undecodable == "quarantine"
     gx0, gy0, ps = grid["gx0"], grid["gy0"], grid["ps"]
     expected_hw = (grid["h"], grid["w"]) if "h" in grid and "w" in grid else None
     aoi_lines, aoi_buffer = None, 0.0
@@ -228,6 +242,52 @@ def decode_points(images: DataFrame, grid: dict, res: int = 9,
 
         from ..kernels import resample as resamplek
 
+        def decode_one(out: list, src_grids, i: int, image_id: str, buf) -> None:
+            arr = codecs.decode_image(bytes(buf))
+            if arr.shape[0] < min_bands:
+                raise ValueError(
+                    f"{image_id}: {arr.shape[0]} bands < required {min_bands} "
+                    "(band order contract: Blue,Green,Red,Nir[,Mir2])"
+                )
+            if src_grids is None and expected_hw is not None and arr.shape[1:] != expected_hw:
+                # S1 uniformity, asserted map-side per image — no
+                # separate driver-side distinct() action barrier
+                raise ValueError(
+                    f"{image_id}: raster shape {arr.shape[1:]} != grid {expected_hw} "
+                    "(uniform-grid contract; pass reproject=True for mixed grids)"
+                )
+            if src_grids is not None:
+                sgx0, sgy0, sps, scrs = src_grids[i]
+                src_g = dict(gx0=float(sgx0), gy0=float(sgy0), ps=float(sps))
+                dst_g = dict(gx0=gx0, gy0=gy0, ps=ps, w=grid["w"], h=grid["h"])
+                if scrs == "lonlat":
+                    # warp_frame="utm" + utm_zone: the target grid
+                    # is a TRUE WGS84 UTM grid (the reference's
+                    # estimate_utm_crs form) and the inverse runs
+                    # through the Snyder series — datum-grade on
+                    # wide scenes where the tangent plane drifts
+                    arr = resamplek.warp_from_lonlat(
+                        arr, src_g, dst_g, plane_origin[0], plane_origin[1],
+                        method=resample_method, frame=warp_frame,
+                        zone=utm_zone, south=utm_south)
+                elif scrs == "planar":
+                    arr = resamplek.resample(arr, src_g, dst_g, method=resample_method)
+                else:
+                    raise ValueError(f"{image_id}: unknown crs {scrs!r} (planar|lonlat)")
+            if water_rule == "threshold":
+                mask = water.water_mask(arr, threshold)
+            elif water_rule == "cluster":
+                # the reference's DWImageClustering analog
+                # (kernels/water.py:water_mask_cluster) — fused in
+                # the same decode pass, still one kernel per image
+                mask = water.water_mask_cluster(arr)
+            else:
+                raise ValueError(
+                    f"unknown water_rule {water_rule!r} (threshold|cluster)")
+            out.extend(emit_mask_rows(
+                image_id, mask, gx0, gy0, ps, res, corridor_rings,
+                aoi_lines=aoi_lines, aoi_buffer=aoi_buffer))
+
         for pdf in batches:
             out = []
             src_grids = None
@@ -235,50 +295,15 @@ def decode_points(images: DataFrame, grid: dict, res: int = 9,
                 crs_col = pdf["crs"] if "crs" in pdf.columns else ["planar"] * len(pdf)
                 src_grids = list(zip(pdf["gx0"], pdf["gy0"], pdf["ps"], crs_col))
             for i, (image_id, buf) in enumerate(zip(pdf["image_id"], pdf["bytes"])):
-                arr = codecs.decode_image(bytes(buf))
-                if arr.shape[0] < min_bands:
-                    raise ValueError(
-                        f"{image_id}: {arr.shape[0]} bands < required {min_bands} "
-                        "(band order contract: Blue,Green,Red,Nir[,Mir2])"
-                    )
-                if src_grids is None and expected_hw is not None and arr.shape[1:] != expected_hw:
-                    # S1 uniformity, asserted map-side per image — no
-                    # separate driver-side distinct() action barrier
-                    raise ValueError(
-                        f"{image_id}: raster shape {arr.shape[1:]} != grid {expected_hw} "
-                        "(uniform-grid contract; pass reproject=True for mixed grids)"
-                    )
-                if src_grids is not None:
-                    sgx0, sgy0, sps, scrs = src_grids[i]
-                    src_g = dict(gx0=float(sgx0), gy0=float(sgy0), ps=float(sps))
-                    dst_g = dict(gx0=gx0, gy0=gy0, ps=ps, w=grid["w"], h=grid["h"])
-                    if scrs == "lonlat":
-                        # warp_frame="utm" + utm_zone: the target grid
-                        # is a TRUE WGS84 UTM grid (the reference's
-                        # estimate_utm_crs form) and the inverse runs
-                        # through the Snyder series — datum-grade on
-                        # wide scenes where the tangent plane drifts
-                        arr = resamplek.warp_from_lonlat(
-                            arr, src_g, dst_g, plane_origin[0], plane_origin[1],
-                            method=resample_method, frame=warp_frame,
-                            zone=utm_zone, south=utm_south)
-                    elif scrs == "planar":
-                        arr = resamplek.resample(arr, src_g, dst_g, method=resample_method)
-                    else:
-                        raise ValueError(f"{image_id}: unknown crs {scrs!r} (planar|lonlat)")
-                if water_rule == "threshold":
-                    mask = water.water_mask(arr, threshold)
-                elif water_rule == "cluster":
-                    # the reference's DWImageClustering analog
-                    # (kernels/water.py:water_mask_cluster) — fused in
-                    # the same decode pass, still one kernel per image
-                    mask = water.water_mask_cluster(arr)
-                else:
-                    raise ValueError(
-                        f"unknown water_rule {water_rule!r} (threshold|cluster)")
-                out.extend(emit_mask_rows(
-                    image_id, mask, gx0, gy0, ps, res, corridor_rings,
-                    aoi_lines=aoi_lines, aoi_buffer=aoi_buffer))
+                if not quarantine:
+                    decode_one(out, src_grids, i, image_id, buf)
+                    continue
+                try:
+                    decode_one(out, src_grids, i, image_id, buf)
+                except Exception:
+                    out.append(pd.DataFrame(dict(
+                        image_id=[image_id], px=np.int32(-1), py=np.int32(-1),
+                        value=np.int8(QUARANTINE_MARKER), cell=np.int64(-1))))
             yield pd.concat(out, ignore_index=True) if out else empty_points_pdf()
 
     cols = ["image_id", "bytes"] + (["gx0", "gy0", "ps"] if reproject else [])
@@ -286,6 +311,18 @@ def decode_points(images: DataFrame, grid: dict, res: int = 9,
         cols.append("crs")
     pts = images.select(*cols).mapInPandas(kernel, schema=POINTS_SCHEMA)
     return with_scene_date(pts)
+
+
+def quarantined(points: DataFrame) -> DataFrame:
+    """The quarantine frame: one row per undecodable image
+    (decode_points(on_undecodable='quarantine'))."""
+    return points.filter(F.col("value") == QUARANTINE_MARKER)
+
+
+def drop_quarantined(points: DataFrame) -> DataFrame:
+    """Mask points + summaries with quarantine rows removed — safe to
+    feed into pipeline.run/fillop like a clean decode output."""
+    return points.filter(F.col("value") != QUARANTINE_MARKER)
 
 
 def with_scene_date(df: DataFrame, col: str = "image_id") -> DataFrame:

@@ -61,6 +61,24 @@ def _decode_any(buf: bytes, fmt: str) -> np.ndarray:
     raise ValueError(f"unknown fmt {fmt!r}")
 
 
+def with_format_detail(images: DataFrame, bytes_col: str = "bytes") -> DataFrame:
+    """Adds ``fmt_detail`` (magic-byte subformat, e.g. 'webp-vp8l' vs
+    lossy 'webp-vp8' from the RIFF chunk tag) and ``decodable``
+    (whether the engine's codecs handle it) — the router a web-crawl
+    table filters on BEFORE the decode stage, so unsupported payloads
+    divert to a quarantine sink instead of failing tasks. Header peek
+    only (16 bytes), vectorized pandas UDF."""
+    from pyspark.sql import functions as F
+
+    @F.pandas_udf("string")
+    def sniff(bufs: pd.Series) -> pd.Series:
+        return pd.Series([codecs.sniff_format(b) for b in bufs])
+
+    out = images.withColumn("fmt_detail", sniff(bytes_col))
+    dec = F.col("fmt_detail").isin(*sorted(codecs.DECODABLE_DETAILS))
+    return out.withColumn("decodable", dec)
+
+
 def resize_image(arr: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
     """(bands, h, w) -> (bands, out_h, out_w).
 
@@ -76,29 +94,49 @@ def resize_image(arr: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
     return arr[:, yi[:, None], xi[None, :]]
 
 
-def resize_images(images: DataFrame, out_w: int, out_h: int) -> DataFrame:
+def resize_images(images: DataFrame, out_w: int, out_h: int,
+                  on_error: str = "raise") -> DataFrame:
     """Image table -> resized image table (raw16-encoded).
 
     Caption (and any other non-payload column) passes through UNTOUCHED
     via a post-transform equi-join on image_id — the per-row caption-
     equality invariant of the input contract holds by construction and
-    the binary kernel never ships text columns through Arrow."""
+    the binary kernel never ships text columns through Arrow.
+
+    ``on_error="quarantine"`` adds an ``error`` column and routes
+    undecodable payloads (e.g. lossy-VP8 webp) there — bytes NULL,
+    fmt = the sniffed subformat, error = the decode exception — instead
+    of failing the task. Split with ``.where("error IS NULL")``."""
+    if on_error not in ("raise", "quarantine"):
+        raise ValueError(f"on_error {on_error!r} (raise|quarantine)")
+    quarantine = on_error == "quarantine"
+    schema = RESIZED_SCHEMA + (", error string" if quarantine else "")
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for rec in pdf.itertuples(index=False):
-                arr = _decode_any(bytes(rec.bytes), rec.fmt)
-                small = resize_image(arr, out_w, out_h)
-                rows.append(dict(
-                    image_id=rec.image_id,
-                    bytes=codecs.encode_image(small.astype(np.uint16), codecs.FMT_RAW16),
-                    w=out_w, h=out_h, fmt=codecs.FMT_RAW16,
-                ))
+                try:
+                    arr = _decode_any(bytes(rec.bytes), rec.fmt)
+                    small = resize_image(arr, out_w, out_h)
+                    row = dict(
+                        image_id=rec.image_id,
+                        bytes=codecs.encode_image(small.astype(np.uint16), codecs.FMT_RAW16),
+                        w=out_w, h=out_h, fmt=codecs.FMT_RAW16,
+                    )
+                    if quarantine:
+                        row["error"] = None
+                except Exception as e:
+                    if not quarantine:
+                        raise
+                    row = dict(image_id=rec.image_id, bytes=None, w=-1, h=-1,
+                               fmt=codecs.sniff_format(bytes(rec.bytes)),
+                               error=f"{type(e).__name__}: {e}")
+                rows.append(row)
             yield pd.DataFrame(rows) if rows else pd.DataFrame(
-                {c.split()[0]: [] for c in RESIZED_SCHEMA.split(", ")})
+                {c.split()[0]: [] for c in schema.split(", ")})
 
-    out = images.select("image_id", "bytes", "fmt").mapInPandas(kernel, RESIZED_SCHEMA)
+    out = images.select("image_id", "bytes", "fmt").mapInPandas(kernel, schema)
     extra = [c for c in images.columns if c not in ("bytes", "w", "h", "fmt")]
     if extra != ["image_id"]:
         out = out.join(images.select(*extra), "image_id")
@@ -143,7 +181,8 @@ def frame_sample(videos: DataFrame, every_k: int = 5) -> DataFrame:
     return videos.select("video_id", "bytes").mapInPandas(kernel, FRAMES_SCHEMA)
 
 
-def embed_images(images: DataFrame, pool_h: int = 4, pool_w: int = 6) -> DataFrame:
+def embed_images(images: DataFrame, pool_h: int = 4, pool_w: int = 6,
+                 on_error: str = "raise") -> DataFrame:
     """Image -> embedding (array<float>): per-band mean/std + a
     block-mean-pooled grayscale grid, L2-normalized.
 
@@ -154,12 +193,24 @@ def embed_images(images: DataFrame, pool_h: int = 4, pool_w: int = 6) -> DataFra
     image-near-duplicate detector (copies, re-encodes, tiny edits),
     complementing the exact phash column. A deployment swaps a learned
     encoder in at the same (id, embedding) seam.
+
+    ``on_error="quarantine"``: undecodable payloads get no embedding
+    row (near-dup/ANN consumers key on image_id; route the originals
+    via with_format_detail for the dead-letter side).
     """
+    if on_error not in ("raise", "quarantine"):
+        raise ValueError(f"on_error {on_error!r} (raise|quarantine)")
+
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, vecs = [], []
             for rec in pdf.itertuples(index=False):
-                arr = _decode_any(bytes(rec.bytes), rec.fmt).astype(np.float64) / 10000.0
+                try:
+                    arr = _decode_any(bytes(rec.bytes), rec.fmt).astype(np.float64) / 10000.0
+                except Exception:
+                    if on_error == "quarantine":
+                        continue  # undecodable rows simply get no embedding
+                    raise
                 stats = np.concatenate([arr.mean(axis=(1, 2)), arr.std(axis=(1, 2))])
                 gray = arr.mean(axis=0, keepdims=True)
                 grid = resize_image(gray, pool_w, pool_h).ravel()

@@ -270,9 +270,12 @@ def run(
             points = points.persist()
 
     # fused summary rows carry per-image in-corridor invalid counts;
-    # real mask points are everything else
+    # real mask points are everything else (quarantine rows from a
+    # decode_points(on_undecodable='quarantine') table are dropped —
+    # an undecodable image contributes nothing to the metrics)
     summaries = points.filter(F.col("value") == decode.SUMMARY_MARKER)
-    points = points.filter(F.col("value") != decode.SUMMARY_MARKER)
+    points = points.filter(~F.col("value").isin(decode.SUMMARY_MARKER,
+                                                decode.QUARANTINE_MARKER))
 
     if images is not None:
         dates = decode.with_scene_date(images.select("image_id")).select("scene", "date").distinct()

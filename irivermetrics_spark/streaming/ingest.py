@@ -33,10 +33,17 @@ IMAGE_SCHEMA = T.StructType(
 )
 
 
-def stream_decode(spark: SparkSession, images_path: str, grid: dict, res: int = 9) -> DataFrame:
-    """readStream on the image table directory -> streaming mask points."""
+def stream_decode(spark: SparkSession, images_path: str, grid: dict, res: int = 9,
+                  on_undecodable: str = "raise") -> DataFrame:
+    """readStream on the image table directory -> streaming mask points.
+
+    ``on_undecodable="quarantine"``: a bad payload (lossy-VP8 webp,
+    truncated bytes) emits a QUARANTINE_MARKER row instead of killing
+    the micro-batch — at crawl scale a stream must never wedge on one
+    row. Filter the sink with decode.drop_quarantined / route
+    decode.quarantined to a dead-letter sink."""
     stream = spark.readStream.schema(IMAGE_SCHEMA).parquet(images_path)
-    return decode.decode_points(stream, grid, res=res)
+    return decode.decode_points(stream, grid, res=res, on_undecodable=on_undecodable)
 
 
 def start_mask_sink(points: DataFrame, mask_path: str, checkpoint_path: str,
