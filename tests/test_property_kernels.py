@@ -301,3 +301,61 @@ def test_shapefile_point_roundtrip_property(pts):
     assert st_ == shp.POINT
     for (ox, oy), (gx, gy) in zip(pts, back):
         assert gx == ox and gy == oy
+
+
+# ---- VP8L webp codec (r5-VERDICT ask #7: the r5 fuzz pass found two
+# real bugs; property tests sweep the encoder option matrix —
+# transforms x palette x cache x meta — against structured content
+# classes so every decoder path sees adversarial inputs) ----
+
+
+@st.composite
+def _webp_cases(draw):
+    from hypothesis.extra import numpy as hnp
+
+    h = draw(st.integers(1, 16))
+    w = draw(st.integers(1, 16))
+    kind = draw(st.sampled_from(["noise", "lowcard", "constant", "gradient"]))
+    if kind == "noise":
+        planes = draw(hnp.arrays(dtype=np.uint8, shape=(4, h, w),
+                                 elements=st.integers(0, 255)))
+    elif kind == "lowcard":
+        vals = draw(st.lists(st.integers(0, 255), min_size=1, max_size=4, unique=True))
+        planes = draw(hnp.arrays(dtype=np.uint8, shape=(4, h, w),
+                                 elements=st.sampled_from(vals)))
+    elif kind == "constant":
+        planes = np.full((4, h, w), draw(st.integers(0, 255)), dtype=np.uint8)
+    else:
+        gx = draw(st.integers(1, 7))
+        gy = draw(st.integers(1, 7))
+        base = (np.arange(h)[:, None] * gy + np.arange(w)[None, :] * gx) % 256
+        planes = np.stack([(base * k + k) % 256 for k in range(1, 5)]).astype(np.uint8)
+    planes = planes.copy()
+    if draw(st.booleans()):
+        planes[0] = 255  # opaque alpha exercises the alpha-hint bit
+    mode = draw(st.sampled_from(["plain", "predictor", "palette", "cte",
+                                 "predictor+cte"]))
+    kw = {}
+    if "predictor" in mode:
+        kw.update(use_predictor=True, block_bits=draw(st.integers(2, 5)))
+    if "cte" in mode:
+        kw["color_cte"] = (draw(st.integers(0, 255)), draw(st.integers(0, 255)),
+                           draw(st.integers(0, 255)))
+    if mode == "palette":
+        kw["use_palette"] = True  # h*w <= 256 so any content is legal
+    else:
+        kw["cache_bits"] = draw(st.sampled_from([0, 2, 6]))
+        if draw(st.booleans()):
+            kw["use_meta"] = True
+    return planes, kw
+
+
+@settings(max_examples=80, deadline=None)
+@given(_webp_cases())
+def test_webp_roundtrip_property(case):
+    from irivermetrics_spark.kernels import webp
+
+    planes, kw = case
+    buf = webp.encode_vp8l(planes, **kw)
+    out = webp.decode_vp8l(buf)
+    np.testing.assert_array_equal(out, planes)
