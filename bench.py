@@ -96,6 +96,11 @@ def main() -> None:
 
         d = entrymod._t(spark, sf_dir, "documents")
         cand = dedup.lsh_candidates(d, "doc_id", "text")
+        # broadcast_shingles default (python dict over Arrow-collected
+        # sets): with the candidate frame UNPERSISTED — the bench shape —
+        # the all-JVM array_intersect variant measured 12 s here (the
+        # shingle joins re-plan the banded self-join), vs 2.6-4.4 s for
+        # the dict path; see the r6 profile table in PLANS.md
         return dedup.exact_jaccard_pairs(d, cand).filter(F.col("jaccard") >= 0.5)
 
     qs["dedup_minhash"] = _bench_dedup_minhash
