@@ -66,21 +66,24 @@ def pixel_persistence_px(water_joined: DataFrame, n_dates: dict[str, int] | Data
         )
     return (
         water_joined.groupBy("scene", "section", "px", "py")
-        .agg(F.count("*").alias("wet"))
+        .agg(F.expr("count(*) AS wet"))
         .join(F.broadcast(nd), "scene")
-        .withColumn("pp", F.col("wet") / F.col("n_kept"))
+        .withColumn("pp", F.expr("wet / n_kept"))
         .drop("n_kept")
     )
 
 
 def persistence(water_joined: DataFrame, n_dates: dict[str, int] | DataFrame,
                 pixel_size: float) -> DataFrame:
-    """(scene, section, pp_mean, ra_area) from zonal-joined water points."""
+    """(scene, section, pp_mean, ra_area) from zonal-joined water points.
+
+    SQL-string expressions (same exact forms as the r1-r5 Column trees)
+    — part of the r6 py4j plan-floor sweep; see metrics.fold."""
     px_area_km2 = pixel_size**2 / 1e6
     pp = pixel_persistence_px(water_joined, n_dates)
     return pp.groupBy("scene", "section").agg(
-        F.avg(F.when(F.col("pp") > 0.1, F.col("pp"))).alias("pp_mean"),
-        (F.coalesce(F.sum(F.when(F.col("pp") > 0.9, F.col("pp"))), F.lit(0.0)) * F.lit(px_area_km2)).alias("ra_area"),
+        F.expr("avg(CASE WHEN pp > 0.1D THEN pp END) AS pp_mean"),
+        F.expr(f"COALESCE(sum(CASE WHEN pp > 0.9D THEN pp END), 0.0D) * {px_area_km2!r}D AS ra_area"),
     )
 
 

@@ -229,10 +229,13 @@ def run(
     # (prune list must not drop kept data; broadcast gate must not
     # broadcast an unbounded dim). The same float expression as
     # keep_dates_fused so no FP-edge divergence.
-    _row_kept = (
-        (F.col("value") == decode.SUMMARY_MARKER) & (F.col("cell") >= 0)
-        & ((F.lit(corridor_total) - (F.col("cell") + F.lit(int(invalid_offset))))
-           / F.lit(corridor_total) >= F.lit(0.7))
+    # one SQL string (r6 py4j-floor sweep): integer literals keep the
+    # bigint arithmetic + double division identical to the old Column
+    # tree (Spark `/` is always double in both forms)
+    _row_kept_sql = (
+        f"value = {decode.SUMMARY_MARKER} AND cell >= 0 "
+        f"AND ({int(corridor_total)} - (cell + {int(invalid_offset)})) "
+        f"/ {int(corridor_total)} >= 0.7D"
     )
     obs = None
 
@@ -261,8 +264,8 @@ def run(
             obs = Observation()
             observed = points.observe(
                 obs,
-                F.collect_set(F.when(_row_kept, F.col("date"))).alias("d_kept"),
-                F.sum(F.when(_row_kept, 1).otherwise(0)).alias("n_kept"),
+                F.expr(f"collect_set(CASE WHEN {_row_kept_sql} THEN date END) AS d_kept"),
+                F.expr(f"sum(CASE WHEN {_row_kept_sql} THEN 1 ELSE 0 END) AS n_kept"),
             )
             observed.write.mode("overwrite").parquet(mask_path)
             points = spark.read.parquet(mask_path)
@@ -356,7 +359,12 @@ def run(
     # prune the mask-table scan (r1 serial-floor item). Skipped when
     # the date list is large enough to bloat the plan.
     if 0 < len(kept_dates_all) <= 1000:
-        points = points.filter(F.col("date").isin(kept_dates_all))
+        # one SQL string, not F.col.isin(list): isin builds one py4j
+        # literal per element (~400 round trips for 63 dates — the
+        # single largest plan-construction cost in the r6 profile);
+        # the parsed IN-list pushes down identically
+        in_list = ", ".join(f"DATE'{d}'" for d in kept_dates_all)
+        points = points.filter(F.expr(f"date IN ({in_list})"))
 
     # scene-local time axis as data, not driver state: every kept
     # (scene, date) gets its ordinal t_idx + the scene's axis length
