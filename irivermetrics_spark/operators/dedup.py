@@ -177,6 +177,77 @@ def lsh_candidates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     return pairs.select("id_a", "id_b", est.cast("double").alias("est_jaccard"))
 
 
+def lsh_candidates_incremental(new_docs: DataFrame, banded_index: DataFrame,
+                               id_col: str = "doc_id", text_col: str = "text",
+                               n_hashes: int = 64, bands: int = 16,
+                               shingle_k: int = 5) -> tuple[DataFrame, DataFrame]:
+    """Incremental MinHash-LSH: dedup a NEW batch against an existing
+    corpus index without touching old documents' text.
+
+    The growing-crawl shape at 10^12-doc scale: signatures are computed
+    once per document ever; each ingest batch only (a) hashes its own
+    docs, (b) bucket-joins its banded rows against the persisted index
+    (new-vs-old) and itself (new-vs-new). Old-vs-old pairs were emitted
+    by earlier batches, so
+    ``full_corpus_pairs == old_batch_pairs UNION incremental_pairs``
+    exactly (pinned by tests/test_textops_dedup.py).
+
+    ``banded_index``: a prior ``lsh_candidates``/this function's banded
+    frame — (id, minhash, band, bucket) with the SAME (n_hashes, bands,
+    shingle_k); parquet round-trips fine.
+
+    Returns ``(pairs, new_banded)``: candidate pairs involving at least
+    one new doc (id_a < id_b, with est_jaccard), and the new batch's
+    banded rows — append them to the index table for the next batch.
+    """
+    rows = n_hashes // bands
+    with_sig = minhash_signatures(new_docs.select(id_col, text_col),
+                                  text_col, n_hashes, shingle_k)
+    new_banded = with_sig.select(
+        F.col(id_col).alias("id"),
+        "minhash",
+        F.posexplode(
+            F.array(*[
+                F.xxhash64(F.lit(i), F.slice("minhash", i * rows + 1, rows)) for i in range(bands)
+            ])
+        ).alias("band", "bucket"),
+    ).persist()
+    new_lite = new_banded.select("band", "bucket", "id")
+    old_lite = banded_index.select("band", "bucket", "id")
+    # new-vs-old: each new row probes the index buckets (an equi-join on
+    # (band, bucket) — the index side is bucket-partitioned at scale);
+    # pair order normalizes to id_a < id_b since old ids can be larger
+    cross = (
+        new_lite.alias("n").join(old_lite.alias("o"), ["band", "bucket"])
+        .where(F.col("n.id") != F.col("o.id"))
+        .select(F.least("n.id", "o.id").alias("id_a"),
+                F.greatest("n.id", "o.id").alias("id_b"))
+    )
+    within = (
+        new_lite.alias("l").join(new_lite.alias("r"), ["band", "bucket"])
+        .where(F.col("l.id") < F.col("r.id"))
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+    )
+    pairs_ids = cross.unionByName(within).dropDuplicates(["id_a", "id_b"])
+    sig1 = (
+        new_banded.filter(F.col("band") == 0).select("id", "minhash")
+        .unionByName(banded_index.filter(F.col("band") == 0).select("id", "minhash"))
+        .dropDuplicates(["id"])
+    )
+    pairs = (
+        pairs_ids
+        .join(sig1.select(F.col("id").alias("id_a"), F.col("minhash").alias("mh_a")), "id_a")
+        .join(sig1.select(F.col("id").alias("id_b"), F.col("minhash").alias("mh_b")), "id_b")
+    )
+    est = F.aggregate(
+        F.zip_with("mh_a", "mh_b", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    ) / F.lit(n_hashes)
+    return (pairs.select("id_a", "id_b", est.cast("double").alias("est_jaccard")),
+            new_banded)
+
+
 def exact_jaccard_pairs(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", shingle_k: int = 5,
                         broadcast_shingles: bool = True) -> DataFrame:

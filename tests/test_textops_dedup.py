@@ -197,3 +197,52 @@ def test_exact_jaccard_both_paths_equal(spark):
     assert (a["id_a"] == b["id_a"]).all() and (a["id_b"] == b["id_b"]).all()
     assert np.allclose(a["jaccard"], b["jaccard"], rtol=0, atol=0)
     assert ((a["id_a"] == 1) & (a["id_b"] == 4) & (a["jaccard"] == 1.0)).any()
+
+
+def test_incremental_lsh_equals_full_corpus(spark):
+    """Batch-ingest invariant: pairs(old batch) UNION incremental(new
+    batch vs index) == pairs(full corpus) — signatures computed once
+    per doc ever, old text never re-read."""
+    import pandas as pd
+
+    import numpy as np
+
+    rng = np.random.default_rng(44)
+    vocab = ["river", "water", "pool", "reach", "dry", "wet", "mask",
+             "tile", "cell", "join", "spark", "batch"]
+    texts = []
+    for i in range(40):
+        base = " ".join(rng.choice(vocab, size=30))
+        texts.append(base)
+        if i % 4 == 0:
+            texts.append(base + " tiny suffix")  # near-dup across batches
+    docs = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    # split so some near-dup pairs STRADDLE the batch boundary
+    old_pdf, new_pdf = docs.iloc[::2], docs.iloc[1::2]
+    full = spark.createDataFrame(docs)
+    old = spark.createDataFrame(old_pdf)
+    new = spark.createDataFrame(new_pdf)
+
+    key = ["id_a", "id_b"]
+    want = dedup.lsh_candidates(full, "doc_id", "text").toPandas()
+    old_per = []
+    old_pairs = dedup.lsh_candidates(old, "doc_id", "text",
+                                     persisted_out=old_per).toPandas()
+    banded_index = old_per[0]
+    inc_pairs, new_banded = dedup.lsh_candidates_incremental(new, banded_index)
+    inc = inc_pairs.toPandas()
+
+    got = pd.concat([old_pairs, inc], ignore_index=True).drop_duplicates(key)
+    w = want.sort_values(key).reset_index(drop=True)
+    g = got.sort_values(key).reset_index(drop=True)
+    assert w[key].values.tolist() == g[key].values.tolist()
+    # est_jaccard identical too (same signatures either way)
+    assert np.allclose(w.est_jaccard.to_numpy(), g.est_jaccard.to_numpy())
+    # every straddling near-dup was found by the incremental call alone
+    straddle = {(a, b) for a, b in w[key].values
+                if (a % 2 == 0) != (b % 2 == 0)}
+    assert straddle and straddle <= set(map(tuple, inc[key].values))
+    # the returned banded frame is appendable index maintenance
+    assert set(new_banded.columns) == {"id", "minhash", "band", "bucket"}
+    for p in old_per + [new_banded]:
+        p.unpersist()
