@@ -58,8 +58,21 @@ def main() -> None:
     hits = ivf.ivf_topk(em, queries, cents, k=3, nprobe=3, assigned=assigned)
     n4 = hits.count()
 
+    # 5. the 10^9-vector memory-bound variant of the same retrieval:
+    # IVF list routing + product-quantized (m-byte) scoring inside the
+    # probed lists + exact rerank — the persisted (id, list_id, codes)
+    # index IS the ANN index at scale
+    from irivermetrics_spark.operators import pq
+
+    books = pq.train_pq(em, m=8, k=32)
+    index = pq.ivf_pq_index(em, cents, books).persist()
+    hits_pq = pq.ivf_pq_topk(em, queries, cents, books, topk=3, nprobe=3,
+                             shortlist=8, index=index)
+    n5 = hits_pq.count()
+
     print(f"\ndocuments: {n0} -> exact-deduped {n1} -> quality-kept {n2} "
-          f"-> near-dup keepers {n3}; ANN rows for 5 queries: {n4}")
+          f"-> near-dup keepers {n3}; ANN rows for 5 queries: {n4} "
+          f"(IVF exact-rerank) / {n5} (IVF-routed PQ)")
     print(hits.orderBy("query_id", "rank").toPandas().to_string(index=False))
     spark.stop()
 
