@@ -228,6 +228,11 @@ def decode_points(images: DataFrame, grid: dict, res: int = 9,
     """
     if on_undecodable not in ("raise", "quarantine"):
         raise ValueError(f"on_undecodable {on_undecodable!r} (raise|quarantine)")
+    if water_rule not in ("threshold", "cluster"):
+        # validated driver-side: quarantine mode must divert DATA
+        # failures only — a config typo inside the kernel would
+        # otherwise quarantine 100% of rows and "succeed" empty
+        raise ValueError(f"unknown water_rule {water_rule!r} (threshold|cluster)")
     quarantine = on_undecodable == "quarantine"
     gx0, gy0, ps = grid["gx0"], grid["gy0"], grid["ps"]
     expected_hw = (grid["h"], grid["w"]) if "h" in grid and "w" in grid else None

@@ -133,18 +133,9 @@ def lsh_candidates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     result is materialized (default leaves the block to session
     lifetime — fine for batch jobs, leaky for services).
     """
-    rows = n_hashes // bands
     with_sig = signatures if signatures is not None else minhash_signatures(
         docs.select(id_col, text_col), text_col, n_hashes, shingle_k)
-    banded = with_sig.select(
-        F.col(id_col).alias("id"),
-        "minhash",
-        F.posexplode(
-            F.array(*[
-                F.xxhash64(F.lit(i), F.slice("minhash", i * rows + 1, rows)) for i in range(bands)
-            ])
-        ).alias("band", "bucket"),
-    ).persist()
+    banded = _banded(with_sig, id_col, n_hashes, bands).persist()
     if persisted_out is not None:
         persisted_out.append(banded)
     # self-join + dedup on BARE ids (16 bytes/row): a same-signature
@@ -164,6 +155,29 @@ def lsh_candidates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "tex
         .dropDuplicates(["id_a", "id_b"])
     )
     sig1 = banded.filter(F.col("band") == 0).select("id", "minhash")
+    return _with_est_jaccard(pairs_ids, sig1, n_hashes)
+
+
+def _banded(with_sig: DataFrame, id_col: str, n_hashes: int, bands: int) -> DataFrame:
+    """(id, minhash, band, bucket) — THE banding expression. One copy:
+    the incremental path bucket-joins new rows against an index built
+    by a previous call, so the bucket hash must be bit-identical across
+    every caller forever."""
+    rows = n_hashes // bands
+    return with_sig.select(
+        F.col(id_col).alias("id"),
+        "minhash",
+        F.posexplode(
+            F.array(*[
+                F.xxhash64(F.lit(i), F.slice("minhash", i * rows + 1, rows)) for i in range(bands)
+            ])
+        ).alias("band", "bucket"),
+    )
+
+
+def _with_est_jaccard(pairs_ids: DataFrame, sig1: DataFrame, n_hashes: int) -> DataFrame:
+    """Join band-0 signatures onto (id_a, id_b) and add est_jaccard
+    (fraction of agreeing minhashes) — shared by both LSH paths."""
     pairs = (
         pairs_ids
         .join(sig1.select(F.col("id").alias("id_a"), F.col("minhash").alias("mh_a")), "id_a")
@@ -200,18 +214,9 @@ def lsh_candidates_incremental(new_docs: DataFrame, banded_index: DataFrame,
     one new doc (id_a < id_b, with est_jaccard), and the new batch's
     banded rows — append them to the index table for the next batch.
     """
-    rows = n_hashes // bands
     with_sig = minhash_signatures(new_docs.select(id_col, text_col),
                                   text_col, n_hashes, shingle_k)
-    new_banded = with_sig.select(
-        F.col(id_col).alias("id"),
-        "minhash",
-        F.posexplode(
-            F.array(*[
-                F.xxhash64(F.lit(i), F.slice("minhash", i * rows + 1, rows)) for i in range(bands)
-            ])
-        ).alias("band", "bucket"),
-    ).persist()
+    new_banded = _banded(with_sig, id_col, n_hashes, bands).persist()
     new_lite = new_banded.select("band", "bucket", "id")
     old_lite = banded_index.select("band", "bucket", "id")
     # new-vs-old: each new row probes the index buckets (an equi-join on
@@ -234,18 +239,7 @@ def lsh_candidates_incremental(new_docs: DataFrame, banded_index: DataFrame,
         .unionByName(banded_index.filter(F.col("band") == 0).select("id", "minhash"))
         .dropDuplicates(["id"])
     )
-    pairs = (
-        pairs_ids
-        .join(sig1.select(F.col("id").alias("id_a"), F.col("minhash").alias("mh_a")), "id_a")
-        .join(sig1.select(F.col("id").alias("id_b"), F.col("minhash").alias("mh_b")), "id_b")
-    )
-    est = F.aggregate(
-        F.zip_with("mh_a", "mh_b", lambda x, y: (x == y).cast("int")),
-        F.lit(0),
-        lambda acc, v: acc + v,
-    ) / F.lit(n_hashes)
-    return (pairs.select("id_a", "id_b", est.cast("double").alias("est_jaccard")),
-            new_banded)
+    return _with_est_jaccard(pairs_ids, sig1, n_hashes), new_banded
 
 
 def exact_jaccard_pairs(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id",

@@ -227,8 +227,17 @@ def write_persistence_geotiffs(pp: DataFrame, grid: dict, outdir: str,
 
     gx0, gy0, ps = float(grid["gx0"]), float(grid["gy0"]), float(grid["ps"])
     h, w = int(grid["h"]), int(grid["w"])
-    if flat is None:
-        flat = pp.select("scene").distinct().count() == 1
+    if flat is not False:
+        # count also when the CALLER forced flat=True: multiple scene
+        # groups would then race concurrent writes of the same path
+        # (silent last-writer-wins) — refuse instead
+        n_scenes = pp.select("scene").distinct().count()
+        if flat and n_scenes > 1:
+            raise ValueError(
+                f"flat=True but {n_scenes} scenes share the frame — every "
+                "executor group would overwrite the same Pixel_Persistence.tif")
+        if flat is None:
+            flat = n_scenes == 1
 
     def emit(key, pdf: pd.DataFrame) -> pd.DataFrame:
         (scene,) = key

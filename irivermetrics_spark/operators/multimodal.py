@@ -116,8 +116,11 @@ def resize_images(images: DataFrame, out_w: int, out_h: int,
         for pdf in batches:
             rows = []
             for rec in pdf.itertuples(index=False):
+                # NULL payloads must reach the handler, not crash it:
+                # bytes(None) raises, and sniff_format guards None itself
+                raw = None if rec.bytes is None else bytes(rec.bytes)
                 try:
-                    arr = _decode_any(bytes(rec.bytes), rec.fmt)
+                    arr = _decode_any(raw, rec.fmt)
                     small = resize_image(arr, out_w, out_h)
                     row = dict(
                         image_id=rec.image_id,
@@ -130,7 +133,7 @@ def resize_images(images: DataFrame, out_w: int, out_h: int,
                     if not quarantine:
                         raise
                     row = dict(image_id=rec.image_id, bytes=None, w=-1, h=-1,
-                               fmt=codecs.sniff_format(bytes(rec.bytes)),
+                               fmt=codecs.sniff_format(raw),
                                error=f"{type(e).__name__}: {e}")
                 rows.append(row)
             yield pd.DataFrame(rows) if rows else pd.DataFrame(
@@ -206,7 +209,8 @@ def embed_images(images: DataFrame, pool_h: int = 4, pool_w: int = 6,
             ids, vecs = [], []
             for rec in pdf.itertuples(index=False):
                 try:
-                    arr = _decode_any(bytes(rec.bytes), rec.fmt).astype(np.float64) / 10000.0
+                    raw = None if rec.bytes is None else bytes(rec.bytes)
+                    arr = _decode_any(raw, rec.fmt).astype(np.float64) / 10000.0
                 except Exception:
                     if on_error == "quarantine":
                         continue  # undecodable rows simply get no embedding

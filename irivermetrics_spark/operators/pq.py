@@ -76,9 +76,10 @@ def train_pq(embeddings: DataFrame, m: int = 8, k: int = 256, sample: int = 4096
     return books
 
 
-def pq_encode(embeddings: DataFrame, books: np.ndarray, id_col: str = "vec_id",
-              vec_col: str = "embedding") -> DataFrame:
-    """(id, codes array<int>) — m nearest-codeword ids per vector."""
+def _encode_udf(books: np.ndarray):
+    """THE code-assignment kernel (one copy: ivf_pq_index's codes must
+    match pq_encode's bit-for-bit — the provably-exact oracle configs
+    rest on it)."""
     m, k, dsub = books.shape
 
     @F.pandas_udf(T.ArrayType(T.IntegerType()))
@@ -91,6 +92,13 @@ def pq_encode(embeddings: DataFrame, books: np.ndarray, id_col: str = "vec_id",
             codes[:, j] = np.argmin(d2, axis=1)
         return pd.Series([row.tolist() for row in codes])
 
+    return enc
+
+
+def pq_encode(embeddings: DataFrame, books: np.ndarray, id_col: str = "vec_id",
+              vec_col: str = "embedding") -> DataFrame:
+    """(id, codes array<int>) — m nearest-codeword ids per vector."""
+    enc = _encode_udf(books)
     return embeddings.select(F.col(id_col).alias("id"), enc(vec_col).alias("codes"))
 
 
@@ -270,20 +278,7 @@ def ivf_pq_index(embeddings: DataFrame, C: np.ndarray, books: np.ndarray,
     from .ivf import _assign_udf
 
     assign = _assign_udf(C, top=1)
-    m, k, dsub = books.shape
-
-    # same float expression as pq_encode's UDF, inlined so one scan
-    # produces both quantizations
-    @F.pandas_udf(T.ArrayType(T.IntegerType()))
-    def enc(vecs: pd.Series) -> pd.Series:
-        X = _normalize(np.stack([np.asarray(v, dtype=np.float64) for v in vecs]))
-        codes = np.empty((X.shape[0], m), dtype=np.int32)
-        for j in range(m):
-            sub = X[:, j * dsub:(j + 1) * dsub]
-            d2 = ((sub[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
-            codes[:, j] = np.argmin(d2, axis=1)
-        return pd.Series([row.tolist() for row in codes])
-
+    enc = _encode_udf(books)  # the shared kernel: one scan, both quantizations
     return embeddings.select(
         F.col(id_col).alias("id"),
         F.element_at(assign(vec_col), 1).alias("list_id"),
@@ -360,10 +355,22 @@ def ivf_pq_topk(embeddings: DataFrame, queries: DataFrame, C: np.ndarray,
         .withColumn("q_chunk", F.pmod(F.xxhash64("query_id"), F.lit(n_chunks)).cast("int"))
         .withColumn("enc_block", F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1))))
     )
+    # the code side replicates ONLY into (list_id, q_chunk) combinations
+    # some query actually probes — a blind explode over all chunks would
+    # ship every code row n_chunks times and return empty from the
+    # unprobed cogroups, forfeiting the ~n_lists/nprobe shuffle saving
+    # the routing exists for. The probed-pairs dim is <= n_lists *
+    # n_chunks rows (two ints) — always broadcastable.
+    probed = (
+        q_probed.select(F.col("query_id"), F.explode("lists").alias("list_id"))
+        .withColumn("q_chunk", F.pmod(F.xxhash64("query_id"), F.lit(n_chunks)).cast("int"))
+        .select("list_id", "q_chunk")
+        .distinct()
+    )
     enc_keyed = (
         index
         .withColumn("enc_block", F.pmod(F.xxhash64("id"), F.lit(n_blocks)).cast("int"))
-        .withColumn("q_chunk", F.explode(F.sequence(F.lit(0), F.lit(n_chunks - 1))))
+        .join(F.broadcast(probed), "list_id")
     )
     scored = (
         enc_keyed.groupBy("list_id", "enc_block", "q_chunk")

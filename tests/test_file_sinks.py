@@ -262,3 +262,17 @@ def test_persistence_geotiffs_distributed_multi_scene(spark):
     exports.write_persistence_geotiff(one, grid, "sB", ref_path)
     assert (open(f"{out1}/Pixel_Persistence.tif", "rb").read()
             == open(ref_path, "rb").read())
+
+
+def test_persistence_geotiffs_flat_multi_scene_refused(spark):
+    """flat=True over a multi-scene frame would race every executor
+    group onto one path (silent last-writer-wins) — must refuse."""
+    import pandas as pd
+
+    from irivermetrics_spark.operators import exports
+
+    grid = dict(gx0=0.0, gy0=0.0, ps=30.0, w=4, h=4)
+    pp = spark.createDataFrame(pd.DataFrame(dict(
+        scene=["a", "b"], section=["0", "0"], px=[1, 2], py=[1, 2], pp=[0.5, 0.6])))
+    with pytest.raises(ValueError, match="flat=True"):
+        exports.write_persistence_geotiffs(pp, grid, tempfile.mkdtemp(), flat=True)

@@ -134,3 +134,33 @@ def test_resize_and_embed_quarantine(spark):
 
     emb = multimodal.embed_images(mixed, on_error="quarantine").toPandas()
     assert sorted(emb.image_id) == sorted(ok.image_id)  # bad rows absent
+
+
+def test_quarantine_handles_null_payload_and_config_typo(spark):
+    import pyspark.sql.types as T
+
+    fx = synth.make_fixture(w=24, h=12, n_dates=2, n_sections=1, seed=8)
+    grid = dict(gx0=fx.gx0, gy0=fx.gy0, ps=fx.pixel_size, w=fx.w, h=fx.h)
+    pdf = _mixed_images(fx, n_good=1)
+    pdf.loc[len(pdf)] = dict(image_id="scene0_2099-01-03_null", bytes=None,
+                             w=fx.w, h=fx.h, fmt="raw16", caption="", phash=0)
+    schema = T.StructType([
+        T.StructField("image_id", T.StringType()), T.StructField("bytes", T.BinaryType()),
+        T.StructField("w", T.IntegerType()), T.StructField("h", T.IntegerType()),
+        T.StructField("fmt", T.StringType()), T.StructField("caption", T.StringType()),
+        T.StructField("phash", T.LongType())])
+    mixed = spark.createDataFrame(pdf, schema)
+
+    # a NULL payload must reach the quarantine frame, not crash the handler
+    out = multimodal.resize_images(mixed, 6, 4, on_error="quarantine").toPandas()
+    errs = out[out.error.notna()]
+    assert "scene0_2099-01-03_null" in set(errs.image_id)
+    assert set(errs[errs.image_id == "scene0_2099-01-03_null"].fmt) == {"unknown"}
+    pts = decode.decode_points(mixed, grid, on_undecodable="quarantine")
+    assert decode.quarantined(pts).count() == 3  # vp8, garbage, null
+
+    # config typos must fail LOUDLY even in quarantine mode (a kernel-side
+    # catch would quarantine 100% of rows and "succeed" empty)
+    with pytest.raises(ValueError, match="water_rule"):
+        decode.decode_points(mixed, grid, water_rule="cluser",
+                             on_undecodable="quarantine")
