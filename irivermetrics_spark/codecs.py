@@ -134,13 +134,14 @@ def decode_image(buf: bytes, reflectance_scale: bool | None = None) -> np.ndarra
 def sniff_format(buf: bytes) -> str:
     """Magic-byte format detail for an opaque image payload.
 
-    The quarantine router's first stage (r5 VERDICT missing #1): a real
-    web-crawl image table is mostly lossy WebP, which the engine cannot
-    decode — those rows must be DIVERTED, not fail the task. RIFF
-    containers are discriminated by chunk tag ('VP8L' lossless vs
-    'VP8 ' lossy vs 'VP8X' extended), the engine container by its
-    format code. Never raises; unknown bytes tag 'unknown'."""
-    b = bytes(buf[:16]) if buf is not None else b""
+    The quarantine router's first stage (r5 VERDICT missing #1):
+    payloads the engine has no codec for (gif/bmp/animated webp/
+    garbage) must be DIVERTED, not fail the task. RIFF containers are
+    discriminated by chunk tag ('VP8L' lossless vs 'VP8 ' lossy vs
+    'VP8X' extended — the VP8X flags byte further splits still images
+    from animations, which kernels/vp8 rejects), the engine container
+    by its format code. Never raises; unknown bytes tag 'unknown'."""
+    b = bytes(buf[:21]) if buf is not None else b""
     if b[:4] == MAGIC:
         return _FMT_NAME.get(b[4], "irm-unknown") if len(b) > 4 else "irm-unknown"
     if b[:4] in (b"II*\x00", b"MM\x00*"):
@@ -156,6 +157,11 @@ def sniff_format(buf: bytes) -> str:
         if tag == b"VP8 ":
             return "webp-vp8"
         if tag == b"VP8X":
+            # flags byte (offset 20): bit 0x02 = animation — a still
+            # extended container (alpha/ICC/EXIF) decodes, an ANIM
+            # chain does not
+            if len(b) > 20 and b[20] & 0x02:
+                return "webp-vp8x-anim"
             return "webp-vp8x"
         return "webp-unknown"
     if b[:6] in (b"GIF87a", b"GIF89a"):
@@ -168,9 +174,12 @@ def sniff_format(buf: bytes) -> str:
 
 
 # format details the engine's from-scratch codecs actually decode
-# (multimodal._decode_any + codecs.decode_image routing)
+# (multimodal._decode_any + codecs.decode_image routing); lossy VP8
+# joined in r6 via the RFC 6386 keyframe decoder (kernels/vp8.py) —
+# only animations ('webp-vp8x-anim') and foreign formats stay out
 DECODABLE_DETAILS = frozenset(
-    {FMT_RAW16, FMT_QLOSSY, "tiff", "jpeg", "png", "webp-vp8l"})
+    {FMT_RAW16, FMT_QLOSSY, "tiff", "jpeg", "png",
+     "webp-vp8l", "webp-vp8", "webp-vp8x"})
 
 
 def psnr(a: np.ndarray, b: np.ndarray, peak: float = float(REFLECTANCE_MAX)) -> float:

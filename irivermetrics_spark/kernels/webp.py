@@ -676,6 +676,29 @@ def decode_vp8l(buf: bytes, max_pixels: int = 1 << 26) -> np.ndarray:
             f"declared size {w}x{h} exceeds max_pixels={max_pixels} "
             "(pass a larger bound for genuinely huge rasters)")
 
+    img = _decode_stream(br, w, h)
+
+    # zero-arithmetic unpack: little-endian uint32 pixel bytes are
+    # [b, g, r, a]; np.stack is avoided — this numpy build's stack is
+    # ~170x slower than a plain copy above ~100 MB (r5 finding)
+    v = np.ascontiguousarray(img).view(np.uint8).reshape(img.shape[0], img.shape[1], 4)
+    out = np.empty((4,) + img.shape, dtype=np.uint8)
+    out[0], out[1], out[2], out[3] = v[..., 3], v[..., 2], v[..., 1], v[..., 0]
+    return out
+
+
+def decode_vp8l_stream(payload: bytes, w: int, h: int) -> np.ndarray:
+    """Headerless VP8L image stream -> (h, w) uint32 ARGB pixels.
+
+    The WebP container's ALPH chunk (compression method 1) stores the
+    alpha plane as exactly this: a lossless image stream with the
+    14+14-bit size header omitted (dimensions come from the frame),
+    values in the green channel.  Used by kernels/vp8.decode_alpha."""
+    return _decode_stream(_BitReader(payload), w, h)
+
+
+def _decode_stream(br: "_BitReader", w: int, h: int) -> np.ndarray:
+    """Transform list + entropy-coded image + inverse transforms."""
     transforms = []  # read order
     xsize = w
     while br.bits(1):
@@ -740,13 +763,7 @@ def decode_vp8l(buf: bytes, max_pixels: int = 1 << 26) -> np.ndarray:
             modes = (data >> 8) & 0xFF
             _apply_inverse_predictor(img, modes, arg)
 
-    # zero-arithmetic unpack: little-endian uint32 pixel bytes are
-    # [b, g, r, a]; np.stack is avoided — this numpy build's stack is
-    # ~170x slower than a plain copy above ~100 MB (r5 finding)
-    v = np.ascontiguousarray(img).view(np.uint8).reshape(img.shape[0], img.shape[1], 4)
-    out = np.empty((4,) + img.shape, dtype=np.uint8)
-    out[0], out[1], out[2], out[3] = v[..., 3], v[..., 2], v[..., 1], v[..., 0]
-    return out
+    return img
 
 
 # -------------------------------------------------------------- encoder
@@ -1004,8 +1021,15 @@ def encode_vp8l(planes: np.ndarray, use_predictor: bool = False,
 
 def decode_webp_gray16(buf: bytes) -> np.ndarray:
     """Engine convenience: webp bytes -> (bands, h, w) uint16 like the
-    jpeg/png kernels (RGB planes; alpha dropped when fully opaque)."""
-    argb = decode_vp8l(buf)
-    if (argb[0] == 255).all():
-        return argb[1:].astype(np.uint16)
-    return argb.astype(np.uint16)
+    jpeg/png kernels (RGB planes; alpha dropped when fully opaque or
+    absent).  Routes lossless containers to this VP8L codec and lossy
+    ones to the from-scratch RFC 6386 keyframe decoder (kernels/vp8)."""
+    from . import vp8 as _vp8
+
+    rgb, alpha = _vp8.decode_webp(buf)
+    if alpha is None:
+        return rgb.astype(np.uint16)
+    out = np.empty((4,) + rgb.shape[1:], dtype=np.uint16)
+    out[0] = alpha
+    out[1:] = rgb
+    return out

@@ -6,7 +6,8 @@ metadata; all processing is batched Arrow ``mapInPandas`` — the Spark
 plumbing (schemas, partitioning, batch shapes) is real and tested.
 Every IMAGE format decodes for real with zero external libraries: the
 engine's own raster formats (codecs.py), JPEG (kernels/jpeg.py), PNG
-(kernels/png.py) and lossless WebP (kernels/webp.py) are all
+(kernels/png.py) and WebP — lossless VP8L (kernels/webp.py) and lossy
+VP8 keyframes with alpha (kernels/vp8.py) — are all
 from-scratch codecs; audio/video payloads use the engine raster
 container (concatenated frames), and the single swap-in point for any
 further external codec is ``_decode_any``.
@@ -38,11 +39,14 @@ def _decode_any(buf: bytes, fmt: str) -> np.ndarray:
     codec (kernels/jpeg.py — full baseline JFIF incl. 4:2:0), ``png``
     by the from-scratch RFC 2083 codec (kernels/png.py — all five
     scanline filters, palette/tRNS, stdlib-zlib DEFLATE), and ``webp``
-    by the from-scratch VP8L lossless codec (kernels/webp.py — all
-    four transforms, color cache, LZ77, meta prefix codes; lossy VP8
-    raises with a clear error). The web's dominant image formats need
-    no external library. Sample values stay in their native 8-bit
-    range (0-255) widened to the engine's uint16 plane dtype.
+    by the container router in kernels/webp.decode_webp_gray16 —
+    lossless VP8L (kernels/webp.py: all four transforms, color cache,
+    LZ77, meta prefix codes) AND, since r6, lossy VP8 keyframes
+    (kernels/vp8.py: full RFC 6386 intra pipeline incl. both loop
+    filters, bit-exact vs libwebp goldens) with VP8X/ALPH alpha.
+    The web's dominant image formats need no external library. Sample
+    values stay in their native 8-bit range (0-255) widened to the
+    engine's uint16 plane dtype.
     """
     if fmt in (codecs.FMT_RAW16, codecs.FMT_QLOSSY):
         return codecs.decode_image(buf)

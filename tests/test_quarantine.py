@@ -31,6 +31,11 @@ def test_sniff_format_magic_bytes():
     planes[0] = 255
     assert s(webp.encode_vp8l(planes)) == "webp-vp8l"
     assert s(b"RIFF\x00\x00\x00\x00WEBPVP8X____") == "webp-vp8x"
+    # VP8X flags byte (offset 20): animation bit diverts, still decodes
+    assert s(b"RIFF\x00\x00\x00\x00WEBPVP8X\x0a\x00\x00\x00\x12") == "webp-vp8x-anim"
+    assert s(b"RIFF\x00\x00\x00\x00WEBPVP8X\x0a\x00\x00\x00\x10") == "webp-vp8x"
+    fixture = os.path.join(os.path.dirname(__file__), "data", "vp8_python.webp")
+    assert s(open(fixture, "rb").read(21)) == "webp-vp8x"
     arr = np.ones((4, 3, 5), dtype=np.uint16)
     assert s(codecs.encode_image(arr)) == codecs.FMT_RAW16
     assert s(codecs.encode_image(arr, codecs.FMT_QLOSSY)) == codecs.FMT_QLOSSY
@@ -41,9 +46,13 @@ def test_sniff_format_magic_bytes():
     assert s(b"CDF\x01data") == "netcdf3"
     assert s(b"total garbage") == "unknown"
     assert s(b"") == "unknown"
-    # decodability routing: lossless in, lossy out
+    # decodability routing: both webp flavours in since r6 (kernels/vp8);
+    # animations and foreign formats stay diverted
     assert "webp-vp8l" in codecs.DECODABLE_DETAILS
-    assert "webp-vp8" not in codecs.DECODABLE_DETAILS
+    assert "webp-vp8" in codecs.DECODABLE_DETAILS
+    assert "webp-vp8x" in codecs.DECODABLE_DETAILS
+    assert "webp-vp8x-anim" not in codecs.DECODABLE_DETAILS
+    assert "gif" not in codecs.DECODABLE_DETAILS
 
 
 def test_with_format_detail_column(spark):
@@ -55,7 +64,10 @@ def test_with_format_detail_column(spark):
     df = spark.createDataFrame(rows, "image_id string, bytes binary, fmt string")
     got = {r["image_id"]: (r["fmt_detail"], r["decodable"])
            for r in multimodal.with_format_detail(df).collect()}
-    assert got == {"a": ("raw16", True), "b": ("webp-vp8", False),
+    # the sniff is a header peek: the structurally-broken vp8 stub is
+    # CLAIMED decodable (its subformat is), and the decode stage's
+    # exception catch is what actually quarantines it (tests below)
+    assert got == {"a": ("raw16", True), "b": ("webp-vp8", True),
                    "c": ("unknown", False)}
 
 
