@@ -550,10 +550,17 @@ def _filter_edge(plane, y0, x0, n, horiz_edge: bool, mb_edge: bool,
 # ------------------------------------------------------------- the decoder
 
 
-def decode_vp8(payload: bytes):
+def decode_vp8(payload: bytes, max_pixels: int = 1 << 26):
     """VP8 chunk payload -> (Y, U, V) uint8 planes, cropped to the frame
     size (chroma at ceil(w/2) x ceil(h/2)), after the in-loop filter."""
     hd, bd, token_parts = _parse_headers(payload)
+    if hd.w * hd.h > max_pixels:
+        # guards the declared-but-unbacked-size fuzz class: an
+        # arithmetic-coded all-skip frame is legally tiny, so payload
+        # length cannot bound the macroblock loop — the pixel cap does
+        raise ValueError(
+            f"declared size {hd.w}x{hd.h} exceeds max_pixels={max_pixels} "
+            "(pass a larger bound for genuinely huge frames)")
     mb_w, mb_h = hd.mb_w, hd.mb_h
 
     # dequantisation factors per segment (9.6, 14.1)
@@ -928,7 +935,7 @@ def decode_alpha(chunk: bytes, w: int, h: int) -> np.ndarray:
     return a
 
 
-def decode_webp(buf: bytes):
+def decode_webp(buf: bytes, max_pixels: int = 1 << 26):
     """Any still .webp (VP8 lossy, VP8L lossless, VP8X extended with
     optional ALPH) -> (planes, alpha): (3, h, w) uint8 RGB + alpha
     plane or None.  Animations are rejected."""
@@ -951,11 +958,11 @@ def decode_webp(buf: bytes):
         p += 8 + size + (size & 1)
     if vp8l is not None:
         from . import webp as _webp
-        argb = _webp.decode_vp8l(buf)
+        argb = _webp.decode_vp8l(buf, max_pixels=max_pixels)
         return argb[1:], (None if (argb[0] == 255).all() else argb[0])
     if vp8 is None:
         raise ValueError("no VP8/VP8L chunk in WebP container")
-    Y, U, V = decode_vp8(vp8)
+    Y, U, V = decode_vp8(vp8, max_pixels=max_pixels)
     rgb = yuv420_to_rgb(Y, U, V)
     a = None
     if alph is not None:

@@ -10,12 +10,19 @@ import numpy as np
 import pytest
 
 from irivermetrics_spark import codecs
-from irivermetrics_spark.kernels import geotiff, jpeg, lzw, netcdf, png, webp
+from irivermetrics_spark.kernels import geotiff, jpeg, lzw, netcdf, png, vp8, webp
+
+# lossy-VP8 fuzz prefix: valid keyframe tag (first_part_size=64, so the
+# random tail is long enough to be "the partition"), start code, and
+# small 20x20 dims — random bytes then corrupt the header/mode/token
+# decode itself rather than bouncing off the container checks
+_VP8_PREFIX = bytes([0x00, 0x08, 0x00]) + b"\x9d\x01\x2a" + b"\x14\x00\x14\x00"
 
 _PREFIX = {
     "geotiff": b"II*\x00",
     "netcdf": b"CDF\x01",
     "webp": b"RIFF\x30\x00\x00\x00WEBPVP8L\x20\x00\x00\x00\x2f",
+    "vp8": _VP8_PREFIX,
     "png": bytes([137, 80, 78, 71, 13, 10, 26, 10]),
     "jpeg": b"\xff\xd8\xff\xe0",
     "codecs": b"",
@@ -24,6 +31,7 @@ _DECODE = {
     "geotiff": geotiff.read_geotiff,
     "netcdf": netcdf.read_netcdf3,
     "webp": webp.decode_vp8l,
+    "vp8": vp8.decode_vp8,
     "png": png.decode_png,
     "jpeg": jpeg.decode_baseline,
     "codecs": codecs.decode_image,
@@ -67,6 +75,23 @@ def test_inflated_size_fields_fail_fast():
         except Exception:
             pass
     assert time.time() - t0 < 20.0
+
+
+def test_vp8_max_dims_empty_body_fails_fast():
+    """16383x16383 declared dims over an empty keyframe: an all-skip
+    frame is legally tiny (arithmetic coding), so only the pixel cap
+    can bound the macroblock loop — it must trip before any work."""
+    payload = (bytes([0x00, 0x08, 0x00]) + b"\x9d\x01\x2a"
+               + b"\xff\x3f\xff\x3f" + b"\x00" * 64)
+    t0 = time.time()
+    with pytest.raises(ValueError, match="max_pixels"):
+        vp8.decode_vp8(payload)
+    assert time.time() - t0 < 1.0
+    # a raised cap is honoured (still fails on the truncated body, but
+    # only after real parsing starts — no error mentioning the cap)
+    with pytest.raises(Exception) as ei:
+        vp8.decode_vp8(payload[:10])  # truncated below the header floor
+    assert "max_pixels" not in str(ei.value)
 
 
 def test_webp_max_dims_empty_body_fails_fast():
