@@ -27,6 +27,12 @@ LLM-curation operator suite, closing the r5 VERDICT "missing" item
 Scale note: decode is per-file sequential Python (an arithmetic coder
 is inherently serial), parallelism comes from Spark partitioning many
 files across executors — the same seam as the JPEG/PNG/LZW kernels.
+Measured ~0.2 MPix/s single-core (512x512 q75; comparable to the
+optimized JPEG kernel's 0.35): ~40% boolean-decoder token loop
+(irreducibly serial), ~40% loop filter (vectorized per edge — one 2-D
+gather/scatter, U+V fused — but the per-macroblock edge ORDER is
+normative, each edge reads its predecessors' output, so cross-MB
+batching would change bits), rest IDCT + prediction.
 """
 from __future__ import annotations
 
@@ -474,14 +480,21 @@ def _pred_b(mode: int, A, AR, L, P: int) -> np.ndarray:
 # ------------------------------------------------------------ loop filter
 
 
+_min, _max, _abs, _where = np.minimum, np.maximum, np.abs, np.where
+# interior-limit pairs: |p2-p3|,|p1-p2|,|p0-p1|,|q1-q0|,|q2-q1|,|q3-q2|
+_INTERIOR_ROWS = np.array([0, 1, 2, 4, 5, 6])
+
+
 def _c128(x):
-    return np.clip(x, -128, 127)
+    # direct ufunc pair — np.clip's fromnumeric dispatch is ~3x slower
+    # on the tiny (8..16-wide) vectors this filter runs on
+    return _min(_max(x, -128), 127)
 
 
 def _common_adjust(use_outer, p1, p0, q0, q1):
     """RFC 15.2 common_adjust on signed int32 arrays; returns (F, P0', Q0')."""
     a = _c128((_c128(p1 - q1) if use_outer is True else
-               np.where(use_outer, _c128(p1 - q1), 0)) + 3 * (q0 - p0))
+               _where(use_outer, _c128(p1 - q1), 0)) + 3 * (q0 - p0))
     F = _c128(a + 4) >> 3
     E = _c128(a + 3) >> 3
     return F, _c128(p0 + E), _c128(q0 - F)
@@ -492,59 +505,71 @@ def _filter_edge(plane, y0, x0, n, horiz_edge: bool, mb_edge: bool,
     """Filter one edge of ``n`` pixel positions.  ``horiz_edge`` means
     the edge line is horizontal (filtering runs vertically across it).
     (y0, x0) is the first pixel of the Q0 (below/right-of-edge) row/col.
+
+    Per-macroblock ordering is normative (each edge reads its
+    predecessors' output), so vectorization is across the edge's own
+    ``n`` pixels only: one 2-D gather, ufunc arithmetic, one scatter.
+    ``plane`` may be a tuple (U, V): the same-coordinate chroma edges
+    share every limit and the math is per-column independent, so both
+    planes ride one call with their windows concatenated.
     """
-    # gather P3..Q3 as signed values
-    def g(o):
-        if horiz_edge:
-            return plane[y0 + o, x0:x0 + n].astype(np.int32) - 128
-        return plane[y0:y0 + n, x0 + o].astype(np.int32) - 128
+    planes = plane if isinstance(plane, tuple) else (plane,)
+    # one contiguous gather per plane of the P3..Q3 window as signed rows
+    if horiz_edge:
+        wins = [p[y0 - 4:y0 + 4, x0:x0 + n].astype(np.int32) for p in planes]
+    else:
+        wins = [p[y0:y0 + n, x0 - 4:x0 + 4].astype(np.int32).T for p in planes]
+    win = wins[0] if len(wins) == 1 else np.concatenate(wins, axis=1)
+    win -= 128
+    p3, p2, p1, p0, q0, q1, q2, q3 = win
 
-    def s(o, v):
-        if horiz_edge:
-            plane[y0 + o, x0:x0 + n] = (v + 128).astype(np.uint8)
-        else:
-            plane[y0:y0 + n, x0 + o] = (v + 128).astype(np.uint8)
-
-    p1, p0, q0, q1 = g(-2), g(-1), g(0), g(1)
     if simple:
-        mask = (np.abs(p0 - q0) * 2 + (np.abs(p1 - q1) >> 1)) <= edge_lim
+        mask = (_abs(p0 - q0) * 2 + (_abs(p1 - q1) >> 1)) <= edge_lim
         if not mask.any():
             return
         F, np0, nq0 = _common_adjust(True, p1, p0, q0, q1)
-        s(-1, np.where(mask, np0, p0))
-        s(0, np.where(mask, nq0, q0))
-        return
-    p3, p2, q2, q3 = g(-4), g(-3), g(2), g(3)
-    mask = ((np.abs(p0 - q0) * 2 + (np.abs(p1 - q1) >> 1)) <= edge_lim)
-    for a, b in ((p3, p2), (p2, p1), (p1, p0), (q1, q0), (q2, q1), (q3, q2)):
-        mask &= np.abs(a - b) <= interior
-    if not mask.any():
-        return
-    hev = (np.abs(p1 - p0) > hev_t) | (np.abs(q1 - q0) > hev_t)
-    if mb_edge:
-        # high-edge-variance pixels: 2-tap common adjust with outer taps
-        Fh, p0h, q0h = _common_adjust(True, p1, p0, q0, q1)
-        # smooth pixels: 6-tap wide filter
-        w = _c128(_c128(p1 - q1) + 3 * (q0 - p0))
-        a0 = _c128((27 * w + 63) >> 7)
-        a1 = _c128((18 * w + 63) >> 7)
-        a2 = _c128((9 * w + 63) >> 7)
-        sel = mask & hev
-        sm = mask & ~hev
-        s(-1, np.where(sel, p0h, np.where(sm, _c128(p0 + a0), p0)))
-        s(0, np.where(sel, q0h, np.where(sm, _c128(q0 - a0), q0)))
-        s(-2, np.where(sm, _c128(p1 + a1), p1))
-        s(1, np.where(sm, _c128(q1 - a1), q1))
-        s(-3, np.where(sm, _c128(p2 + a2), p2))
-        s(2, np.where(sm, _c128(q2 - a2), q2))
+        win[3] = _where(mask, np0, p0)
+        win[4] = _where(mask, nq0, q0)
     else:
-        F, np0, nq0 = _common_adjust(hev, p1, p0, q0, q1)
-        s(-1, np.where(mask, np0, p0))
-        s(0, np.where(mask, nq0, q0))
-        a = (F + 1) >> 1
-        upd = mask & ~hev
-        s(-2, np.where(upd, _c128(p1 + a), p1))
-        s(1, np.where(upd, _c128(q1 - a), q1))
+        d = _abs(win[1:] - win[:-1])  # rows: |p2-p3| .. |q3-q2|
+        mask = ((d[3] * 2 + (_abs(p1 - q1) >> 1)) <= edge_lim)
+        mask &= d[_INTERIOR_ROWS].max(axis=0) <= interior
+        if not mask.any():
+            return
+        hev = (d[2] > hev_t) | (d[4] > hev_t)
+        if mb_edge:
+            # high-edge-variance pixels: 2-tap adjust with outer taps
+            Fh, p0h, q0h = _common_adjust(True, p1, p0, q0, q1)
+            # smooth pixels: 6-tap wide filter
+            w = _c128(_c128(p1 - q1) + 3 * (q0 - p0))
+            a0 = _c128((27 * w + 63) >> 7)
+            a1 = _c128((18 * w + 63) >> 7)
+            a2 = _c128((9 * w + 63) >> 7)
+            sel = mask & hev
+            sm = mask & ~hev
+            win[3] = _where(sel, p0h, _where(sm, _c128(p0 + a0), p0))
+            win[4] = _where(sel, q0h, _where(sm, _c128(q0 - a0), q0))
+            win[2] = _where(sm, _c128(p1 + a1), p1)
+            win[5] = _where(sm, _c128(q1 - a1), q1)
+            win[1] = _where(sm, _c128(p2 + a2), p2)
+            win[6] = _where(sm, _c128(q2 - a2), q2)
+        else:
+            F, np0, nq0 = _common_adjust(hev, p1, p0, q0, q1)
+            win[3] = _where(mask, np0, p0)
+            win[4] = _where(mask, nq0, q0)
+            a = (F + 1) >> 1
+            upd = mask & ~hev
+            win[2] = _where(upd, _c128(p1 + a), p1)
+            win[5] = _where(upd, _c128(q1 - a), q1)
+
+    # one contiguous scatter per plane of the mutable P2..Q2 span
+    out = (win[1:7] + 128).astype(np.uint8)
+    for i, p in enumerate(planes):
+        o = out[:, i * n:(i + 1) * n]
+        if horiz_edge:
+            p[y0 - 3:y0 + 3, x0:x0 + n] = o
+        else:
+            p[y0:y0 + n, x0 - 3:x0 + 3] = o.T
 
 
 # ------------------------------------------------------------- the decoder
@@ -803,9 +828,7 @@ def _loop_filter(hd, Y, U, V, mb_seg, mb_ymode, mb_skip_lf):
                 _filter_edge(Y, yy, xx, 16, False, True, interior,
                              mb_lim, hev_t, simple)
                 if not simple:
-                    _filter_edge(U, cy, cx, 8, False, True, interior,
-                                 mb_lim, hev_t, False)
-                    _filter_edge(V, cy, cx, 8, False, True, interior,
+                    _filter_edge((U, V), cy, cx, 8, False, True, interior,
                                  mb_lim, hev_t, False)
             # inner vertical edges
             if inner:
@@ -813,18 +836,14 @@ def _loop_filter(hd, Y, U, V, mb_seg, mb_ymode, mb_skip_lf):
                     _filter_edge(Y, yy, xx + o, 16, False, False, interior,
                                  sub_lim, hev_t, simple)
                 if not simple:
-                    _filter_edge(U, cy, cx + 4, 8, False, False, interior,
-                                 sub_lim, hev_t, False)
-                    _filter_edge(V, cy, cx + 4, 8, False, False, interior,
-                                 sub_lim, hev_t, False)
+                    _filter_edge((U, V), cy, cx + 4, 8, False, False,
+                                 interior, sub_lim, hev_t, False)
             # top MB edge (horizontal edge)
             if mb_y > 0:
                 _filter_edge(Y, yy, xx, 16, True, True, interior,
                              mb_lim, hev_t, simple)
                 if not simple:
-                    _filter_edge(U, cy, cx, 8, True, True, interior,
-                                 mb_lim, hev_t, False)
-                    _filter_edge(V, cy, cx, 8, True, True, interior,
+                    _filter_edge((U, V), cy, cx, 8, True, True, interior,
                                  mb_lim, hev_t, False)
             # inner horizontal edges
             if inner:
@@ -832,10 +851,8 @@ def _loop_filter(hd, Y, U, V, mb_seg, mb_ymode, mb_skip_lf):
                     _filter_edge(Y, yy + o, xx, 16, True, False, interior,
                                  sub_lim, hev_t, simple)
                 if not simple:
-                    _filter_edge(U, cy + 4, cx, 8, True, False, interior,
-                                 sub_lim, hev_t, False)
-                    _filter_edge(V, cy + 4, cx, 8, True, False, interior,
-                                 sub_lim, hev_t, False)
+                    _filter_edge((U, V), cy + 4, cx, 8, True, False,
+                                 interior, sub_lim, hev_t, False)
 
 
 # ------------------------------------------------------ YUV -> RGB + API
