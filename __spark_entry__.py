@@ -1259,6 +1259,17 @@ def _q_multimodal_stats(spark, sf):
               else {"cache_bits": 5} if k % 3 == 1 else {"use_palette": True})
         rows.append(dict(image_id=f"webp_{k}", fmt="webp",
                          bytes=webp.encode_vp8l(planes, **kw)))
+    # r6: four LOSSY rows — the committed libwebp-encoded conformance
+    # fixtures flow through the real RFC 6386 decoder (kernels/vp8.py)
+    # inside the same kernel; the oracle pins each mean as exact
+    # integer-literal arithmetic derived from libwebp's own decode of
+    # the same bytes (tools/make_vp8_fixtures.py provenance), so any
+    # bitstream/loop-filter/upsample drift breaks the hash
+    fix_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "tests", "data")
+    for fname in ("vp8_art_q75", "vp8_synth_q75", "vp8_odd_q50", "vp8_python"):
+        with open(os.path.join(fix_dir, fname + ".webp"), "rb") as f:
+            rows.append(dict(image_id=fname, fmt="webp", bytes=f.read()))
     images = spark.createDataFrame(pd.DataFrame(rows))
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1872,6 +1883,16 @@ def oracle_sql() -> dict[str, str]:
                    CAST(3 AS BIGINT) AS band_count,
                    CAST(COUNT(*) AS BIGINT) AS n_px
             FROM px8 GROUP BY k
+            UNION ALL
+            -- lossy-VP8 conformance rows: exact pixel sums from
+            -- libwebp's decode of the SAME committed fixture bytes
+            -- (independent reference; tools/make_vp8_fixtures.py)
+            SELECT * FROM (VALUES
+              ('vp8_art_q75',   ROUND(70789.0  / 768,   6), CAST(3 AS BIGINT), CAST(768   AS BIGINT)),
+              ('vp8_synth_q75', ROUND(981146.0 / 11520, 6), CAST(3 AS BIGINT), CAST(11520 AS BIGINT)),
+              ('vp8_odd_q50',   ROUND(434581.0 / 5100,  6), CAST(3 AS BIGINT), CAST(5100  AS BIGINT)),
+              ('vp8_python',    ROUND(109897.0 / 1024,  6), CAST(4 AS BIGINT), CAST(1024  AS BIGINT))
+            ) t(image_id, mean_brightness, band_count, n_px)
         """,
         # J1 membership predicate in pure SQL: crossing-number PIP
         # (engine edge rule: half-open (ya>py)!=(yb>py), strict px<xint)
