@@ -135,12 +135,12 @@ def sniff_format(buf: bytes) -> str:
     """Magic-byte format detail for an opaque image payload.
 
     The quarantine router's first stage (r5 VERDICT missing #1):
-    payloads the engine has no codec for (gif/bmp/animated webp/
-    garbage) must be DIVERTED, not fail the task. RIFF containers are
-    discriminated by chunk tag ('VP8L' lossless vs 'VP8 ' lossy vs
-    'VP8X' extended — the VP8X flags byte further splits still images
-    from animations, which kernels/vp8 rejects), the engine container
-    by its format code. Never raises; unknown bytes tag 'unknown'."""
+    payloads the engine has no codec for (gif/bmp/garbage) must be
+    DIVERTED, not fail the task. RIFF containers are discriminated by
+    chunk tag ('VP8L' lossless vs 'VP8 ' lossy vs 'VP8X' extended —
+    the VP8X flags byte further splits still images from animations,
+    which route through kernels/webpanim), the engine container by its
+    format code. Never raises; unknown bytes tag 'unknown'."""
     b = bytes(buf[:21]) if buf is not None else b""
     if b[:4] == MAGIC:
         return _FMT_NAME.get(b[4], "irm-unknown") if len(b) > 4 else "irm-unknown"
@@ -175,11 +175,13 @@ def sniff_format(buf: bytes) -> str:
 
 # format details the engine's from-scratch codecs actually decode
 # (multimodal._decode_any + codecs.decode_image routing); lossy VP8
-# joined in r6 via the RFC 6386 keyframe decoder (kernels/vp8.py) —
-# only animations ('webp-vp8x-anim') and foreign formats stay out
+# joined in r6 via the RFC 6386 keyframe decoder (kernels/vp8.py) and
+# animated webp via the ANMF compositor (kernels/webpanim.py: first
+# frame for still consumers, every frame for frame_sample) — only
+# foreign formats (gif/bmp/...) stay diverted
 DECODABLE_DETAILS = frozenset(
     {FMT_RAW16, FMT_QLOSSY, "tiff", "jpeg", "png",
-     "webp-vp8l", "webp-vp8", "webp-vp8x"})
+     "webp-vp8l", "webp-vp8", "webp-vp8x", "webp-vp8x-anim"})
 
 
 def psnr(a: np.ndarray, b: np.ndarray, peak: float = float(REFLECTANCE_MAX)) -> float:

@@ -971,7 +971,9 @@ def decode_webp(buf: bytes, max_pixels: int = 1 << 26):
         elif tag == b"ALPH" and alph is None:
             alph = body
         elif tag == b"ANIM":
-            raise ValueError("animated WebP is not supported")
+            raise ValueError(
+                "animated WebP: use kernels/webpanim.decode_webp_anim "
+                "(this entry point decodes stills only)")
         p += 8 + size + (size & 1)
     if vp8l is not None:
         from . import webp as _webp

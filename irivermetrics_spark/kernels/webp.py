@@ -1022,11 +1022,20 @@ def encode_vp8l(planes: np.ndarray, use_predictor: bool = False,
 def decode_webp_gray16(buf: bytes) -> np.ndarray:
     """Engine convenience: webp bytes -> (bands, h, w) uint16 like the
     jpeg/png kernels (RGB planes; alpha dropped when fully opaque or
-    absent).  Routes lossless containers to this VP8L codec and lossy
-    ones to the from-scratch RFC 6386 keyframe decoder (kernels/vp8)."""
+    absent).  Routes lossless containers to this VP8L codec, lossy
+    ones to the from-scratch RFC 6386 keyframe decoder (kernels/vp8),
+    and animations (VP8X+ANIM) to the first composited canvas frame
+    (kernels/webpanim) — the libwebp-still view of an animated file."""
     from . import vp8 as _vp8
 
-    rgb, alpha = _vp8.decode_webp(buf)
+    if len(buf) > 20 and buf[12:16] == b"VP8X" and buf[20] & 0x02:
+        from . import webpanim as _anim
+
+        argb = _anim.decode_webp_anim_first(bytes(buf))
+        rgb, a = argb[1:], argb[0]
+        alpha = None if (a == 255).all() else a
+    else:
+        rgb, alpha = _vp8.decode_webp(buf)
     if alpha is None:
         return rgb.astype(np.uint16)
     out = np.empty((4,) + rgb.shape[1:], dtype=np.uint16)

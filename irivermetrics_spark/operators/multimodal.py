@@ -160,8 +160,11 @@ def encode_video(frames: np.ndarray) -> bytes:
 
 def frame_sample(videos: DataFrame, every_k: int = 5) -> DataFrame:
     """Video table (video_id, bytes, fmt) -> every k-th frame as an
-    image row. Real container parsing for the engine format; external
-    containers (mp4 etc.) stub at _decode_any's level of the deployment.
+    image row.  Real container parsing for the engine format AND for
+    animated WebP (kernels/webpanim: ANMF chain composited with
+    libwebp semantics, frames re-encoded as 4-band ARGB raw16 rows);
+    external containers (mp4 etc.) stub at _decode_any's level of the
+    deployment.
     """
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -169,6 +172,19 @@ def frame_sample(videos: DataFrame, every_k: int = 5) -> DataFrame:
             rows = []
             for rec in pdf.itertuples(index=False):
                 buf = bytes(rec.bytes)
+                if codecs.sniff_format(buf) == "webp-vp8x-anim":
+                    from ..kernels import webpanim
+
+                    frames, _, info = webpanim.decode_webp_anim(
+                        buf, every_k=every_k)
+                    for j, fr in enumerate(frames):
+                        rows.append(dict(
+                            video_id=rec.video_id, frame_idx=j * every_k,
+                            bytes=codecs.encode_image(
+                                fr.astype(np.uint16), codecs.FMT_RAW16),
+                            w=info.canvas_w, h=info.canvas_h,
+                            fmt=codecs.FMT_RAW16))
+                    continue
                 n = int(np.frombuffer(buf, dtype="<u4", count=1)[0])
                 off = 4
                 for i in range(n):

@@ -10,7 +10,8 @@ import numpy as np
 import pytest
 
 from irivermetrics_spark import codecs
-from irivermetrics_spark.kernels import geotiff, jpeg, lzw, netcdf, png, vp8, webp
+from irivermetrics_spark.kernels import (geotiff, jpeg, lzw, netcdf, png,
+                                          vp8, webp, webpanim)
 
 # lossy-VP8 fuzz prefix: valid keyframe tag (first_part_size=64, so the
 # random tail is long enough to be "the partition"), start code, and
@@ -23,6 +24,10 @@ _PREFIX = {
     "netcdf": b"CDF\x01",
     "webp": b"RIFF\x30\x00\x00\x00WEBPVP8L\x20\x00\x00\x00\x2f",
     "vp8": _VP8_PREFIX,
+    # animated container: valid RIFF/VP8X-with-anim-flag header so the
+    # random tail fuzzes the ANIM/ANMF chunk walk + compositor bounds
+    "webpanim": (b"RIFF\x40\x00\x00\x00WEBPVP8X\x0a\x00\x00\x00\x12"
+                 b"\x00\x00\x00\x13\x00\x00\x0b\x00\x00"),
     "png": bytes([137, 80, 78, 71, 13, 10, 26, 10]),
     "jpeg": b"\xff\xd8\xff\xe0",
     "codecs": b"",
@@ -32,6 +37,7 @@ _DECODE = {
     "netcdf": netcdf.read_netcdf3,
     "webp": webp.decode_vp8l,
     "vp8": vp8.decode_vp8,
+    "webpanim": webpanim.decode_webp_anim,
     "png": png.decode_png,
     "jpeg": jpeg.decode_baseline,
     "codecs": codecs.decode_image,

@@ -46,12 +46,12 @@ def test_sniff_format_magic_bytes():
     assert s(b"CDF\x01data") == "netcdf3"
     assert s(b"total garbage") == "unknown"
     assert s(b"") == "unknown"
-    # decodability routing: both webp flavours in since r6 (kernels/vp8);
-    # animations and foreign formats stay diverted
+    # decodability routing: both webp flavours in since r6 (kernels/vp8),
+    # animations too (kernels/webpanim); foreign formats stay diverted
     assert "webp-vp8l" in codecs.DECODABLE_DETAILS
     assert "webp-vp8" in codecs.DECODABLE_DETAILS
     assert "webp-vp8x" in codecs.DECODABLE_DETAILS
-    assert "webp-vp8x-anim" not in codecs.DECODABLE_DETAILS
+    assert "webp-vp8x-anim" in codecs.DECODABLE_DETAILS
     assert "gif" not in codecs.DECODABLE_DETAILS
 
 
