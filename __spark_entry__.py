@@ -270,11 +270,40 @@ def _q_c1_date_regex(spark, sf):  # C1 date-from-filename
 
 
 def _q_c5_units(spark, sf):  # C5 unit conversions
+    # RETIRED from the 50-entry board in r6 (slot given to span_dedup):
+    # trivial arithmetic, and the real C5 surface (px²->km², m->km in
+    # operators/metrics.py) is value-pinned by the numpy-parity e2e
+    # (tests/test_pipeline_parity.py) and the c5 kernel tests.
     p = _t(spark, sf, "part")
     return p.groupBy("p_type").agg(
         F.round(F.sum(F.col("p_retailprice") / 1e3), 6).alias("total_kprice"),
         F.round(F.avg(F.col("p_size") * F.lit(2.54)), 6).alias("avg_size_cm"),
     )
+
+
+def _q_span_dedup(spark, sf):
+    """ExactSubstr duplicated-span windows (operators/spandedup —
+    Lee et al. 2022 re-expressed as rolling-hash k-token window joins),
+    DuckDB-oracle-checked by VALUE with an INDEPENDENT key: the engine
+    groups windows by a double 64-bit rolling hash, the oracle groups
+    by the window STRING itself — so a hash collision or vectorization
+    bug mismatches instead of hiding.  Duplicates provably exist: every
+    10th document is unioned in as a full copy inside the query (the
+    oracle mirrors it), on top of any natural repeats."""
+    from irivermetrics_spark.operators import spandedup
+
+    d = _t(spark, sf, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text")
+    dup = (
+        _t(spark, sf, "documents")
+        .filter(F.col("doc_id") % 10 == 0)
+        .select(F.concat(F.lit("dup_"), F.col("doc_id").cast("string")).alias("doc_id"),
+                "text")
+    )
+    w = spandedup.duplicate_span_windows(d.unionByName(dup), k=8)
+    return w.select(
+        "doc_id", F.col("pos").cast("int").alias("pos"),
+        F.col("n_occurrences").cast("bigint").alias("n_occ"), "keep")
 
 
 def _q_f9_having(spark, sf):  # F9 min-size filter on groups
@@ -1323,7 +1352,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "o2_rank": _q_o2_rank,
         "u1_union": _q_u1_union,
         "c1_date_regex": _q_c1_date_regex,
-        "c5_units": _q_c5_units,
+        "span_dedup": _q_span_dedup,
         "f9_having": _q_f9_having,
         "s1_uniform": _q_s1_uniform,
         "ann_ivf_pq": _q_ann_ivf_pq,
@@ -1546,11 +1575,34 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT strftime(parsed, '%Y-%m') AS month, CAST(COUNT(*) AS BIGINT) AS n FROM p GROUP BY 1
         """,
-        "c5_units": """
-            SELECT p_type,
-                   ROUND(SUM(p_retailprice / 1e3), 6) AS total_kprice,
-                   ROUND(AVG(p_size * 2.54), 6) AS avg_size_cm
-            FROM part GROUP BY p_type
+        # c5_units retired r6 (see _q_c5_units) — slot given to span_dedup
+        "span_dedup": """
+            WITH base AS (
+              SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents
+              UNION ALL
+              SELECT 'dup_' || CAST(doc_id AS VARCHAR) AS doc_id, text
+              FROM documents WHERE doc_id % 10 = 0
+            ),
+            toks AS (
+              SELECT doc_id,
+                     list_filter(string_split(text, ' '), x -> x <> '') AS t
+              FROM base
+            ),
+            w AS (
+              SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos,
+                     array_to_string(t[i:i+7], ' ') AS win
+              FROM toks, UNNEST(generate_series(1, len(t) - 7)) AS u(i)
+            ),
+            r AS (
+              SELECT doc_id, pos,
+                     COUNT(*) OVER (PARTITION BY win) AS n_occ,
+                     ROW_NUMBER() OVER (PARTITION BY win
+                                        ORDER BY doc_id, pos) AS rn
+              FROM w
+            )
+            SELECT doc_id, pos, CAST(n_occ AS BIGINT) AS n_occ,
+                   rn = 1 AS keep
+            FROM r WHERE n_occ >= 2
         """,
         "f9_having": """
             WITH per AS (SELECT o_custkey, COUNT(*) AS n FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 5)

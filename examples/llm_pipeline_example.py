@@ -2,7 +2,8 @@
 the LLM-pipeline operator suite chained the way a real 100 TB curation
 job would run.
 
-    documents --exact dedup--> --quality + repetition filter-->
+    documents --exact dedup--> --duplicated-span removal-->
+              --quality + repetition filter-->
               --MinHash-LSH near-dup clusters--> --keeper per cluster-->
     embeddings --IVF ANN--> nearest-neighbor retrieval for the keepers
 
@@ -37,6 +38,19 @@ def main() -> None:
     exact = docs.join(keep_ids, "doc_id")
     n1 = exact.count()
 
+    # 1b. exact duplicated-span removal (ExactSubstr, Lee et al. 2022):
+    # excise every repeated 8-token span except its globally-first
+    # occurrence — rolling-hash window joins, one shuffle
+    from irivermetrics_spark.operators import spandedup
+
+    despanned = spandedup.remove_duplicate_spans(
+        exact.select(F.col("doc_id").cast("string").alias("doc_id"), "text"),
+        k=8)
+    n1b = despanned.where(F.col("n_tokens_removed") > 0).count()
+    exact = (exact.drop("text").join(
+        despanned.select(F.col("doc_id").cast("bigint").alias("doc_id"), "text"),
+        "doc_id"))
+
     # 2. quality + repetition gate (all JVM column expressions)
     feats = textops.with_repetition_signals(textops.with_text_features(exact))
     kept = feats.filter(
@@ -70,7 +84,8 @@ def main() -> None:
                              shortlist=8, index=index)
     n5 = hits_pq.count()
 
-    print(f"\ndocuments: {n0} -> exact-deduped {n1} -> quality-kept {n2} "
+    print(f"\ndocuments: {n0} -> exact-deduped {n1} "
+          f"(span-trimmed {n1b}) -> quality-kept {n2} "
           f"-> near-dup keepers {n3}; ANN rows for 5 queries: {n4} "
           f"(IVF exact-rerank) / {n5} (IVF-routed PQ)")
     print(hits.orderBy("query_id", "rank").toPandas().to_string(index=False))
