@@ -359,3 +359,77 @@ def test_webp_roundtrip_property(case):
     buf = webp.encode_vp8l(planes, **kw)
     out = webp.decode_vp8l(buf)
     np.testing.assert_array_equal(out, planes)
+
+
+# ---- animated webp: random frame stacks / rects / flags vs the ----
+# ---- scalar spec compositor (and exact round-trip of payloads) ----
+
+_anim_frames = st.integers(1, 4).flatmap(lambda n: st.tuples(
+    st.just(n),
+    st.lists(st.tuples(st.integers(0, 2), st.integers(0, 2),  # x/2, y/2
+                       st.integers(1, 6), st.integers(1, 6),  # w, h
+                       st.booleans(), st.booleans()),          # blend, dispose
+             min_size=n, max_size=n)))
+
+
+@settings(max_examples=40, deadline=None)
+@given(_anim_frames, st.integers(0, 2**32 - 1))
+def test_webp_anim_property_roundtrip_and_composite(spec, seed):
+    from irivermetrics_spark.kernels import webpanim
+
+    n, rects = spec
+    rng = np.random.default_rng(seed)
+    cw = ch = 12
+    frames, offsets, blend, dispose = [], [], [], []
+    for (x2, y2, fw, fh, bl, dsp) in rects:
+        frames.append(rng.integers(0, 256, (4, fh, fw)).astype(np.uint8))
+        offsets.append((2 * x2, 2 * y2))
+        blend.append(bl)
+        dispose.append(dsp)
+    buf = webpanim.encode_webp_anim(frames, list(range(n)), offsets=offsets,
+                                    blend=blend, dispose=dispose,
+                                    canvas_wh=(cw, ch))
+    got, durs, info = webpanim.decode_webp_anim(buf)
+    assert durs == list(range(n)) and (info.canvas_w, info.canvas_h) == (cw, ch)
+    # payload round-trip: each embedded frame decodes back exactly
+    for f, want in zip(info.frames, frames):
+        np.testing.assert_array_equal(
+            webpanim._decode_frame_rgba(f, 1 << 20), want)
+    # composite vs the scalar spec reference
+    from tests.test_webp_anim import _reference_composite
+
+    want_frames = _reference_composite(frames, offsets, blend, dispose, cw, ch)
+    for g, w in zip(got, want_frames):
+        np.testing.assert_array_equal(g, w)
+
+
+# ---- span dedup: random corpora vs the token-tuple reference ----
+
+_span_corpus = st.lists(
+    st.lists(st.sampled_from(["aa", "bb", "cc", "dd"]), min_size=0, max_size=12),
+    min_size=1, max_size=8)
+
+
+@settings(max_examples=60, deadline=None)
+@given(_span_corpus, st.integers(1, 4))
+def test_span_window_hashes_match_token_tuples(doc_lists, k):
+    # hash equality must coincide EXACTLY with token-tuple equality on
+    # this tiny-vocab corpus (dense repeats stress the rolling hash)
+    from irivermetrics_spark.operators import spandedup
+
+    wins = {}
+    for i, toks in enumerate(doc_lists):
+        if len(toks) < k:
+            continue
+        th = spandedup._token_hashes(toks)
+        th2 = (th ^ (th >> np.uint64(31))) * spandedup._MIX
+        with np.errstate(over="ignore"):
+            h1 = spandedup._window_hashes(th, k, spandedup._B1)
+            h2 = spandedup._window_hashes(th2, k, spandedup._B2)
+        for p in range(len(toks) - k + 1):
+            wins.setdefault(tuple(toks[p:p + k]), set()).add(
+                (int(h1[p]), int(h2[p])))
+    # same tuple -> same hash pair; different tuples -> different pairs
+    assert all(len(v) == 1 for v in wins.values())
+    pairs = [next(iter(v)) for v in wins.values()]
+    assert len(set(pairs)) == len(pairs)
