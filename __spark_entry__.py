@@ -461,15 +461,27 @@ def _q_text_tokens_bpe(spark, sf):  # BPE-ish regex token budgeting
     )
 
 
-def _q_text_langid_argmax(spark, sf):  # multi-language marker argmax
-    from irivermetrics_spark.operators import textops
+def _q_semdedup(spark, sf):
+    """SemDeDup semantic dedup (operators/semdedup.py), keeper output.
 
-    d = _t(spark, sf, "documents")
-    return (
-        d.select(textops.langid_argmax(F.col("text")).alias("pred_lang"))
-        .groupBy("pred_lang")
-        .agg(F.count("*").cast("bigint").alias("n_docs"))
-    )
+    n_clusters=1 degenerates to the exact brute-force intra-cluster
+    pair scan (the nprobe=n_lists trick that pins ann_ivf), so the
+    DuckDB oracle can re-derive the survivors: salted exact copies
+    (vec_id+1e6 for vec_id<6, +2e6 for vec_id<3) form cliques whose
+    min-id keeper survives; the corpus max off-diagonal cosine (~0.51
+    at small sf) keeps the 0.95 threshold unambiguous, so losers ==
+    ids with any smaller >=0.95 neighbor. Clustered-mode recall and
+    component collapse are pytest-pinned (test_semdedup_phash.py).
+    (Retired text_langid_argmax to hold the 50-entry cap; langid
+    argmax semantics moved to a pytest pin in test_textops_dedup.py.)"""
+    from irivermetrics_spark.operators import semdedup
+
+    em = _t(spark, sf, "embeddings")
+    dup1 = em.filter(F.col("vec_id") < 6).withColumn("vec_id", F.col("vec_id") + 1000000)
+    dup2 = em.filter(F.col("vec_id") < 3).withColumn("vec_id", F.col("vec_id") + 2000000)
+    u = em.unionByName(dup1).unionByName(dup2)
+    kept = semdedup.semdedup_keep(u, n_clusters=1, threshold=0.95, round_to=6)
+    return kept.select(F.col("vec_id").cast("bigint").alias("vec_id"))
 
 
 def _q_ann_brute(spark, sf):  # brute-force cosine top-k
@@ -655,11 +667,15 @@ PIP_RING_Y = [0.7, 10.2, 55.3, 95.9, 80.1]
 
 
 def _q_pip_oracle(spark, sf):
-    """Exact ray-casting point-in-polygon, DuckDB-oracle-checked: the
-    engine's crossing-number rule (functions/geometry.py:point_in_polygon
-    — half-open (ya>py)!=(yb>py) edges, strict px<xint) re-derived as a
-    points x edges SQL aggregate over a fixed concave ring. Pins the
-    PIP refinement semantics the zonal join depends on."""
+    """Exact ray-casting point-in-polygon re-derived as a points x
+    edges SQL aggregate over a fixed concave ring. Retired from the
+    driver board in r6 to hold the 50-entry cap while phash_neardup
+    joined: the same crossing-number rule (functions/geometry.py:
+    point_in_polygon — half-open (ya>py)!=(yb>py) edges, strict
+    px<xint) is pinned bit-for-bit with EXACT operand order inside the
+    hash-green zonal_join_rows oracle (6840 rows) and drives j1_star;
+    this standalone entry remains callable and pinned by
+    tests/test_scale_ops.py against PIP_RETIRED_SQL."""
     import numpy as np
     import pandas as pd
 
@@ -683,6 +699,129 @@ def _q_pip_oracle(spark, sf):
         .agg(F.count("*").cast("bigint").alias("n_points"),
              F.round(F.sum("x"), 4).alias("sum_x"))
     )
+
+
+# the retired pip_oracle SQL, kept for the pytest pin
+# (tests/test_scale_ops.py::test_pip_retired_entry_still_matches_duckdb)
+PIP_RETIRED_SQL = """
+    WITH pts AS (
+      SELECT event_id, value * 0.27 AS x, (event_id % 101) * 1.01 AS y
+      FROM events WHERE value IS NOT NULL
+    ), edges(xa, ya, xb, yb) AS (
+      VALUES (0.3, 0.7, 120.4, 10.2),
+             (120.4, 10.2, 60.1, 55.3),
+             (60.1, 55.3, 110.7, 95.9),
+             (110.7, 95.9, 5.2, 80.1),
+             (5.2, 80.1, 0.3, 0.7)
+    ), hits AS (
+      -- crossing-number rule, exactly the engine's half-open
+      -- (ya>py)!=(yb>py) edges with strict px < xint
+      SELECT p.event_id, p.x,
+             SUM(CASE WHEN ((e.ya > p.y) <> (e.yb > p.y))
+                       AND p.x < e.xa + (p.y - e.ya) * (e.xb - e.xa) / (e.yb - e.ya)
+                      THEN 1 ELSE 0 END) AS crossings
+      FROM pts p CROSS JOIN edges e
+      GROUP BY p.event_id, p.x
+    )
+    SELECT (crossings % 2 = 1) AS inside,
+           CAST(COUNT(*) AS BIGINT) AS n_points,
+           ROUND(SUM(x), 4) AS sum_x
+    FROM hits GROUP BY 1
+"""
+
+
+# phash_neardup board entry: target bit patterns (block index -> set
+# bit), shared between the Spark entry (which builds real raster
+# payloads realizing each pattern) and the DuckDB oracle (which
+# re-derives the full pixel->block-mean->median->bit-pack->hamming
+# chain from the same constants). All indices < 63 (no sign bit) and
+# <= 32 ones (median stays at the low block value). Family a: base +
+# 1-3 bit flips (a1<->a3 sits at hamming 4 — the just-excluded pair);
+# family b: a distant pattern + a 2-bit variant.
+_PHASH_PATTERNS: dict[str, list[int]] = {
+    "a0": list(range(24)),
+    "a1": [i for i in range(24) if i != 0] + [30],
+    "a2": list(range(24)) + [24],
+    "a3": [i for i in range(24) if i not in (1, 2)],
+    "b0": list(range(40, 56)) + [8, 9],
+    "b1": list(range(40, 56)) + [8, 33],
+}
+
+
+def _q_phash_neardup(spark, sf):
+    """Perceptual-hash image near-dup (multimodal.phash_neardup): the
+    input-hint table's own ``phash:int64`` column semantics as a
+    first-class operator, DuckDB-value-pinned end to end.
+
+    Generated-data-through-real-kernel (the multimodal_stats trick):
+    each image realizes a target 8x8 bit pattern as 2x2 pixel blocks
+    of mean 100 (bit 0) or 110 (bit 1) with +/-1 in-block texture, so
+    the REAL raw16 encode -> decode -> band-mean -> 8x8 block-mean ->
+    median-threshold -> bit-pack chain (codecs.phash64 via one
+    mapInPandas pass) must reproduce exactly sum(1<<bit), and the REAL
+    Manku pigeonhole banded join (dedup.hamming_candidates, shared
+    with SimHash) must surface exactly the <=3-hamming pairs. The
+    oracle re-derives every step in SQL from the same pattern
+    constants: pixels via range(), block means via AVG, median via
+    MEDIAN, pack via bit-shift SUM, pairs via xor + bit_count.
+    (Retired pip_oracle to hold the 50-entry cap — see _q_pip_oracle.)
+    Cross-codec robustness (jpeg/png/webp re-encodes of one artwork
+    pairing up) is pytest-pinned in test_semdedup_phash.py."""
+    import numpy as np
+    import pandas as pd
+
+    from irivermetrics_spark import codecs
+    from irivermetrics_spark.operators import multimodal
+
+    delta = np.tile(np.array([[-1, 1], [1, -1]], np.int64), (8, 8))
+    rows = []
+    for name, bits in _PHASH_PATTERNS.items():
+        m = np.full((8, 8), 100, np.int64)
+        for b in bits:
+            m[b // 8, b % 8] = 110
+        img = (np.kron(m, np.ones((2, 2), np.int64)) + delta).astype(np.uint16)
+        rows.append(dict(image_id=name,
+                         bytes=codecs.encode_image(np.stack([img] * 3)),
+                         fmt=codecs.FMT_RAW16))
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    pairs = multimodal.phash_neardup(df, max_hamming=3)
+    return pairs.select("id_a", "id_b", F.col("hamming").cast("bigint").alias("hamming"))
+
+
+def _phash_neardup_sql() -> str:
+    """DuckDB re-derivation of the full phash_neardup chain from the
+    shared _PHASH_PATTERNS constants (see _q_phash_neardup)."""
+    vals = ", ".join(
+        f"('{n}', CAST({sum(1 << b for b in bits)} AS BIGINT))"
+        for n, bits in _PHASH_PATTERNS.items()
+    )
+    return f"""
+        WITH imgs(img_id, p) AS (VALUES {vals}),
+        px AS (
+          -- the same 16x16 single-band image the entry encodes: block
+          -- (y//2, x//2) carries 100 + 10*bit, +/-1 checker texture
+          SELECT img_id, y.range AS y, x.range AS x,
+                 100 + 10 * ((p >> CAST((y.range // 2) * 8 + (x.range // 2) AS INTEGER)) & 1)
+                     + CASE WHEN (y.range + x.range) % 2 = 0 THEN -1 ELSE 1 END AS v
+          FROM imgs, range(16) y, range(16) x
+        ), blocks AS (
+          SELECT img_id, (y // 2) * 8 + (x // 2) AS bi, AVG(v) AS bm
+          FROM px GROUP BY 1, 2
+        ), med AS (
+          SELECT img_id, MEDIAN(bm) AS md FROM blocks GROUP BY 1
+        ), ph AS (
+          SELECT b.img_id,
+                 SUM(CASE WHEN bm > md THEN (CAST(1 AS BIGINT) << CAST(bi AS INTEGER))
+                          ELSE CAST(0 AS BIGINT) END) AS phash
+          FROM blocks b JOIN med USING (img_id) GROUP BY 1
+        ), pairs AS (
+          SELECT a.img_id AS id_a, b.img_id AS id_b,
+                 bit_count(xor(a.phash, b.phash)) AS hamming
+          FROM ph a JOIN ph b ON a.img_id < b.img_id
+        )
+        SELECT id_a, id_b, CAST(hamming AS BIGINT) AS hamming
+        FROM pairs WHERE hamming <= 3
+    """
 
 
 def _q_haversine_oracle(spark, sf):
@@ -1365,7 +1504,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": _q_text_quality,
         "text_langid": _q_text_langid,
         "text_tokens_bpe": _q_text_tokens_bpe,
-        "text_langid_argmax": _q_text_langid_argmax,
+        "semdedup": _q_semdedup,
         "ann_brute": _q_ann_brute,
         "ann_ivf": _q_ann_ivf,
         "ann_pq": _q_ann_pq,
@@ -1380,7 +1519,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_embed_neardup": _q_image_embed_neardup,
         "tile_assign_oracle": _q_tile_assign_oracle,
         "quad_assign_oracle": _q_quad_assign_oracle,
-        "pip_oracle": _q_pip_oracle,
+        "phash_neardup": _q_phash_neardup,
         "text_repetition": _q_text_repetition,
         "pathlen_oracle": _q_pathlen_oracle,
         # ---- rows-only (no SQL form; numpy-parity pytested) ----
@@ -1713,31 +1852,11 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(COALESCE(list_sum(list_transform(range(1, len(a)), i -> abs(a[i+1] - a[i]))), 0.0), 4) AS path_len
             FROM per
         """,
-        "pip_oracle": """
-            WITH pts AS (
-              SELECT event_id, value * 0.27 AS x, (event_id % 101) * 1.01 AS y
-              FROM events WHERE value IS NOT NULL
-            ), edges(xa, ya, xb, yb) AS (
-              VALUES (0.3, 0.7, 120.4, 10.2),
-                     (120.4, 10.2, 60.1, 55.3),
-                     (60.1, 55.3, 110.7, 95.9),
-                     (110.7, 95.9, 5.2, 80.1),
-                     (5.2, 80.1, 0.3, 0.7)
-            ), hits AS (
-              -- crossing-number rule, exactly the engine's half-open
-              -- (ya>py)!=(yb>py) edges with strict px < xint
-              SELECT p.event_id, p.x,
-                     SUM(CASE WHEN ((e.ya > p.y) <> (e.yb > p.y))
-                               AND p.x < e.xa + (p.y - e.ya) * (e.xb - e.xa) / (e.yb - e.ya)
-                              THEN 1 ELSE 0 END) AS crossings
-              FROM pts p CROSS JOIN edges e
-              GROUP BY p.event_id, p.x
-            )
-            SELECT (crossings % 2 = 1) AS inside,
-                   CAST(COUNT(*) AS BIGINT) AS n_points,
-                   ROUND(SUM(x), 4) AS sum_x
-            FROM hits GROUP BY 1
-        """,
+        # pip_oracle retired r6 (slot given to phash_neardup) — the
+        # crossing-number PIP rule stays hash-pinned with exact operand
+        # order inside zonal_join_rows; the standalone entry stays
+        # pytest-pinned against PIP_RETIRED_SQL (test_scale_ops.py)
+        "phash_neardup": _phash_neardup_sql(),
         "text_repetition": """
             WITH base AS (
               SELECT doc_id, string_split(text, ' ') AS ws FROM documents
@@ -1792,39 +1911,32 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(AVG(n), 6) AS avg_bpe_tokens
             FROM t GROUP BY lang
         """,
-        "text_langid_argmax": """
-            WITH s AS (
-              SELECT
-                ((length(text) - length(replace(text, ' der ', ''))) / 5.0
-                 + (length(text) - length(replace(text, ' und ', ''))) / 5.0
-                 + (length(text) - length(replace(text, ' die ', ''))) / 5.0
-                 + (length(text) - length(replace(text, ' ist ', ''))) / 5.0
-                ) * 100.0 / GREATEST(length(text), 1) AS s_de,
-                ((length(text) - length(replace(text, ' the ', ''))) / 5.0
-                 + (length(text) - length(replace(text, ' and ', ''))) / 5.0
-                 + (length(text) - length(replace(text, ' of ', ''))) / 4.0
-                 + (length(text) - length(replace(text, ' a ', ''))) / 3.0
-                ) * 100.0 / GREATEST(length(text), 1) AS s_en,
-                ((length(text) - length(replace(text, ' el ', ''))) / 4.0
-                 + (length(text) - length(replace(text, ' y ', ''))) / 3.0
-                 + (length(text) - length(replace(text, ' los ', ''))) / 5.0
-                 + (length(text) - length(replace(text, ' es ', ''))) / 4.0
-                ) * 100.0 / GREATEST(length(text), 1) AS s_es,
-                ((length(text) - length(replace(text, ' le ', ''))) / 4.0
-                 + (length(text) - length(replace(text, ' et ', ''))) / 4.0
-                 + (length(text) - length(replace(text, ' les ', ''))) / 5.0
-                 + (length(text) - length(replace(text, ' est ', ''))) / 5.0
-                ) * 100.0 / GREATEST(length(text), 1) AS s_fr
-              FROM documents
+        # text_langid_argmax retired r6 (slot given to semdedup) — the
+        # argmax tie-break semantics stay pytest-pinned
+        # (test_textops_dedup.py::test_langid_argmax_markers_and_ties)
+        # and the marker-score SQL family stays green via text_langid
+        "semdedup": """
+            WITH u AS (
+              SELECT vec_id, embedding FROM embeddings
+              UNION ALL
+              SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id < 6
+              UNION ALL
+              SELECT vec_id + 2000000, embedding FROM embeddings WHERE vec_id < 3
+            ), pairs AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b
+              FROM u a JOIN u b ON a.vec_id < b.vec_id
+              WHERE ROUND((
+                      SELECT SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+                      FROM (SELECT UNNEST(a.embedding) AS x, UNNEST(b.embedding) AS y)
+                   ) / (
+                      SQRT((SELECT SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) FROM (SELECT UNNEST(a.embedding) AS x)))
+                      * SQRT((SELECT SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) FROM (SELECT UNNEST(b.embedding) AS y)))
+                   ), 6) >= 0.95
             )
-            SELECT pred_lang, CAST(COUNT(*) AS BIGINT) AS n_docs FROM (
-              SELECT CASE
-                WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
-                WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
-                WHEN s_es >= s_fr THEN 'es'
-                ELSE 'fr' END AS pred_lang
-              FROM s
-            ) GROUP BY pred_lang
+            -- the planted exact copies form cliques, so the min-id
+            -- keeper rule reduces to "has no smaller >=0.95 neighbor"
+            SELECT CAST(vec_id AS BIGINT) AS vec_id FROM u
+            WHERE vec_id NOT IN (SELECT id_b FROM pairs)
         """,
         "ann_brute": _ann_brute_sql("vec_id < 3"),
         # ---- r3 conversions: formerly rows-only entries, now value-pinned ----

@@ -402,14 +402,18 @@ def simhash_n_blocks(n_docs: int, max_hamming: int = 3, target_bucket: int = 16)
     return 64
 
 
-def simhash_candidates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+def hamming_candidates(hashed: DataFrame, hash_col: str, id_col: str = "id",
                        max_hamming: int = 3, n_blocks: int | None = None,
                        bucket_cap: int | None = None,
-                       persisted_out: list | None = None) -> DataFrame:
-    """Near-dup pairs with Hamming(simhash) <= max_hamming.
+                       persisted_out: list | None = None,
+                       _caller: str = "hamming_candidates") -> DataFrame:
+    """(id_a, id_b, hamming) pairs with Hamming(hash) <= max_hamming
+    over ANY 64-bit hash column — the candidate join shared by text
+    SimHash (simhash_candidates) and image pHash
+    (multimodal.phash_neardup).
 
     Candidate generation is the pigeonhole block scheme: the 64-bit
-    simhash splits into ``n_blocks`` blocks; any pair within Hamming
+    hash splits into ``n_blocks`` blocks; any pair within Hamming
     distance ``max_hamming`` shares at least ``n_blocks - max_hamming``
     unchanged blocks, so every (n_blocks - max_hamming)-combination of
     block values is hashed into one candidate key. All combinations are
@@ -436,22 +440,22 @@ def simhash_candidates(docs: DataFrame, id_col: str = "doc_id", text_col: str = 
     k = n_blocks or (max_hamming + 1)
     if k <= max_hamming:
         raise ValueError(f"n_blocks={k} must exceed max_hamming={max_hamming}")
-    d = simhash64(docs, id_col, text_col)
+    d = hashed.select(F.col(id_col).alias("id"), F.col(hash_col).alias("h64"))
 
     # block i covers bits [starts[i], starts[i+1]) — remainder spread left
     widths = [64 // k + (1 if i < 64 % k else 0) for i in range(k)]
     starts = [sum(widths[:i]) for i in range(k)]
     block_cols = [
-        F.shiftrightunsigned("simhash", starts[i]).bitwiseAND(F.lit((1 << widths[i]) - 1))
+        F.shiftrightunsigned("h64", starts[i]).bitwiseAND(F.lit((1 << widths[i]) - 1))
         for i in range(k)
     ]
     combos = list(combinations(range(k), k - max_hamming))
     key_exprs = [
         F.xxhash64(F.lit(ci), *[block_cols[b] for b in combo]) for ci, combo in enumerate(combos)
     ]
-    # persisted: the self-join below would otherwise run the simhash
-    # signature UDF once per join side
-    banded = d.select("id", "simhash", F.posexplode(F.array(*key_exprs)).alias("combo", "bucket")).persist()
+    # persisted: the self-join below would otherwise run the (possibly
+    # UDF-produced) hash column once per join side
+    banded = d.select("id", "h64", F.posexplode(F.array(*key_exprs)).alias("combo", "bucket")).persist()
     if persisted_out is not None:
         persisted_out.append(banded)
 
@@ -464,8 +468,8 @@ def simhash_candidates(docs: DataFrame, id_col: str = "doc_id", text_col: str = 
                         F.coalesce(F.sum("n_in_bucket"), F.lit(0)).alias("n_rows")).collect()[0]
         if stats["n_buckets"]:
             logging.getLogger(__name__).warning(
-                "simhash_candidates: skipping %d hot buckets covering %d banded rows (bucket_cap=%d)",
-                stats["n_buckets"], stats["n_rows"], bucket_cap,
+                "%s: skipping %d hot buckets covering %d banded rows (bucket_cap=%d)",
+                _caller, stats["n_buckets"], stats["n_rows"], bucket_cap,
             )
         banded = banded.join(F.broadcast(hot.select("combo", "bucket")), ["combo", "bucket"], "left_anti")
 
@@ -474,8 +478,22 @@ def simhash_candidates(docs: DataFrame, id_col: str = "doc_id", text_col: str = 
         .join(banded.alias("r"), ["combo", "bucket"])
         .where(F.col("l.id") < F.col("r.id"))
         .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"),
-                F.col("l.simhash").alias("sh_a"), F.col("r.simhash").alias("sh_b"))
+                F.col("l.h64").alias("h_a"), F.col("r.h64").alias("h_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    hamming = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
     return pairs.select("id_a", "id_b", hamming.alias("hamming")).where(F.col("hamming") <= max_hamming)
+
+
+def simhash_candidates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                       max_hamming: int = 3, n_blocks: int | None = None,
+                       bucket_cap: int | None = None,
+                       persisted_out: list | None = None) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) <= max_hamming.
+
+    simhash64 signature pass + the shared pigeonhole block join
+    (``hamming_candidates`` — see its docstring for the candidate-key
+    scheme, n_blocks scaling rule, and bucket_cap semantics)."""
+    d = simhash64(docs, id_col, text_col)
+    return hamming_candidates(d, "simhash", "id", max_hamming, n_blocks,
+                              bucket_cap, persisted_out, _caller="simhash_candidates")

@@ -25,6 +25,7 @@ from collections.abc import Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from .. import codecs
 
@@ -247,6 +248,72 @@ def embed_images(images: DataFrame, pool_h: int = 4, pool_w: int = 6,
 
     return images.select("image_id", "bytes", "fmt").mapInPandas(
         kernel, "image_id string, embedding array<float>")
+
+
+def phash_images(images: DataFrame, on_error: str = "raise") -> DataFrame:
+    """Image -> 64-bit perceptual hash: (image_id, phash).
+
+    Decode via the engine's own codecs (_decode_any) then
+    codecs.phash64 (band-mean -> 8x8 block means -> median-threshold
+    bits) in one batched ``mapInPandas`` pass — embarrassingly
+    parallel, no shuffle, binary never leaves the executor.
+
+    ``on_error="quarantine"`` adds an ``error`` column (phash NULL,
+    error = the decode exception) instead of failing the task — the
+    web-crawl contract shared with resize_images/embed_images.
+    """
+    if on_error not in ("raise", "quarantine"):
+        raise ValueError(f"on_error {on_error!r} (raise|quarantine)")
+    quarantine = on_error == "quarantine"
+    schema = "image_id string, phash long" + (", error string" if quarantine else "")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rec in pdf.itertuples(index=False):
+                raw = None if rec.bytes is None else bytes(rec.bytes)
+                try:
+                    row = dict(image_id=rec.image_id,
+                               phash=codecs.phash64(_decode_any(raw, rec.fmt)))
+                    if quarantine:
+                        row["error"] = None
+                except Exception as e:
+                    if not quarantine:
+                        raise
+                    row = dict(image_id=rec.image_id, phash=None,
+                               error=f"{type(e).__name__}: {e}")
+                rows.append(row)
+            yield pd.DataFrame(rows) if rows else pd.DataFrame(
+                {c.split()[0]: [] for c in schema.split(", ")})
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(kernel, schema)
+
+
+def phash_neardup(images: DataFrame, max_hamming: int = 3, n_blocks: int | None = None,
+                  bucket_cap: int | None = None, on_error: str = "raise",
+                  persisted_out: list | None = None) -> DataFrame:
+    """Perceptual near-duplicate image pairs: (id_a, id_b, hamming)
+    with Hamming(phash) <= max_hamming.
+
+    The image-side analog of text SimHash dedup: one decode+hash pass
+    (phash_images), then the SAME Manku pigeonhole block join
+    (dedup.hamming_candidates) — a bucket equi-join, never all-pairs,
+    with the same n_blocks scale rule (dedup.simhash_n_blocks) and
+    hot-bucket cap. Catches byte-level re-encodes (jpeg<->png<->webp of
+    the same artwork) and light quantization; pair with
+    ``embed_images`` + cosine near-dup for heavier edits.
+
+    ``on_error="quarantine"`` drops undecodable payloads from the pair
+    scan (they can never match) instead of failing the task; recover
+    the dead-letter rows via ``phash_images(..., "quarantine")``.
+    """
+    from .dedup import hamming_candidates
+
+    hashed = phash_images(images, on_error=on_error)
+    if on_error == "quarantine":
+        hashed = hashed.where(F.col("phash").isNotNull()).select("image_id", "phash")
+    return hamming_candidates(hashed, "phash", "image_id", max_hamming, n_blocks,
+                              bucket_cap, persisted_out, _caller="phash_neardup")
 
 
 def audio_features(audio: DataFrame) -> DataFrame:

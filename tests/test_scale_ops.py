@@ -375,3 +375,22 @@ def test_haversine_retired_entry_still_matches_duckdb(spark):
     assert int(got.n_pairs[0]) == int(want.n_pairs[0])
     for c in ("avg_dist_m", "max_dist_m", "min_dist_m"):
         assert np.isclose(got[c][0], want[c][0], atol=1e-4), c
+
+
+def test_pip_retired_entry_still_matches_duckdb(spark):
+    """pip_oracle was retired from the driver board in r6 (the same
+    crossing-number rule is hash-pinned with exact operand order
+    inside zonal_join_rows); the standalone entry stays pinned here
+    against the retired DuckDB SQL."""
+    import duckdb
+
+    import __spark_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+    got = entry._q_pip_oracle(spark, sf).toPandas().sort_values("inside").reset_index(drop=True)
+    con = duckdb.connect()
+    con.sql(f"create view events as select * from '{sf}/events.parquet'")
+    want = con.sql(entry.PIP_RETIRED_SQL).df().sort_values("inside").reset_index(drop=True)
+    assert got.inside.tolist() == want.inside.tolist()
+    assert got.n_points.tolist() == want.n_points.tolist()
+    assert np.allclose(got.sum_x.to_numpy(), want.sum_x.to_numpy(), atol=1e-4)

@@ -246,3 +246,21 @@ def test_incremental_lsh_equals_full_corpus(spark):
     assert set(new_banded.columns) == {"id", "minhash", "band", "bucket"}
     for p in old_per + [new_banded]:
         p.unpersist()
+
+
+def test_langid_argmax_markers_and_ties(spark):
+    # pins the argmax semantics after the text_langid_argmax board
+    # entry retired (r6): highest marker density wins, ties break by
+    # language-code order (alphabetical FIRST, not greatest()'s last)
+    from irivermetrics_spark.operators import textops
+
+    rows = [
+        ("d_en", "we saw the cat and the dog of a friend in a park"),
+        ("d_de", "das ist der hund und die katze und der vogel ist da"),
+        ("d_fr", "voici le chien et les chats car cela est le jardin"),
+        ("d_tie", "zzz qqq www"),  # zero score everywhere -> first lang code
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    got = {r.doc_id: r.lang for r in df.select(
+        "doc_id", textops.langid_argmax(F.col("text")).alias("lang")).collect()}
+    assert got == {"d_en": "en", "d_de": "de", "d_fr": "fr", "d_tie": "de"}
