@@ -328,6 +328,9 @@ def exact_jaccard_pairs(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id
                         jac("id_a", "id_b").alias("jaccard"))
 
 
+_NUMERIC_ID_TYPES = ("tinyint", "smallint", "int", "bigint")
+
+
 def cluster_duplicates(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
                        edge_limit: int = 1_000_000) -> DataFrame:
     """Near-dup pairs -> (id, cluster) connected components.
@@ -338,23 +341,57 @@ def cluster_duplicates(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
     two-level machinery (driver union-find under ``edge_limit``,
     distributed min-label propagation above it); cluster id = min doc
     id in the component. Only ids that appear in a pair are returned.
+
+    Integer ids take the direct path (labels ARE the ids). Any other
+    orderable id type — e.g. the image table's string ``image_id``
+    feeding ``multimodal.phash_neardup`` pairs — is mapped to dense
+    surrogate longs first (``monotonically_increasing_id`` over the
+    distinct pair ids, pinned by an eager ``localCheckpoint`` so the
+    nondeterministic id generator can never be recomputed into a
+    different mapping mid-plan), components resolve on the surrogates,
+    and the cluster id comes back as min ORIGINAL id per component —
+    same keeper semantics, same return schema, fully distributed.
     """
     from .distccl import resolve_components
 
-    edges = pairs.select(F.lit("g").alias("g"), F.col(id_a).cast("long").alias("la"),
-                         F.col(id_b).cast("long").alias("lb"))
-    remap = resolve_components(edges, ["g"], edge_limit)
-    members = (
-        pairs.select(F.col(id_a).cast("long").alias("id"))
-        .unionByName(pairs.select(F.col(id_b).cast("long").alias("id")))
+    if dict(pairs.dtypes)[id_a] in _NUMERIC_ID_TYPES:
+        edges = pairs.select(F.lit("g").alias("g"), F.col(id_a).cast("long").alias("la"),
+                             F.col(id_b).cast("long").alias("lb"))
+        remap = resolve_components(edges, ["g"], edge_limit)
+        members = (
+            pairs.select(F.col(id_a).cast("long").alias("id"))
+            .unionByName(pairs.select(F.col(id_b).cast("long").alias("id")))
+            .distinct()
+        )
+        if remap is None:
+            return members.withColumn("cluster", F.col("id"))
+        return (
+            members.join(remap.select(F.col("glabel").alias("id"), "component"), "id", "left")
+            .select("id", F.coalesce("component", "id").alias("cluster"))
+        )
+
+    ids = (
+        pairs.select(F.col(id_a).alias("id"))
+        .unionByName(pairs.select(F.col(id_b).alias("id")))
         .distinct()
+        .withColumn("mid", F.monotonically_increasing_id())
+        .localCheckpoint(eager=True)
     )
+    a_map = ids.select(F.col("id").alias(id_a), F.col("mid").alias("la"))
+    b_map = ids.select(F.col("id").alias(id_b), F.col("mid").alias("lb"))
+    edges = (
+        pairs.select(id_a, id_b).join(a_map, id_a).join(b_map, id_b)
+        .select(F.lit("g").alias("g"), "la", "lb")
+    )
+    remap = resolve_components(edges, ["g"], edge_limit)
     if remap is None:
-        return members.withColumn("cluster", F.col("id"))
-    return (
-        members.join(remap.select(F.col("glabel").alias("id"), "component"), "id", "left")
-        .select("id", F.coalesce("component", "id").alias("cluster"))
+        return ids.select("id").withColumn("cluster", F.col("id"))
+    mem = (
+        ids.join(remap.select(F.col("glabel").alias("mid"), "component"), "mid", "left")
+        .select("id", F.coalesce("component", "mid").alias("comp"))
     )
+    canon = mem.groupBy("comp").agg(F.min("id").alias("cluster"))
+    return mem.join(canon, "comp").select("id", "cluster")
 
 
 def keep_canonical(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
@@ -402,6 +439,42 @@ def simhash_n_blocks(n_docs: int, max_hamming: int = 3, target_bucket: int = 16)
     return 64
 
 
+def hamming_band_keys(hash_col: str, max_hamming: int = 3,
+                      n_blocks: int | None = None) -> list:
+    """The pigeonhole candidate keys of a 64-bit hash column, as one
+    xxhash64 Column per (n_blocks - max_hamming)-combination of blocks
+    — shared by the batch join (hamming_candidates) and the streaming
+    stateful near-dup (streaming/stateful.stream_phash_neardup), so
+    both surfaces bucket identically."""
+    from itertools import combinations
+
+    k = n_blocks or (max_hamming + 1)
+    if k <= max_hamming:
+        raise ValueError(f"n_blocks={k} must exceed max_hamming={max_hamming}")
+    # block i covers bits [starts[i], starts[i+1]) — remainder spread left
+    widths = [64 // k + (1 if i < 64 % k else 0) for i in range(k)]
+    starts = [sum(widths[:i]) for i in range(k)]
+    block_cols = [
+        F.shiftrightunsigned(hash_col, starts[i]).bitwiseAND(F.lit((1 << widths[i]) - 1))
+        for i in range(k)
+    ]
+    combos = list(combinations(range(k), k - max_hamming))
+    return [
+        F.xxhash64(F.lit(ci), *[block_cols[b] for b in combo]) for ci, combo in enumerate(combos)
+    ]
+
+
+def popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit population count (SWAR) — numpy 1.x has no
+    bitwise_count. Plain-int shift/mask operands throughout (np-scalar
+    operands are ~75x slower on this numpy, see r5 notes)."""
+    x = np.asarray(x).astype(np.uint64, copy=True)
+    x -= (x >> 1) & 0x5555555555555555
+    x = (x & 0x3333333333333333) + ((x >> 2) & 0x3333333333333333)
+    x = (x + (x >> 4)) & 0x0F0F0F0F0F0F0F0F
+    return ((x * 0x0101010101010101) >> 56).astype(np.int64)
+
+
 def hamming_candidates(hashed: DataFrame, hash_col: str, id_col: str = "id",
                        max_hamming: int = 3, n_blocks: int | None = None,
                        bucket_cap: int | None = None,
@@ -435,24 +508,9 @@ def hamming_candidates(hashed: DataFrame, hash_col: str, id_col: str = "id",
     appended for caller-side ``unpersist()`` (see lsh_candidates).
     """
     import logging
-    from itertools import combinations
 
-    k = n_blocks or (max_hamming + 1)
-    if k <= max_hamming:
-        raise ValueError(f"n_blocks={k} must exceed max_hamming={max_hamming}")
+    key_exprs = hamming_band_keys("h64", max_hamming, n_blocks)
     d = hashed.select(F.col(id_col).alias("id"), F.col(hash_col).alias("h64"))
-
-    # block i covers bits [starts[i], starts[i+1]) — remainder spread left
-    widths = [64 // k + (1 if i < 64 % k else 0) for i in range(k)]
-    starts = [sum(widths[:i]) for i in range(k)]
-    block_cols = [
-        F.shiftrightunsigned("h64", starts[i]).bitwiseAND(F.lit((1 << widths[i]) - 1))
-        for i in range(k)
-    ]
-    combos = list(combinations(range(k), k - max_hamming))
-    key_exprs = [
-        F.xxhash64(F.lit(ci), *[block_cols[b] for b in combo]) for ci, combo in enumerate(combos)
-    ]
     # persisted: the self-join below would otherwise run the (possibly
     # UDF-produced) hash column once per join side
     banded = d.select("id", "h64", F.posexplode(F.array(*key_exprs)).alias("combo", "bucket")).persist()

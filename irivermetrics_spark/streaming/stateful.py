@@ -110,6 +110,133 @@ def stream_dedup_exact(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
+PHASH_DEDUP_OUT_SCHEMA = T.StructType([
+    T.StructField("image_id", T.StringType()),
+    T.StructField("phash", T.LongType()),
+    T.StructField("keeper", T.StringType()),
+    T.StructField("bucket_full", T.BooleanType()),
+])
+# per-bucket state: the phashes ever seen in this band bucket and the
+# image that introduced each — appending a new phash rewrites THIS
+# bucket's row only, never anything corpus-sized
+PHASH_STATE_SCHEMA = T.StructType([
+    T.StructField("phashes", T.ArrayType(T.LongType())),
+    T.StructField("keepers", T.ArrayType(T.StringType())),
+])
+
+
+def _phash_state_fn(max_hamming: int, state_cap: int):
+    import numpy as np
+
+    from ..operators.dedup import popcount64
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            ph_list, kp_list = (list(v) for v in state.get)
+        else:
+            ph_list, kp_list = [], []
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if not len(batch):
+            return
+        # deterministic within-batch order (Arrow chunking must not
+        # decide who becomes a bucket's keeper)
+        batch = batch.sort_values("image_id")
+        dirty = False
+        out_kp, out_full = [], []
+        for image_id, ph in zip(batch["image_id"], batch["phash"]):
+            full = False
+            if ph_list:
+                d = popcount64(np.asarray(ph_list, dtype=np.int64) ^ np.int64(ph))
+                hits = np.nonzero(d <= max_hamming)[0]
+            else:
+                hits = ()
+            if len(hits):
+                keeper = min(kp_list[i] for i in hits)
+            else:
+                keeper = image_id
+                if len(ph_list) < state_cap:
+                    ph_list.append(int(ph))
+                    kp_list.append(str(image_id))
+                    dirty = True
+                else:
+                    full = True  # recall loss is visible, never silent
+            out_kp.append(keeper)
+            out_full.append(full)
+        if dirty:
+            state.update((ph_list, kp_list))
+        yield pd.DataFrame({"image_id": batch["image_id"].to_numpy(),
+                            "phash": batch["phash"].to_numpy(),
+                            "keeper": out_kp, "bucket_full": out_full})
+
+    return fn
+
+
+def stream_phash_neardup(images: DataFrame, max_hamming: int = 3,
+                         n_blocks: int | None = None, state_cap: int = 1024,
+                         on_error: str = "quarantine") -> DataFrame:
+    """Streaming perceptual image near-dup: per-band verdicts against
+    every image EVER seen on the stream.
+
+    The streaming form of ``multimodal.phash_neardup``: the same
+    decode + phash64 pass, the same pigeonhole band keys
+    (dedup.hamming_band_keys — batch and stream bucket identically),
+    but instead of a self-join the bucket is a ``GroupState`` holding
+    the (phash, introducing image) pairs seen so far. A new image
+    emits one verdict row per band: ``keeper`` = the lexicographically
+    smallest stored match within ``max_hamming`` (or its own id if the
+    band has none). Reduce the per-band rows to one verdict per image
+    with ``phash_verdicts`` inside ``foreachBatch``.
+
+    Costs/limits (all deliberate): appending a new phash rewrites only
+    that bucket's state row; per-batch state I/O is bounded by the
+    batch's new-phash count x bands, never corpus size (state-store
+    total still grows with distinct phashes — exact-forever semantics,
+    use the RocksDB provider at scale). ``state_cap`` bounds any one
+    bucket; overflow rows report ``bucket_full=true`` instead of
+    silently losing recall. Keeper chains collapse one hop per batch
+    (A~B, B~C in ONE batch keeps A and maps C->B); run the batch
+    ``cluster_duplicates`` over accumulated pairs when full transitive
+    collapse matters.
+
+    ``on_error="quarantine"`` (default here, unlike batch: a poison
+    payload must not kill a long-running query) drops undecodable
+    rows from the hash stream; route them via with_format_detail.
+    """
+    from ..operators.dedup import hamming_band_keys
+    from ..operators.multimodal import phash_images
+
+    hashed = phash_images(images, on_error=on_error)
+    if on_error == "quarantine":
+        hashed = hashed.where(F.col("phash").isNotNull()).select("image_id", "phash")
+    keys = hamming_band_keys("phash", max_hamming, n_blocks)
+    banded = hashed.select(
+        "image_id", "phash", F.posexplode(F.array(*keys)).alias("combo", "bucket"))
+    return banded.groupBy("combo", "bucket").applyInPandasWithState(
+        _phash_state_fn(max_hamming, state_cap),
+        outputStructType=PHASH_DEDUP_OUT_SCHEMA,
+        stateStructType=PHASH_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def phash_verdicts(per_band: DataFrame) -> DataFrame:
+    """One verdict per image from stream_phash_neardup's per-band rows
+    (call on the batch DataFrame inside ``foreachBatch``): a matched
+    keeper from ANY band wins (min for determinism); an image with no
+    match in any band keeps itself. ``is_dup`` = suppress this row."""
+    matched = F.min(F.when(F.col("keeper") != F.col("image_id"), F.col("keeper")))
+    return (
+        per_band.groupBy("image_id")
+        .agg(F.first("phash").alias("phash"), matched.alias("matched"),
+             F.max("bucket_full").alias("bucket_full"))
+        .select("image_id", "phash",
+                F.coalesce("matched", "image_id").alias("keeper"),
+                "bucket_full",
+                (F.coalesce("matched", "image_id") != F.col("image_id")).alias("is_dup"))
+    )
+
+
 def stream_dedup_watermarked(docs: DataFrame, id_col: str = "doc_id",
                              text_col: str = "text", event_col: str = "ts",
                              watermark: str = "7 days") -> DataFrame:

@@ -172,3 +172,34 @@ def test_phash_neardup_plan_single_python_stage(spark):
     df = spark.createDataFrame(pd.DataFrame(rows))
     plan = multimodal.phash_neardup(df, max_hamming=4)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+
+
+def test_keep_canonical_string_ids_both_paths(spark):
+    # phash pairs carry string image_ids; cluster/keeper must work
+    # without a long cast — keeper = lexicographic min per component,
+    # on both the driver union-find and the forced distributed
+    # min-label-propagation path (edge_limit=0)
+    from irivermetrics_spark.operators import dedup
+
+    rows = [dict(image_id=f"a_{n}", bytes=b, fmt=f)
+            for n, (b, f) in _encode_variants(_artwork(0)).items()]
+    rows.append(dict(image_id="b_raw16",
+                     bytes=codecs.encode_image(_artwork(1).astype(np.uint16)),
+                     fmt=codecs.FMT_RAW16))
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    pairs = multimodal.phash_neardup(df, max_hamming=6).persist()
+    for limit in (1_000_000, 0):
+        clusters = dedup.cluster_duplicates(pairs, edge_limit=limit).toPandas()
+        assert set(clusters.cluster) == {"a_jpeg"}  # lexicographic min
+        assert set(clusters.id) == {"a_jpeg", "a_png", "a_raw16", "a_webp"}
+        kept = dedup.keep_canonical(df, pairs, id_col="image_id", edge_limit=limit)
+        assert sorted(r.image_id for r in kept.select("image_id").collect()) == [
+            "a_jpeg", "b_raw16"]
+    pairs.unpersist()
+
+
+def test_cluster_duplicates_string_empty_pairs(spark):
+    from irivermetrics_spark.operators import dedup
+
+    empty = spark.createDataFrame([], "id_a string, id_b string")
+    assert dedup.cluster_duplicates(empty).count() == 0

@@ -145,3 +145,78 @@ def test_stream_wet_area_windows(spark):
         got = spark.sql("select * from wet_u").toPandas().sort_values("date").reset_index(drop=True)
     assert list(got.n_wet_px) == [5, 3]
     assert got.wet_area_km2.iloc[0] == 5e-4
+
+
+def test_stream_phash_neardup_cross_batch(spark):
+    """Perceptual near-dup across micro-batches: re-encodes of artwork
+    already seen on the stream are flagged dups (keeper = first-seen),
+    new artwork passes, broken payloads quarantine instead of killing
+    the query, and the popcount/banding matches the batch operator."""
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from irivermetrics_spark import codecs
+    from tests.test_semdedup_phash import _artwork, _encode_variants
+
+    base = tempfile.mkdtemp(prefix="sphash_")
+    src = os.path.join(base, "imgs")
+    ckpt = os.path.join(base, "ckpt")
+    sink = os.path.join(base, "out")
+    IMG_SCHEMA = T.StructType([
+        T.StructField("image_id", T.StringType(), False),
+        T.StructField("bytes", T.BinaryType(), True),
+        T.StructField("fmt", T.StringType(), False),
+    ])
+    va = _encode_variants(_artwork(0))
+    vb = _encode_variants(_artwork(1))
+
+    def write_imgs(rows):
+        spark.createDataFrame(pd.DataFrame(rows, columns=["image_id", "bytes", "fmt"]),
+                              IMG_SCHEMA).write.mode("append").parquet(src)
+
+    def run_once():
+        stream = spark.readStream.schema(IMG_SCHEMA).parquet(src)
+        out = stateful.stream_phash_neardup(stream, max_hamming=6)
+
+        def write_batch(df, _bid):
+            stateful.phash_verdicts(df).write.mode("append").parquet(sink)
+
+        q = (out.writeStream.foreachBatch(write_batch)
+             .option("checkpointLocation", ckpt)
+             .outputMode("update").trigger(availableNow=True).start())
+        q.awaitTermination(180)
+        return spark.read.parquet(sink).toPandas()
+
+    # batch 1: artwork A twice (raw16 + jpeg re-encode), artwork B once
+    write_imgs([("a1", va["raw16"][0], codecs.FMT_RAW16), ("a2", va["jpeg"][0], "jpeg"),
+                ("b1", vb["raw16"][0], codecs.FMT_RAW16)])
+    got1 = run_once().set_index("image_id")
+    assert not got1.loc["a1"].is_dup and not got1.loc["b1"].is_dup
+    assert got1.loc["a2"].is_dup and got1.loc["a2"].keeper == "a1"
+
+    # batch 2: a webp re-encode of A with a LOWER id (keeper stays the
+    # first-seen a1), a png re-encode of B, and a poison payload
+    write_imgs([("a0", va["webp"][0], "webp"), ("b2", vb["png"][0], "png"),
+                ("broken", b"\x89PNG\r\nnope", "png")])
+    got2 = run_once().set_index("image_id")
+    assert got2.loc["a0"].is_dup and got2.loc["a0"].keeper == "a1"
+    assert got2.loc["b2"].is_dup and got2.loc["b2"].keeper == "b1"
+    assert "broken" not in got2.index  # quarantined, query survived
+    assert not got2.bucket_full.any()
+
+
+def test_popcount64_matches_python():
+    import numpy as np
+
+    from irivermetrics_spark.operators.dedup import popcount64
+
+    rng = np.random.default_rng(3)
+    vals = np.concatenate([
+        rng.integers(-2**63, 2**63 - 1, 200, dtype=np.int64),
+        np.array([0, -1, 1, 2**62, -2**63], dtype=np.int64),
+    ])
+    got = popcount64(vals)
+    want = [bin(int(np.uint64(v))).count("1") for v in vals.astype(np.uint64)]
+    assert got.tolist() == want
