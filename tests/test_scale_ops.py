@@ -394,3 +394,49 @@ def test_pip_retired_entry_still_matches_duckdb(spark):
     assert got.inside.tolist() == want.inside.tolist()
     assert got.n_points.tolist() == want.n_points.tolist()
     assert np.allclose(got.sum_x.to_numpy(), want.sum_x.to_numpy(), atol=1e-4)
+
+
+def test_ann_index_save_load_roundtrip_and_pruning(spark, tmp_path):
+    """save_ann_index/load_ann_index: model arrays round-trip exactly,
+    the reloaded list_id-partitioned table is value-transparent through
+    ivf_topk AND pq.ivf_pq_topk, and a list_id probe prunes partitions
+    at the parquet scan (the on-disk nprobe/n_lists read saving)."""
+    from irivermetrics_spark.operators import ivf, pq
+
+    rng = np.random.default_rng(33)
+    vecs = rng.standard_normal((150, 16))
+    pdf = pd.DataFrame({"vec_id": np.arange(len(vecs)),
+                        "embedding": [v.astype(np.float32).tolist() for v in vecs]})
+    em = spark.createDataFrame(pdf)
+    q = em.filter(F.col("vec_id") < 4)
+    C = ivf.train_centroids(em, n_lists=4, sample=128, iters=4)
+    books = pq.train_pq(em, m=4, k=16, sample=128, iters=4)
+    index = pq.ivf_pq_index(em, C, books)
+    ivf.save_ann_index(str(tmp_path / "idx"), C, index, books)
+    C2, index2, books2 = ivf.load_ann_index(spark, str(tmp_path / "idx"))
+    assert np.array_equal(C, C2) and np.array_equal(books, books2)
+
+    got = pq.ivf_pq_topk(em, q, C2, books2, topk=3, nprobe=4, shortlist=24,
+                         index=index2, round_to=6).toPandas()
+    want = pq.ivf_pq_topk(em, q, C, books, topk=3, nprobe=4, shortlist=24,
+                          round_to=6).toPandas()
+    key = ["query_id", "rank"]
+    got, want = (d.sort_values(key).reset_index(drop=True) for d in (got, want))
+    assert got.neighbor_id.tolist() == want.neighbor_id.tolist()
+    assert np.allclose(got.cosine, want.cosine)
+
+    # assigned-style index (vectors kept) round-trips through ivf_topk
+    assigned = ivf.ivf_assign(em, C)
+    ivf.save_ann_index(str(tmp_path / "idx2"), C, assigned)
+    C3, assigned2, none_books = ivf.load_ann_index(spark, str(tmp_path / "idx2"))
+    assert none_books is None
+    via_disk = ivf.ivf_topk(em, q, C3, k=3, nprobe=4, assigned=assigned2,
+                            round_to=6).toPandas().sort_values(key).reset_index(drop=True)
+    direct = ivf.ivf_topk(em, q, C, k=3, nprobe=4,
+                          round_to=6).toPandas().sort_values(key).reset_index(drop=True)
+    assert via_disk.neighbor_id.tolist() == direct.neighbor_id.tolist()
+
+    # partition pruning: a probe filter reaches the scan as a
+    # PartitionFilter, not a post-scan Filter
+    plan = index2.where(F.col("list_id") == 2)._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "list_id" in plan.split("PartitionFilters: [", 1)[1][:120]
