@@ -543,6 +543,53 @@ def hamming_candidates(hashed: DataFrame, hash_col: str, id_col: str = "id",
     return pairs.select("id_a", "id_b", hamming.alias("hamming")).where(F.col("hamming") <= max_hamming)
 
 
+def hamming_candidates_incremental(new_hashed: DataFrame, banded_index: DataFrame,
+                                   hash_col: str = "h64", id_col: str = "id",
+                                   max_hamming: int = 3,
+                                   n_blocks: int | None = None) -> tuple[DataFrame, DataFrame]:
+    """Incremental Hamming near-dup: a NEW batch of 64-bit hashes
+    against a persisted banded index — the pigeonhole analog of
+    ``lsh_candidates_incremental`` (same growing-crawl contract:
+    ``full_corpus_pairs == old_batch_pairs UNION incremental_pairs``,
+    old payloads never re-hashed).
+
+    ``banded_index``: a prior batch's ``new_banded`` output — (id, h64,
+    combo, bucket) with the SAME (max_hamming, n_blocks); parquet
+    round-trips fine (bucket-partition it at scale so each new row
+    probes only its buckets). Works for any id type (simhash's long
+    doc ids, phash's string image ids — least/greatest order both).
+
+    Returns ``(pairs, new_banded)``: (id_a, id_b, hamming) pairs
+    involving at least one new row, and the new banded rows to append
+    to the index.
+    """
+    key_exprs = hamming_band_keys("h64", max_hamming, n_blocks)
+    d = new_hashed.select(F.col(id_col).alias("id"), F.col(hash_col).alias("h64"))
+    new_banded = d.select(
+        "id", "h64", F.posexplode(F.array(*key_exprs)).alias("combo", "bucket")).persist()
+    old = banded_index.select("combo", "bucket", "id", "h64")
+    hamming = F.bit_count(F.col("l.h64").bitwiseXOR(F.col("r.h64")))
+    cross = (
+        new_banded.alias("l").join(old.alias("r"), ["combo", "bucket"])
+        .where(F.col("l.id") != F.col("r.id"))
+        .select(F.least("l.id", "r.id").alias("id_a"),
+                F.greatest("l.id", "r.id").alias("id_b"),
+                hamming.alias("hamming"))
+    )
+    within = (
+        new_banded.alias("l").join(new_banded.alias("r"), ["combo", "bucket"])
+        .where(F.col("l.id") < F.col("r.id"))
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"),
+                hamming.alias("hamming"))
+    )
+    pairs = (
+        cross.unionByName(within)
+        .where(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return pairs, new_banded
+
+
 def simhash_candidates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                        max_hamming: int = 3, n_blocks: int | None = None,
                        bucket_cap: int | None = None,

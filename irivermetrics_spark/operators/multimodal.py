@@ -316,6 +316,24 @@ def phash_neardup(images: DataFrame, max_hamming: int = 3, n_blocks: int | None 
                               bucket_cap, persisted_out, _caller="phash_neardup")
 
 
+def phash_neardup_incremental(new_images: DataFrame, banded_index: DataFrame,
+                              max_hamming: int = 3, n_blocks: int | None = None,
+                              on_error: str = "raise") -> tuple:
+    """Incremental perceptual near-dup: a NEW image batch against a
+    persisted banded phash index — old images are never re-decoded.
+    Returns ``(pairs, new_banded)``; append ``new_banded`` to the index
+    for the next batch (see dedup.hamming_candidates_incremental for
+    the exact union contract). Bootstrap with an empty index frame
+    (``combo int, bucket bigint, id string, h64 long``)."""
+    from .dedup import hamming_candidates_incremental
+
+    hashed = phash_images(new_images, on_error=on_error)
+    if on_error == "quarantine":
+        hashed = hashed.where(F.col("phash").isNotNull()).select("image_id", "phash")
+    return hamming_candidates_incremental(hashed, banded_index, "phash", "image_id",
+                                          max_hamming, n_blocks)
+
+
 def audio_features(audio: DataFrame) -> DataFrame:
     """Audio feature extraction: the Spark plumbing is real (binary in,
     typed features out); the DSP itself treats the payload as int16 PCM
