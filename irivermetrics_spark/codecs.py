@@ -215,3 +215,102 @@ def phash64(arr: np.ndarray) -> int:
         val |= bit << np.uint64(i)  # scalar<<scalar: uint64 needs a uint shift operand
     # reinterpret as signed for Spark LongType
     return int(np.int64(val))
+
+
+def probe_image_info(buf: bytes) -> dict:
+    """Header-only metadata probe: (fmt_detail, width, height, nbands,
+    n_frames, decodable) without decoding a single pixel.
+
+    The curation pre-pass for a 100 TB image table: resolution /
+    band-count / frame-count filters must not pay full decode cost, so
+    this reads only magic bytes + fixed headers (TIFF walks the first
+    IFD, animated webp walks chunk HEADERS to count ANMF frames —
+    still O(chunks), never O(pixels)). Never raises: corrupt or
+    foreign payloads come back with ``fmt_detail`` set and the shape
+    fields None, matching the quarantine router's divert-don't-fail
+    contract (sniff_format). Works for formats the engine can't decode
+    (gif/bmp logical screen headers), so even quarantined rows can be
+    inventoried.
+    """
+    import struct
+
+    fmt = sniff_format(buf)
+    out = dict(fmt_detail=fmt, width=None, height=None, nbands=None,
+               n_frames=None, decodable=fmt in DECODABLE_DETAILS)
+    b = bytes(buf) if buf is not None else b""
+    try:
+        if fmt in (FMT_RAW16, FMT_QLOSSY) and len(b) >= 10:
+            nbands = b[5]
+            w, h = struct.unpack("<HH", b[6:10])
+            out.update(width=w, height=h, nbands=nbands, n_frames=1)
+        elif fmt == "tiff":
+            endian = "<" if b[:2] == b"II" else ">"
+            (ifd_off,) = struct.unpack(endian + "I", b[4:8])
+            (n,) = struct.unpack(endian + "H", b[ifd_off:ifd_off + 2])
+            tags = {}
+            for i in range(n):
+                off = ifd_off + 2 + i * 12
+                t, typ, count = struct.unpack(endian + "HHI", b[off:off + 8])
+                if t in (256, 257, 277) and count == 1:
+                    if typ == 3:  # SHORT
+                        tags[t] = struct.unpack(endian + "H", b[off + 8:off + 10])[0]
+                    elif typ == 4:  # LONG
+                        tags[t] = struct.unpack(endian + "I", b[off + 8:off + 12])[0]
+            out.update(width=tags.get(256), height=tags.get(257),
+                       nbands=tags.get(277, 1), n_frames=1)
+        elif fmt == "jpeg":
+            # walk marker segments to the first SOF (baseline/extended/
+            # progressive); segment lengths keep this O(markers)
+            i = 2
+            while i + 4 <= len(b):
+                if b[i] != 0xFF:
+                    break
+                marker = b[i + 1]
+                if marker in (0xC0, 0xC1, 0xC2):
+                    h, w = struct.unpack(">HH", b[i + 5:i + 9])
+                    out.update(width=w, height=h, nbands=b[i + 9], n_frames=1)
+                    break
+                if marker == 0xD8 or 0xD0 <= marker <= 0xD7:
+                    i += 2
+                    continue
+                (seg,) = struct.unpack(">H", b[i + 2:i + 4])
+                i += 2 + seg
+        elif fmt == "png":
+            w, h = struct.unpack(">II", b[16:24])
+            channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(b[25])
+            out.update(width=w, height=h, nbands=channels, n_frames=1)
+        elif fmt == "webp-vp8l":
+            if b[20] == 0x2F:
+                (v,) = struct.unpack("<I", b[21:25])
+                out.update(width=(v & 0x3FFF) + 1, height=((v >> 14) & 0x3FFF) + 1,
+                           nbands=4 if (v >> 28) & 1 else 3, n_frames=1)
+        elif fmt == "webp-vp8":
+            if b[23:26] == b"\x9d\x01\x2a":
+                w, h = struct.unpack("<HH", b[26:30])
+                out.update(width=w & 0x3FFF, height=h & 0x3FFF, nbands=3, n_frames=1)
+        elif fmt in ("webp-vp8x", "webp-vp8x-anim"):
+            wm1 = int.from_bytes(b[24:27], "little")
+            hm1 = int.from_bytes(b[27:30], "little")
+            alpha = bool(b[20] & 0x10)
+            frames = 1
+            if fmt == "webp-vp8x-anim":
+                # count ANMF chunk headers (payloads skipped via size)
+                frames, i = 0, 30
+                while i + 8 <= len(b):
+                    tag, size = b[i:i + 4], struct.unpack("<I", b[i + 4:i + 8])[0]
+                    if tag == b"ANMF":
+                        frames += 1
+                    i += 8 + size + (size & 1)
+            out.update(width=wm1 + 1, height=hm1 + 1,
+                       nbands=4 if alpha else 3, n_frames=frames)
+        elif fmt == "gif":
+            w, h = struct.unpack("<HH", b[6:10])
+            out.update(width=w, height=h, nbands=3)
+        elif fmt == "bmp":
+            w, h = struct.unpack("<ii", b[18:26])
+            bpp = struct.unpack("<H", b[28:30])[0] if len(b) >= 30 else 8
+            out.update(width=w, height=abs(h), nbands=max(bpp // 8, 1), n_frames=1)
+    except (struct.error, IndexError):
+        # truncated header: keep fmt_detail, leave the shape fields None
+        out.update(width=None, height=None, nbands=None, n_frames=None)
+    return out

@@ -84,6 +84,33 @@ def with_format_detail(images: DataFrame, bytes_col: str = "bytes") -> DataFrame
     return out.withColumn("decodable", dec)
 
 
+IMAGE_INFO_SCHEMA = ("fmt_detail string, width int, height int, nbands int, "
+                     "n_frames int, decodable boolean")
+
+
+def with_image_info(images: DataFrame, bytes_col: str = "bytes") -> DataFrame:
+    """Adds header-only metadata columns (``fmt_detail``, ``width``,
+    ``height``, ``nbands``, ``n_frames``, ``decodable``) via
+    codecs.probe_image_info — the resolution/band/frame-count
+    inventory a crawl table filters on BEFORE paying decode cost
+    (e.g. ``width >= 256 AND n_frames = 1``). Fixed headers only —
+    O(bytes-read) per row is tens of bytes, not the payload — so the
+    whole-table pass is scan-bound, not CPU-bound. Vectorized pandas
+    UDF returning one struct column, exploded into plain columns
+    (null shape fields = corrupt/truncated header, never a task
+    failure)."""
+    from pyspark.sql import functions as F
+
+    @F.pandas_udf(f"struct<{IMAGE_INFO_SCHEMA}>")
+    def probe(bufs: pd.Series) -> pd.DataFrame:
+        return pd.DataFrame([codecs.probe_image_info(b) for b in bufs])
+
+    out = images.withColumn("_info", probe(bytes_col))
+    for field in ("fmt_detail", "width", "height", "nbands", "n_frames", "decodable"):
+        out = out.withColumn(field, F.col("_info")[field])
+    return out.drop("_info")
+
+
 def resize_image(arr: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
     """(bands, h, w) -> (bands, out_h, out_w).
 

@@ -207,6 +207,54 @@ def top_ngram_fraction(text: Column, n: int = 2) -> Column:
     return F.when(total >= 1, run["best"].cast("double") / total.cast("double")).otherwise(F.lit(0.0))
 
 
+# PII redaction rules, applied IN ORDER to the progressively redacted
+# text (order matters: an email's numeric host must not be re-matched
+# as an IP after the email is already a placeholder). Patterns are
+# deliberately alternation-free, ASCII-only, and lookaround-free so
+# Java regex (Spark, leftmost-first greedy) and RE2 (DuckDB/re2,
+# leftmost-longest) agree on every match — that cross-engine equality
+# is pinned by tests/test_textops_pii.py against DuckDB.
+PII_RULES = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("phone", r"\b\d{3}[-. ]\d{3}[-. ]\d{4}\b", "<PHONE>"),
+]
+
+
+def with_pii_redaction(docs: DataFrame, text_col: str = "text",
+                       rules: list[tuple[str, str, str]] | None = None) -> DataFrame:
+    """PII scrub for web-corpus curation: emails, IPv4 addresses,
+    SSN-shaped ids, NANP-shaped phone numbers (the C4/RefinedWeb-style
+    conservative pass — precision over recall; a learned NER pass is a
+    downstream concern). Adds ``redacted_text``, one ``n_pii_<kind>``
+    count per rule, and ``has_pii``.
+
+    100 TB design: a pure chain of ``regexp_replace`` /
+    ``regexp_extract_all`` JVM expressions — whole-stage codegen, zero
+    Python, zero shuffle, runs in the same scan as the other quality
+    signals. Counts are per-rule on the text as already redacted by
+    the preceding rules, so overlapping matches are never
+    double-counted and the counts always sum to the number of
+    placeholders inserted.
+    """
+    rules = PII_RULES if rules is None else rules
+    cur = F.col(text_col)
+    counts: dict[str, Column] = {}
+    for kind, pat, tok in rules:
+        counts[f"n_pii_{kind}"] = F.size(
+            F.regexp_extract_all(cur, F.lit(pat), 0)).cast("bigint")
+        cur = F.regexp_replace(cur, pat, tok)
+    out = docs.withColumn("redacted_text", cur)
+    for name, c in counts.items():
+        out = out.withColumn(name, c)
+    total = None
+    for name in counts:
+        n = F.col(name)
+        total = n if total is None else total + n
+    return out.withColumn("has_pii", total > 0)
+
+
 def with_repetition_signals(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Gopher-style repetition columns: ``dup_line_frac`` and
     ``top_bigram_frac`` — the standard web-corpus boilerplate filters

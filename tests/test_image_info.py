@@ -1,0 +1,99 @@
+"""Header-only image metadata probe (codecs.probe_image_info /
+multimodal.with_image_info): shape truth vs each codec's own encoder,
+real libwebp-encoded VP8 fixtures, and the never-raise contract on
+truncated/foreign payloads."""
+
+import struct
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from irivermetrics_spark import codecs
+from irivermetrics_spark.kernels import geotiff, jpeg, png, webp, webpanim
+from irivermetrics_spark.operators import multimodal
+
+
+def _probe(buf):
+    return codecs.probe_image_info(buf)
+
+
+def test_probe_engine_formats():
+    arr = (np.arange(3 * 7 * 11).reshape(3, 7, 11) % 200).astype(np.uint16)
+    for fmt in (codecs.FMT_RAW16, codecs.FMT_QLOSSY):
+        info = _probe(codecs.encode_image(arr, fmt))
+        assert (info["width"], info["height"], info["nbands"]) == (11, 7, 3)
+        assert info["fmt_detail"] == fmt and info["decodable"] and info["n_frames"] == 1
+
+
+def test_probe_tiff_png_jpeg():
+    arr = (np.arange(2 * 6 * 9).reshape(2, 6, 9) % 100).astype(np.uint16)
+    t = _probe(geotiff.write_geotiff(arr, dict(gx0=0, gy0=0, ps=30.0)))
+    assert (t["fmt_detail"], t["width"], t["height"], t["nbands"]) == ("tiff", 9, 6, 2)
+
+    rgb = (np.indices((3, 16, 24)).sum(0) % 256).astype(np.uint8)
+    p = _probe(png.encode_png(rgb))
+    assert (p["fmt_detail"], p["width"], p["height"], p["nbands"]) == ("png", 24, 16, 3)
+
+    j = _probe(jpeg.encode_baseline(rgb))
+    assert (j["fmt_detail"], j["width"], j["height"], j["nbands"]) == ("jpeg", 24, 16, 3)
+
+
+def test_probe_webp_all_flavours():
+    argb = (np.indices((4, 10, 14)).sum(0) % 256).astype(np.uint8)
+    argb[0] = 255
+    l = _probe(webp.encode_vp8l(argb))
+    assert (l["fmt_detail"], l["width"], l["height"]) == ("webp-vp8l", 14, 10)
+    assert l["decodable"] and l["n_frames"] == 1
+
+    # real libwebp-encoded lossy fixture; dims from the committed golden
+    buf = open("tests/data/vp8_synth_q75.webp", "rb").read()
+    g = np.load("tests/data/vp8_goldens.npz")
+    h, w = g["vp8_synth_q75_Y"].shape
+    v = _probe(buf)
+    assert (v["fmt_detail"], v["width"], v["height"], v["nbands"]) == ("webp-vp8", w, h, 3)
+
+    frames = [np.full((4, 6, 8), 40 * (i + 1), np.uint8) for i in range(3)]
+    anim = webpanim.encode_webp_anim(frames, [10, 20, 30])
+    a = _probe(anim)
+    assert a["fmt_detail"] == "webp-vp8x-anim"
+    assert (a["width"], a["height"], a["n_frames"], a["nbands"]) == (8, 6, 3, 4)
+
+
+def test_probe_foreign_and_truncated():
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00" * 10
+    g = _probe(gif)
+    assert (g["fmt_detail"], g["width"], g["height"], g["decodable"]) == ("gif", 320, 200, False)
+
+    bmp = b"BM" + b"\x00" * 16 + struct.pack("<ii", 64, -48) + b"\x00\x00" + struct.pack("<H", 24)
+    b = _probe(bmp)
+    assert (b["fmt_detail"], b["width"], b["height"], b["nbands"]) == ("bmp", 64, 48, 3)
+
+    # truncated headers: fmt detected, shape None, never raises
+    for frag in (b"\x89PNG\r\n\x1a\n", b"II*\x00\x08\x00", b"RIFF1234WEBPVP8 ",
+                 b"\xff\xd8\xff", b"", None, b"garbage-bytes"):
+        info = _probe(frag)
+        assert info["width"] is None and info["n_frames"] is None
+    assert _probe(b"garbage-bytes")["fmt_detail"] == "unknown"
+
+
+def test_with_image_info_spark(spark):
+    arr = (np.arange(3 * 8 * 12).reshape(3, 8, 12) % 200).astype(np.uint16)
+    rgb = (np.indices((3, 16, 24)).sum(0) % 256).astype(np.uint8)
+    rows = [
+        ("a", codecs.encode_image(arr, "raw16")),
+        ("b", png.encode_png(rgb)),
+        ("c", b"GIF89a" + struct.pack("<HH", 9, 5) + b"\x00" * 4),
+        ("d", b"\x89PNG\r\n\x1a\n"),  # truncated
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["image_id", "bytes"]))
+    got = {r["image_id"]: r for r in multimodal.with_image_info(df).collect()}
+    assert (got["a"]["width"], got["a"]["height"], got["a"]["nbands"]) == (12, 8, 3)
+    assert got["a"]["decodable"] and got["b"]["decodable"]
+    assert (got["b"]["width"], got["b"]["height"]) == (24, 16)
+    assert got["c"]["fmt_detail"] == "gif" and not got["c"]["decodable"]
+    assert got["c"]["width"] == 9
+    assert got["d"]["fmt_detail"] == "png" and got["d"]["width"] is None
+    # the probe must beat decode: plan has exactly one Arrow UDF eval
+    plan = multimodal.with_image_info(df)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ArrowEvalPython") == 1
