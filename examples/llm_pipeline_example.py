@@ -51,11 +51,15 @@ def main() -> None:
         despanned.select(F.col("doc_id").cast("bigint").alias("doc_id"), "text"),
         "doc_id"))
 
-    # 2. quality + repetition gate (all JVM column expressions)
-    feats = textops.with_repetition_signals(textops.with_text_features(exact))
+    # 2. quality + repetition gate + PII scrub (all JVM column
+    # expressions — the pii regexp chain fuses into the same scan)
+    feats = textops.with_pii_redaction(
+        textops.with_repetition_signals(textops.with_text_features(exact)))
     kept = feats.filter(
         (F.col("quality") >= 0.3) & (F.col("dup_line_frac") <= 0.3)
         & (F.col("top_bigram_frac") <= 0.5))
+    n_pii = kept.where("has_pii").count()
+    kept = kept.drop("text").withColumnRenamed("redacted_text", "text")
     n2 = kept.count()
 
     # 3. MinHash-LSH near-dup clusters -> one keeper per cluster
@@ -86,6 +90,7 @@ def main() -> None:
 
     print(f"\ndocuments: {n0} -> exact-deduped {n1} "
           f"(span-trimmed {n1b}) -> quality-kept {n2} "
+          f"(pii-scrubbed {n_pii}) "
           f"-> near-dup keepers {n3}; ANN rows for 5 queries: {n4} "
           f"(IVF exact-rerank) / {n5} (IVF-routed PQ)")
     print(hits.orderBy("query_id", "rank").toPandas().to_string(index=False))
