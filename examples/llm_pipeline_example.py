@@ -60,6 +60,15 @@ def main() -> None:
         & (F.col("top_bigram_frac") <= 0.5))
     n_pii = kept.where("has_pii").count()
     kept = kept.drop("text").withColumnRenamed("redacted_text", "text")
+
+    # 2b. CCNet-style perplexity gate: train a char-trigram LM on the
+    # surviving corpus, drop the worst-perplexity tail (OOV-heavy /
+    # non-fluent pages). One groupBy to train, broadcast join to score.
+    lm, oov_logp, _ = textops.train_char_lm(kept)
+    lm = lm.persist()
+    scored = textops.with_perplexity(kept, lm, oov_logp)
+    cut = scored.approxQuantile("perplexity", [0.95], 0.01)[0]
+    kept = scored.filter(F.col("perplexity") <= cut)
     n2 = kept.count()
 
     # 3. MinHash-LSH near-dup clusters -> one keeper per cluster

@@ -263,3 +263,81 @@ def with_repetition_signals(docs: DataFrame, text_col: str = "text") -> DataFram
     t = F.col(text_col)
     return docs.withColumn("dup_line_frac", F.round(dup_line_fraction(t), 6)) \
                .withColumn("top_bigram_frac", F.round(top_ngram_fraction(t, 2), 6))
+
+
+# ---- CCNet-style perplexity filter (char-trigram LM) ----------------
+#
+# Wenzek et al. 2020 (CCNet) rank web pages by LM perplexity and keep
+# the low-perplexity head. The real thing uses a 5-gram KenLM; the
+# engine ships the same *pipeline shape* with a character-trigram
+# model it can train on the corpus itself in one pass — no external
+# model artifact, fully deterministic, and every stage is a DataFrame
+# op that survives 100 TB: training is extract->explode->groupBy
+# (map-side partial counts), scoring is explode -> broadcast-gated
+# join -> re-aggregate by doc_id (docs are contiguous within
+# partitions, so partial aggregation collapses the per-gram rows back
+# to ~one row per doc BEFORE the shuffle).
+
+PPL_SMOOTH = 0.5
+
+
+def char_trigrams(text: Column) -> Column:
+    """Normalized character trigrams (lowercase, whitespace collapsed
+    to single spaces) as an array column — JVM sequence/transform, no
+    explode, no Python. Documents shorter than 3 normalized chars
+    yield an empty array."""
+    norm = F.regexp_replace(F.lower(text), r"(?U)\s+", " ")
+    n = F.length(norm)
+    # sequence(1, 0) AUTO-DESCENDS in Spark ([1, 0], default step -1),
+    # so the too-short case must be guarded explicitly, not clamped
+    return F.when(
+        n >= 3,
+        F.transform(F.sequence(F.lit(1), n - 2), lambda i: norm.substr(i, F.lit(3))),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def train_char_lm(docs: DataFrame, text_col: str = "text",
+                  smooth: float = PPL_SMOOTH) -> tuple[DataFrame, float, float]:
+    """Train the trigram model: returns ``(model, oov_logp, log_denom)``
+    where ``model`` is a (gram, logp) frame with
+    ``logp = ln((count + smooth) / (total + smooth * (V + 1)))`` over
+    add-k smoothing (the +1 reserves mass for unseen grams, whose
+    shared ``oov_logp`` is the count=0 value of the same formula).
+
+    One extract + one explode + one groupBy; counts combine map-side.
+    The model has at most V distinct trigrams — character-level V is
+    bounded by charset^3, so the model frame broadcasts (the scoring
+    join below hints it)."""
+    grams = docs.select(F.explode(char_trigrams(F.col(text_col))).alias("gram"))
+    counts = grams.groupBy("gram").agg(F.count("*").alias("c"))
+    total, v = counts.agg(
+        F.sum("c").cast("double"), F.count("*").cast("double")).first()
+    total = float(total or 0.0)
+    v = float(v or 0.0)
+    import math
+
+    log_denom = math.log(total + smooth * (v + 1.0)) if total else 0.0
+    model = counts.select(
+        "gram", (F.log(F.col("c") + F.lit(smooth)) - F.lit(log_denom)).alias("logp"))
+    oov_logp = math.log(smooth) - log_denom if total else 0.0
+    return model, oov_logp, log_denom
+
+
+def with_perplexity(docs: DataFrame, model: DataFrame, oov_logp: float,
+                    text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Adds ``avg_logp`` and ``perplexity`` (= exp(-avg_logp)) per
+    document; empty/too-short docs get nulls. Plan shape: explode the
+    trigram array, LEFT join the broadcast model (unseen grams fall
+    back to ``oov_logp`` via coalesce), re-aggregate by ``id_col``,
+    join the two scalar columns back — gram rows never cross a
+    shuffle un-aggregated."""
+    grams = docs.select(F.col(id_col),
+                        F.explode(char_trigrams(F.col(text_col))).alias("gram"))
+    scored = (
+        grams.join(F.broadcast(model), "gram", "left")
+        .groupBy(id_col)
+        .agg(F.avg(F.coalesce(F.col("logp"), F.lit(oov_logp))).alias("avg_logp"))
+    )
+    out = docs.join(scored, id_col, "left")
+    return out.withColumn("perplexity", F.round(F.exp(-F.col("avg_logp")), 6)) \
+              .withColumn("avg_logp", F.round(F.col("avg_logp"), 6))
