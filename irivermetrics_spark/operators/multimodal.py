@@ -316,6 +316,84 @@ def phash_images(images: DataFrame, on_error: str = "raise") -> DataFrame:
     return images.select("image_id", "bytes", "fmt").mapInPandas(kernel, schema)
 
 
+IMAGE_QUALITY_SCHEMA = ("image_id string, sharpness double, luma_mean double, "
+                        "luma_std double, frac_dark double, frac_bright double, "
+                        "entropy double")
+
+
+def image_quality_metrics(arr: "np.ndarray", peak: float | None = None) -> dict:
+    """Numpy definition of the per-image quality signals over a decoded
+    (nbands, h, w) array — the curation filters a crawl pipeline cuts
+    on before paying embedding cost:
+
+    - ``sharpness``: variance of the 4-neighbour Laplacian of the
+      band-mean image (blur detector — the classic variance-of-
+      Laplacian rule; near-0 = flat or defocused)
+    - ``luma_mean`` / ``luma_std``: band-mean intensity moments
+    - ``frac_dark`` / ``frac_bright``: fraction of pixels below 2% /
+      above 98% of ``peak`` (under/over-exposure); ``peak`` defaults
+      to the engine's reflectance ceiling for uint16 payloads and the
+      image's own dtype ceiling for 8-bit sources
+    - ``entropy``: Shannon entropy (bits) of the 64-bin luma histogram
+      scaled to ``peak`` (near-0 = synthetic/flat content)
+
+    All O(pixels) vectorized numpy; deterministic.
+    """
+    luma = arr.astype(np.float64).mean(axis=0)
+    if peak is None:
+        peak = 255.0 if arr.dtype.itemsize == 1 else float(codecs.REFLECTANCE_MAX)
+    lap = (4.0 * luma[1:-1, 1:-1] - luma[:-2, 1:-1] - luma[2:, 1:-1]
+           - luma[1:-1, :-2] - luma[1:-1, 2:])
+    sharp = float(lap.var()) if lap.size else 0.0
+    n = luma.size
+    hist = np.bincount(
+        np.clip((luma * (64.0 / peak)).astype(np.int64), 0, 63).ravel(), minlength=64)
+    p = hist[hist > 0] / n
+    return dict(
+        sharpness=sharp,
+        luma_mean=float(luma.mean()),
+        luma_std=float(luma.std()),
+        frac_dark=float((luma < 0.02 * peak).mean()),
+        frac_bright=float((luma > 0.98 * peak).mean()),
+        entropy=float(-(p * np.log2(p)).sum()),
+    )
+
+
+def with_image_quality(images: DataFrame, peak: float | None = None,
+                       on_error: str = "raise") -> DataFrame:
+    """Image table -> per-image quality-signal table (decode + all six
+    signals in ONE batched ``mapInPandas`` pass — same single-Python-
+    stage, no-shuffle, binary-stays-on-executor shape as phash_images,
+    with the same ``on_error="quarantine"`` crawl contract)."""
+    if on_error not in ("raise", "quarantine"):
+        raise ValueError(f"on_error {on_error!r} (raise|quarantine)")
+    quarantine = on_error == "quarantine"
+    schema = IMAGE_QUALITY_SCHEMA + (", error string" if quarantine else "")
+    null_row = dict(sharpness=None, luma_mean=None, luma_std=None,
+                    frac_dark=None, frac_bright=None, entropy=None)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for rec in pdf.itertuples(index=False):
+                raw = None if rec.bytes is None else bytes(rec.bytes)
+                try:
+                    row = dict(image_id=rec.image_id,
+                               **image_quality_metrics(_decode_any(raw, rec.fmt), peak))
+                    if quarantine:
+                        row["error"] = None
+                except Exception as e:
+                    if not quarantine:
+                        raise
+                    row = dict(image_id=rec.image_id, **null_row,
+                               error=f"{type(e).__name__}: {e}")
+                rows.append(row)
+            yield pd.DataFrame(rows) if rows else pd.DataFrame(
+                {c.split()[0]: [] for c in schema.split(", ")})
+
+    return images.select("image_id", "bytes", "fmt").mapInPandas(kernel, schema)
+
+
 def phash_neardup(images: DataFrame, max_hamming: int = 3, n_blocks: int | None = None,
                   bucket_cap: int | None = None, on_error: str = "raise",
                   persisted_out: list | None = None) -> DataFrame:
