@@ -341,3 +341,38 @@ def with_perplexity(docs: DataFrame, model: DataFrame, oov_logp: float,
     out = docs.join(scored, id_col, "left")
     return out.withColumn("perplexity", F.round(F.exp(-F.col("avg_logp")), 6)) \
               .withColumn("avg_logp", F.round(F.col("avg_logp"), 6))
+
+
+def cap_per_key(docs: DataFrame, key_col: str = "source", cap: int = 100,
+                id_col: str = "doc_id", seed: int = 0) -> DataFrame:
+    """Corpus balancing: keep at most ``cap`` documents per key (the
+    per-domain cap of web-curation pipelines — one hot domain must not
+    dominate the training mix). Deterministic: rows rank by
+    ``xxhash64(id, seed)`` within their key, so re-runs and different
+    partitionings keep the SAME winners (ties broken by id).
+
+    Exact-cap needs a per-key global order — one shuffle on the key
+    (window row_number). A 10^8-row hot key serializes on one task, so
+    at crawl scale pre-thin such keys first with the approximate
+    hash-threshold pass (``rate_per_key``) down to O(cap) candidates,
+    then run this exact pass; both stages stay deterministic.
+    """
+    from pyspark.sql import Window
+
+    rank_key = F.xxhash64(F.col(id_col).cast("string"), F.lit(seed))
+    w = Window.partitionBy(key_col).orderBy(rank_key.asc(), F.col(id_col).asc())
+    return (docs.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= cap).drop("_rn"))
+
+
+def rate_per_key(docs: DataFrame, rate: float, id_col: str = "doc_id",
+                 seed: int = 0) -> DataFrame:
+    """Approximate deterministic thinning: keep ~``rate`` of rows by
+    hash threshold — no shuffle at all (pure filter, survives any
+    partitioning), the scale-path companion to ``cap_per_key``. The
+    same (id, seed) always makes the same keep/drop decision, so the
+    sample is stable across runs and machines."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate {rate} outside [0, 1]")
+    h = F.pmod(F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)), F.lit(1_000_000))
+    return docs.where(h < int(rate * 1_000_000))
