@@ -235,9 +235,20 @@ def probe_image_info(buf: bytes) -> dict:
     import struct
 
     fmt = sniff_format(buf)
+    b = bytes(buf) if buf is not None else b""
+    # the engine video container (u4 frame count + concatenated IRM1
+    # frames) is invisible to sniff_format on purpose — videos must
+    # not image-decode — but the INVENTORY should still see it
+    if fmt == "unknown" and len(b) >= 14 and b[4:8] == MAGIC:
+        import struct as _s
+
+        (nf,) = _s.unpack("<I", b[:4])
+        nbands = b[9]
+        w, h = _s.unpack("<HH", b[10:14])
+        return dict(fmt_detail="irm-video", width=w, height=h, nbands=nbands,
+                    n_frames=nf, decodable=False)
     out = dict(fmt_detail=fmt, width=None, height=None, nbands=None,
                n_frames=None, decodable=fmt in DECODABLE_DETAILS)
-    b = bytes(buf) if buf is not None else b""
     try:
         if fmt in (FMT_RAW16, FMT_QLOSSY) and len(b) >= 10:
             nbands = b[5]

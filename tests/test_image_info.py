@@ -97,3 +97,14 @@ def test_with_image_info_spark(spark):
     # the probe must beat decode: plan has exactly one Arrow UDF eval
     plan = multimodal.with_image_info(df)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("ArrowEvalPython") == 1
+
+
+def test_probe_engine_video_container():
+    from irivermetrics_spark.operators import multimodal
+
+    frames = (np.arange(4 * 2 * 5 * 6).reshape(4, 2, 5, 6) % 100).astype(np.uint16)
+    info = _probe(multimodal.encode_video(frames))
+    assert info["fmt_detail"] == "irm-video" and not info["decodable"]
+    assert (info["width"], info["height"], info["nbands"], info["n_frames"]) == (6, 5, 2, 4)
+    # sniff_format stays blind to the container (videos must not image-decode)
+    assert codecs.sniff_format(multimodal.encode_video(frames)) == "unknown"
