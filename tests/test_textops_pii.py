@@ -77,3 +77,34 @@ def test_pii_plan_is_jvm_only(spark):
     df = spark.createDataFrame(pd.DataFrame(DOCS, columns=["doc_id", "text"]))
     plan = textops.with_pii_redaction(df)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_pii_random_corpus_matches_python_re(spark):
+    """Third-engine check: the same rule chain applied with Python re
+    (leftmost-first, like Java) over a generated corpus of adversarial
+    fragments must match Spark byte-for-byte — 200 docs in one job."""
+    import random
+    import re
+
+    rng = random.Random(42)
+    frags = ["user@example.com", "10.0.0.1", "123-45-6789", "555-123-4567",
+             "a@b.co", "1.2.3.4@host.org", "999.999.999.999", "1.2.3",
+             "12-34-5678", "v1.2.3.4beta", "x@y", "@", ".", "-", " ",
+             "text", "123", "café", "\t", "\n", "word.word", "+1 555 111 2222"]
+    docs = [(f"r{i}", " ".join(rng.choices(frags, k=rng.randint(0, 12))))
+            for i in range(200)]
+
+    def py_redact(text):
+        counts, cur = [], text
+        for _, pat, tok in textops.PII_RULES:
+            counts.append(len(re.findall(pat, cur)))
+            cur = re.sub(pat, tok, cur)
+        return cur, counts
+
+    df = spark.createDataFrame(pd.DataFrame(docs, columns=["doc_id", "text"]))
+    got = {r["doc_id"]: r for r in textops.with_pii_redaction(df).collect()}
+    for doc_id, text in docs:
+        want_text, want_counts = py_redact(text)
+        assert got[doc_id]["redacted_text"] == want_text, (doc_id, text)
+        for (kind, _, _), want_n in zip(textops.PII_RULES, want_counts):
+            assert got[doc_id][f"n_pii_{kind}"] == want_n, (doc_id, kind)
