@@ -318,7 +318,34 @@ def phash_images(images: DataFrame, on_error: str = "raise") -> DataFrame:
 
 IMAGE_QUALITY_SCHEMA = ("image_id string, sharpness double, luma_mean double, "
                         "luma_std double, frac_dark double, frac_bright double, "
-                        "entropy double")
+                        "entropy double, border_frac double")
+
+
+def _border_fraction(luma: "np.ndarray") -> float:
+    """Letterbox/pillarbox detector: fraction of pixels inside the
+    uniform border frame. A border run from an edge = consecutive
+    rows (cols) whose every pixel equals that edge's corner value —
+    stricter than 'row is constant', so gradients don't false-flag.
+    1.0 for a fully uniform image."""
+    h, w = luma.shape
+
+    def run(rows):
+        v = rows[0, 0]
+        n = 0
+        for r in rows:
+            if (r == v).all():
+                n += 1
+            else:
+                break
+        return n
+
+    top = run(luma)
+    bot = run(luma[::-1]) if top < h else 0
+    left = run(luma.T)
+    right = run(luma.T[::-1]) if left < w else 0
+    ih = max(h - top - bot, 0)
+    iw = max(w - left - right, 0)
+    return float((h * w - ih * iw) / (h * w))
 
 
 def image_quality_metrics(arr: "np.ndarray", peak: float | None = None) -> dict:
@@ -356,6 +383,7 @@ def image_quality_metrics(arr: "np.ndarray", peak: float | None = None) -> dict:
         frac_dark=float((luma < 0.02 * peak).mean()),
         frac_bright=float((luma > 0.98 * peak).mean()),
         entropy=float(-(p * np.log2(p)).sum()),
+        border_frac=_border_fraction(luma),
     )
 
 
@@ -370,7 +398,8 @@ def with_image_quality(images: DataFrame, peak: float | None = None,
     quarantine = on_error == "quarantine"
     schema = IMAGE_QUALITY_SCHEMA + (", error string" if quarantine else "")
     null_row = dict(sharpness=None, luma_mean=None, luma_std=None,
-                    frac_dark=None, frac_bright=None, entropy=None)
+                    frac_dark=None, frac_bright=None, entropy=None,
+                    border_frac=None)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -44,12 +44,30 @@ def _expected(arr):
     for v in luma.ravel():
         hist[min(63, max(0, int(v * 64.0 / PEAK)))] += 1
     ent = -sum(c / luma.size * math.log2(c / luma.size) for c in hist if c)
+    # border: per-edge runs of rows/cols equal to that edge's corner value
+    def _run(seq2d):
+        v, n = seq2d[0][0], 0
+        for line in seq2d:
+            if all(x == v for x in line):
+                n += 1
+            else:
+                break
+        return n
+
+    rows = luma.tolist()
+    cols = luma.T.tolist()
+    top = _run(rows)
+    bot = _run(rows[::-1]) if top < h else 0
+    left = _run(cols)
+    right = _run(cols[::-1]) if left < w else 0
+    ih, iw = max(h - top - bot, 0), max(w - left - right, 0)
     return dict(
         sharpness=float(np.mean((laps - laps.mean()) ** 2)) if len(laps) else 0.0,
         luma_mean=float(luma.mean()), luma_std=float(luma.std()),
         frac_dark=float(np.mean(luma < 0.02 * PEAK)),
         frac_bright=float(np.mean(luma > 0.98 * PEAK)),
-        entropy=float(ent))
+        entropy=float(ent),
+        border_frac=(h * w - ih * iw) / (h * w))
 
 
 @pytest.mark.parametrize("kind", ["checker", "flat", "gradient", "dark", "bright"])
@@ -59,6 +77,17 @@ def test_quality_metrics_numpy_parity(kind):
     want = _expected(arr)
     for k, v in want.items():
         assert got[k] == pytest.approx(v, rel=1e-12, abs=1e-12), (kind, k)
+
+
+def test_border_frac_letterbox():
+    h, w = 20, 30
+    a = np.zeros((h, w))
+    a[4:-4, :] = 0.6 * PEAK  # 4-row black bars top and bottom
+    m = multimodal.image_quality_metrics(np.stack([a] * 3).astype(np.uint16))
+    assert m["border_frac"] == pytest.approx(8 * w / (h * w))
+    assert multimodal.image_quality_metrics(_img("flat"))["border_frac"] == 1.0
+    # content in every edge row/col -> no border beyond chance
+    assert multimodal.image_quality_metrics(_img("checker"))["border_frac"] == 0.0
 
 
 def test_quality_orderings():
