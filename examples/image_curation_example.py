@@ -1,0 +1,102 @@
+"""End-to-end image-table curation over a mixed-format crawl batch:
+the r6 image operator stack chained the way a 100 TB pipeline would
+run it — cheapest filter first, decode last, nothing ever fails a task.
+
+    images --header probe (no decode)--> resolution/format gate
+           --quarantine split--> undecodable rows diverted
+           --quality signals (one decode pass)--> blur/exposure gate
+           --perceptual-hash near-dup--> keeper per duplicate cluster
+
+Run:  python examples/image_curation_example.py
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+from irivermetrics_spark import codecs  # noqa: E402
+from irivermetrics_spark.kernels import jpeg, png  # noqa: E402
+from irivermetrics_spark.operators import dedup, multimodal  # noqa: E402
+from irivermetrics_spark.session import get_spark  # noqa: E402
+
+
+def _make_batch():
+    """A deterministic crawl batch: two artwork families re-encoded
+    across codecs (near-dups), a blurry/flat image, a letterboxed one,
+    a low-res thumbnail, a foreign gif, and a corrupt payload."""
+    rng = np.random.default_rng(7)
+    rows = []
+
+    def art(seed, h=64, w=96):
+        r = np.random.default_rng(seed)
+        base = r.integers(0, 180, (h // 8, w // 8)).astype(np.float64)
+        img = np.kron(base, np.ones((8, 8)))  # blocky texture
+        return np.stack([img, img * 0.9, img * 1.1]).clip(0, 255).astype(np.uint8)
+
+    for fam in (0, 1):
+        a = art(fam)
+        rows.append((f"f{fam}_png", png.encode_png(a), "png"))
+        rows.append((f"f{fam}_jpeg", jpeg.encode_baseline(a, quality=95), "jpeg"))
+        a16 = (a.astype(np.uint16) * 78)  # same artwork in the engine domain
+        rows.append((f"f{fam}_raw16", codecs.encode_image(a16, "raw16"), "raw16"))
+
+    flat = np.full((3, 64, 96), 120, np.uint8)
+    rows.append(("flat", png.encode_png(flat), "png"))
+    boxed = art(5)
+    boxed[:, :16, :] = 0
+    boxed[:, -16:, :] = 0
+    rows.append(("letterboxed", png.encode_png(boxed), "png"))
+    thumb = art(6, h=16, w=24)
+    rows.append(("thumb", png.encode_png(thumb), "png"))
+    rows.append(("foreign", b"GIF89a" + (320).to_bytes(2, "little")
+                 + (200).to_bytes(2, "little") + bytes(10), "gif"))
+    rows.append(("corrupt", bytes(rng.integers(0, 256, 64, dtype=np.uint8)), "png"))
+    return rows
+
+
+def main() -> None:
+    spark = get_spark("image_curation", master="local[8]", shuffle_partitions=16)
+    import pandas as pd
+
+    batch = spark.createDataFrame(
+        pd.DataFrame(_make_batch(), columns=["image_id", "bytes", "fmt"]))
+    n0 = batch.count()
+
+    # 1. header-only probe: format + resolution gate BEFORE any decode
+    info = multimodal.with_image_info(batch)
+    sized = info.where("decodable AND width >= 32 AND height >= 32 AND n_frames = 1")
+    n_diverted = n0 - sized.count()
+
+    # 2. one decode pass -> seven quality signals; gate blur/flat/
+    #    letterbox (decode failures quarantine, never fail the task)
+    q = multimodal.with_image_quality(sized, on_error="quarantine")
+    good = q.where("error IS NULL AND sharpness > 1e-4 AND entropy > 1.0 "
+                   "AND border_frac < 0.25")
+    kept = sized.join(good.select("image_id"), "image_id")
+    n1 = kept.count()
+
+    # 3. perceptual-hash near-dup -> min-id keeper per cluster
+    pairs = multimodal.phash_neardup(kept, max_hamming=6)
+    hashed = multimodal.phash_images(kept)
+    keepers = dedup.keep_canonical(
+        hashed.select(F.col("image_id").alias("doc_id")),
+        pairs.select(F.col("id_a").alias("id_a"), F.col("id_b").alias("id_b")),
+        "doc_id")
+    n2 = keepers.count()
+
+    print(f"\ncrawl batch: {n0} -> probe-gated {n0 - n_diverted} "
+          f"(diverted {n_diverted}: foreign/corrupt-header/low-res) "
+          f"-> quality-kept {n1} -> near-dup keepers {n2}")
+    print(q.select("image_id", F.round("sharpness", 4).alias("sharpness"),
+                   F.round("entropy", 2).alias("entropy"),
+                   F.round("border_frac", 2).alias("border_frac"), "error")
+          .orderBy("image_id").toPandas().to_string(index=False))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -366,22 +366,26 @@ def image_quality_metrics(arr: "np.ndarray", peak: float | None = None) -> dict:
 
     All O(pixels) vectorized numpy; deterministic.
     """
-    luma = arr.astype(np.float64).mean(axis=0)
     if peak is None:
         peak = 255.0 if arr.dtype.itemsize == 1 else float(codecs.REFLECTANCE_MAX)
+    # normalize FIRST: every signal lives in the [0, 1] intensity
+    # domain, so thresholds compare across 8-bit web formats and
+    # 16-bit reflectance payloads alike (jpeg/png/webp decode to
+    # 0-255 values widened to uint16 — dtype alone can't tell)
+    luma = arr.astype(np.float64).mean(axis=0) / peak
     lap = (4.0 * luma[1:-1, 1:-1] - luma[:-2, 1:-1] - luma[2:, 1:-1]
            - luma[1:-1, :-2] - luma[1:-1, 2:])
     sharp = float(lap.var()) if lap.size else 0.0
     n = luma.size
     hist = np.bincount(
-        np.clip((luma * (64.0 / peak)).astype(np.int64), 0, 63).ravel(), minlength=64)
+        np.clip((luma * 64.0).astype(np.int64), 0, 63).ravel(), minlength=64)
     p = hist[hist > 0] / n
     return dict(
         sharpness=sharp,
         luma_mean=float(luma.mean()),
         luma_std=float(luma.std()),
-        frac_dark=float((luma < 0.02 * peak).mean()),
-        frac_bright=float((luma > 0.98 * peak).mean()),
+        frac_dark=float((luma < 0.02).mean()),
+        frac_bright=float((luma > 0.98).mean()),
         entropy=float(-(p * np.log2(p)).sum()),
         border_frac=_border_fraction(luma),
     )
@@ -407,8 +411,12 @@ def with_image_quality(images: DataFrame, peak: float | None = None,
             for rec in pdf.itertuples(index=False):
                 raw = None if rec.bytes is None else bytes(rec.bytes)
                 try:
+                    row_peak = peak
+                    if row_peak is None:
+                        row_peak = (255.0 if rec.fmt in ("jpeg", "png", "webp")
+                                    else float(codecs.REFLECTANCE_MAX))
                     row = dict(image_id=rec.image_id,
-                               **image_quality_metrics(_decode_any(raw, rec.fmt), peak))
+                               **image_quality_metrics(_decode_any(raw, rec.fmt), row_peak))
                     if quarantine:
                         row["error"] = None
                 except Exception as e:

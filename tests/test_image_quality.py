@@ -32,7 +32,7 @@ def _img(kind, h=24, w=32):
 
 def _expected(arr):
     # independent re-derivation: loops + explicit formulas, no slicing
-    luma = arr.astype(np.float64).mean(axis=0)
+    luma = arr.astype(np.float64).mean(axis=0) / PEAK
     h, w = luma.shape
     laps = []
     for i in range(1, h - 1):
@@ -42,7 +42,7 @@ def _expected(arr):
     laps = np.asarray(laps)
     hist = [0] * 64
     for v in luma.ravel():
-        hist[min(63, max(0, int(v * 64.0 / PEAK)))] += 1
+        hist[min(63, max(0, int(v * 64.0)))] += 1
     ent = -sum(c / luma.size * math.log2(c / luma.size) for c in hist if c)
     # border: per-edge runs of rows/cols equal to that edge's corner value
     def _run(seq2d):
@@ -64,8 +64,8 @@ def _expected(arr):
     return dict(
         sharpness=float(np.mean((laps - laps.mean()) ** 2)) if len(laps) else 0.0,
         luma_mean=float(luma.mean()), luma_std=float(luma.std()),
-        frac_dark=float(np.mean(luma < 0.02 * PEAK)),
-        frac_bright=float(np.mean(luma > 0.98 * PEAK)),
+        frac_dark=float(np.mean(luma < 0.02)),
+        frac_bright=float(np.mean(luma > 0.98)),
         entropy=float(ent),
         border_frac=(h * w - ih * iw) / (h * w))
 
