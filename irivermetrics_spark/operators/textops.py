@@ -376,3 +376,28 @@ def rate_per_key(docs: DataFrame, rate: float, id_col: str = "doc_id",
         raise ValueError(f"rate {rate} outside [0, 1]")
     h = F.pmod(F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)), F.lit(1_000_000))
     return docs.where(h < int(rate * 1_000_000))
+
+
+def split_by_hash(docs: DataFrame, weights: dict[str, float] | None = None,
+                  id_col: str = "doc_id", seed: int = 0) -> DataFrame:
+    """Deterministic dataset splitting: adds a ``split`` column
+    assigning each row to exactly one named split by seeded id-hash
+    range (train/val/test and friends). Unlike ``DataFrame.randomSplit``
+    this is STABLE — the same (id, seed) lands in the same split on
+    every run, machine, and partitioning, and adding rows later never
+    reassigns existing ones (the leakage-safety property holdout sets
+    need). Pure filter expression: no shuffle, no Python.
+    """
+    weights = weights or {"train": 0.9, "val": 0.05, "test": 0.05}
+    total = sum(weights.values())
+    if total <= 0:
+        raise ValueError("weights must sum to a positive value")
+    h = F.pmod(F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)), F.lit(1_000_000))
+    expr, lo = None, 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        lo += weights[name] / total * 1_000_000
+        cond = h < int(lo)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = F.lit(names[-1]) if expr is None else expr.otherwise(names[-1])
+    return docs.withColumn("split", last)

@@ -72,3 +72,31 @@ def test_rate_per_key(spark, docs_pdf):
     # pure filter: no Exchange in the plan
     plan = kept._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_split_by_hash(spark, docs_pdf):
+    df = spark.createDataFrame(docs_pdf)
+    out = textops.split_by_hash(df, {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r["split"]: r["n"] for r in
+              out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    n = len(docs_pdf)
+    assert sum(counts.values()) == n  # total partition, no row lost
+    assert counts["train"] > counts.get("val", 0) and counts["train"] > counts.get("test", 0)
+
+    # stability: same assignment across runs/partitionings; growing the
+    # corpus never reassigns an existing row
+    a = {r["doc_id"]: r["split"] for r in out.collect()}
+    b = {r["doc_id"]: r["split"]
+         for r in textops.split_by_hash(df.repartition(9),
+                                        {"train": 0.8, "val": 0.1, "test": 0.1}).collect()}
+    assert a == b
+    half = spark.createDataFrame(docs_pdf.iloc[:50])
+    c = {r["doc_id"]: r["split"]
+         for r in textops.split_by_hash(half, {"train": 0.8, "val": 0.1, "test": 0.1}).collect()}
+    assert all(a[k] == v for k, v in c.items())
+
+    with pytest.raises(ValueError):
+        textops.split_by_hash(df, {"a": 0.0})
+    # no shuffle
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "BatchEvalPython" not in plan
