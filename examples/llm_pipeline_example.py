@@ -97,11 +97,24 @@ def main() -> None:
                              shortlist=8, index=index)
     n5 = hits_pq.count()
 
+    # 6. final training prep: stable train/val/test split, then pack
+    # the train docs into fixed-token-budget sequences (bucketed FFD)
+    from irivermetrics_spark.operators import packing
+
+    split = textops.split_by_hash(keepers)
+    train = split.where("split = 'train'")
+    packed = packing.pack_sequences(train, seq_len=512, n_buckets=8)
+    n_packs = packed.select("pack_id").distinct().count()
+    fill = packed.groupBy("pack_id").agg(F.first("pack_total").alias("t")) \
+        .agg(F.round(F.avg("t") / 512, 3).alias("f")).first()["f"]
+
     print(f"\ndocuments: {n0} -> exact-deduped {n1} "
           f"(span-trimmed {n1b}) -> quality-kept {n2} "
           f"(pii-scrubbed {n_pii}) "
           f"-> near-dup keepers {n3}; ANN rows for 5 queries: {n4} "
-          f"(IVF exact-rerank) / {n5} (IVF-routed PQ)")
+          f"(IVF exact-rerank) / {n5} (IVF-routed PQ); "
+          f"train split packed into {n_packs} x 512-token sequences "
+          f"at {fill:.1%} mean fill")
     print(hits.orderBy("query_id", "rank").toPandas().to_string(index=False))
     spark.stop()
 
