@@ -81,10 +81,9 @@ def main() -> None:
 
     # 3. perceptual-hash near-dup -> min-id keeper per cluster
     pairs = multimodal.phash_neardup(kept, max_hamming=6)
-    hashed = multimodal.phash_images(kept)
     keepers = dedup.keep_canonical(
-        hashed.select(F.col("image_id").alias("doc_id")),
-        pairs.select(F.col("id_a").alias("id_a"), F.col("id_b").alias("id_b")),
+        kept.select(F.col("image_id").alias("doc_id")),
+        pairs.select("id_a", "id_b"),
         "doc_id")
     n2 = keepers.count()
 

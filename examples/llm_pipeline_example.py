@@ -102,7 +102,10 @@ def main() -> None:
     from irivermetrics_spark.operators import packing
 
     split = textops.split_by_hash(keepers)
-    train = split.where("split = 'train'")
+    # n_tokens was computed pre-redaction; pack budgets must count the
+    # text that actually ships (redaction shrinks '555 111 2222' -> '<PHONE>')
+    train = split.where("split = 'train'").withColumn(
+        "n_tokens", textops.token_count(F.col("text")))
     packed = packing.pack_sequences(train, seq_len=512, n_buckets=8)
     n_packs = packed.select("pack_id").distinct().count()
     fill = packed.groupBy("pack_id").agg(F.first("pack_total").alias("t")) \

@@ -238,8 +238,13 @@ def probe_image_info(buf: bytes) -> dict:
     b = bytes(buf) if buf is not None else b""
     # the engine video container (u4 frame count + concatenated IRM1
     # frames) is invisible to sniff_format on purpose — videos must
-    # not image-decode — but the INVENTORY should still see it
-    if fmt == "unknown" and len(b) >= 14 and b[4:8] == MAGIC:
+    # not image-decode — but the INVENTORY should still see it. The
+    # offset-4 magic decides ALONE (checked before trusting the sniff):
+    # a frame count whose little-endian bytes spell another format's
+    # magic ('BM', 'II*\0', 'CDF'...) must not be misread as that
+    # format with garbage dimensions. A genuine IRM1 image cannot
+    # collide: its own magic sits at offset 0.
+    if b[:4] != MAGIC and len(b) >= 14 and b[4:8] == MAGIC:
         import struct as _s
 
         (nf,) = _s.unpack("<I", b[:4])
@@ -288,7 +293,23 @@ def probe_image_info(buf: bytes) -> dict:
                 i += 2 + seg
         elif fmt == "png":
             w, h = struct.unpack(">II", b[16:24])
-            channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(b[25])
+            color_type = b[25]
+            if color_type == 3:
+                # palette images DECODE to RGB (RGBA with tRNS) — report
+                # the decoded band count, not the 1 stored index plane;
+                # tRNS lives in the chunk headers before IDAT (O(chunks))
+                channels, i = 3, 8
+                while i + 8 <= len(b):
+                    (clen,) = struct.unpack(">I", b[i:i + 4])
+                    ctag = b[i + 4:i + 8]
+                    if ctag == b"tRNS":
+                        channels = 4
+                        break
+                    if ctag == b"IDAT" or ctag == b"IEND":
+                        break
+                    i += 12 + clen
+            else:
+                channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color_type)
             out.update(width=w, height=h, nbands=channels, n_frames=1)
         elif fmt == "webp-vp8l":
             if b[20] == 0x2F:

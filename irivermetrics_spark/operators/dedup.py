@@ -546,7 +546,8 @@ def hamming_candidates(hashed: DataFrame, hash_col: str, id_col: str = "id",
 def hamming_candidates_incremental(new_hashed: DataFrame, banded_index: DataFrame,
                                    hash_col: str = "h64", id_col: str = "id",
                                    max_hamming: int = 3,
-                                   n_blocks: int | None = None) -> tuple[DataFrame, DataFrame]:
+                                   n_blocks: int | None = None,
+                                   bucket_cap: int | None = None) -> tuple[DataFrame, DataFrame]:
     """Incremental Hamming near-dup: a NEW batch of 64-bit hashes
     against a persisted banded index — the pigeonhole analog of
     ``lsh_candidates_incremental`` (same growing-crawl contract:
@@ -563,21 +564,46 @@ def hamming_candidates_incremental(new_hashed: DataFrame, banded_index: DataFram
     involving at least one new row, and the new banded rows to append
     to the index.
     """
+    import logging
+
     key_exprs = hamming_band_keys("h64", max_hamming, n_blocks)
     d = new_hashed.select(F.col(id_col).alias("id"), F.col(hash_col).alias("h64"))
     new_banded = d.select(
         "id", "h64", F.posexplode(F.array(*key_exprs)).alias("combo", "bucket")).persist()
     old = banded_index.select("combo", "bucket", "id", "h64")
+    if bucket_cap is not None:
+        # the INDEX side accumulates across a growing crawl, so hot
+        # buckets concentrate there — cap by combined (index + new)
+        # bucket size, same never-silent WARNING contract as the batch
+        # path (the probe join against an uncapped hot index bucket is
+        # quadratic per ingest batch otherwise)
+        counts = (old.select("combo", "bucket")
+                  .unionByName(new_banded.select("combo", "bucket"))
+                  .groupBy("combo", "bucket").agg(F.count("*").alias("n_in_bucket")))
+        hot = counts.filter(F.col("n_in_bucket") > bucket_cap).persist()
+        stats = hot.agg(F.count("*").alias("n_buckets"),
+                        F.coalesce(F.sum("n_in_bucket"), F.lit(0)).alias("n_rows")).collect()[0]
+        if stats["n_buckets"]:
+            logging.getLogger(__name__).warning(
+                "hamming_candidates_incremental: skipping %d hot buckets covering "
+                "%d banded rows (bucket_cap=%d)",
+                stats["n_buckets"], stats["n_rows"], bucket_cap)
+        hot_keys = F.broadcast(hot.select("combo", "bucket"))
+        old = old.join(hot_keys, ["combo", "bucket"], "left_anti")
+        probe = new_banded.join(hot_keys, ["combo", "bucket"], "left_anti")
+        hot.unpersist()
+    else:
+        probe = new_banded
     hamming = F.bit_count(F.col("l.h64").bitwiseXOR(F.col("r.h64")))
     cross = (
-        new_banded.alias("l").join(old.alias("r"), ["combo", "bucket"])
+        probe.alias("l").join(old.alias("r"), ["combo", "bucket"])
         .where(F.col("l.id") != F.col("r.id"))
         .select(F.least("l.id", "r.id").alias("id_a"),
                 F.greatest("l.id", "r.id").alias("id_b"),
                 hamming.alias("hamming"))
     )
     within = (
-        new_banded.alias("l").join(new_banded.alias("r"), ["combo", "bucket"])
+        probe.alias("l").join(probe.alias("r"), ["combo", "bucket"])
         .where(F.col("l.id") < F.col("r.id"))
         .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"),
                 hamming.alias("hamming"))

@@ -460,6 +460,7 @@ def phash_neardup(images: DataFrame, max_hamming: int = 3, n_blocks: int | None 
 
 def phash_neardup_incremental(new_images: DataFrame, banded_index: DataFrame,
                               max_hamming: int = 3, n_blocks: int | None = None,
+                              bucket_cap: int | None = None,
                               on_error: str = "raise") -> tuple:
     """Incremental perceptual near-dup: a NEW image batch against a
     persisted banded phash index — old images are never re-decoded.
@@ -473,7 +474,7 @@ def phash_neardup_incremental(new_images: DataFrame, banded_index: DataFrame,
     if on_error == "quarantine":
         hashed = hashed.where(F.col("phash").isNotNull()).select("image_id", "phash")
     return hamming_candidates_incremental(hashed, banded_index, "phash", "image_id",
-                                          max_hamming, n_blocks)
+                                          max_hamming, n_blocks, bucket_cap=bucket_cap)
 
 
 def audio_features(audio: DataFrame) -> DataFrame:

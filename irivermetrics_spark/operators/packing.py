@@ -52,6 +52,15 @@ def pack_sequences(docs: DataFrame, seq_len: int, token_col: str = "n_tokens",
                F.lit(n_buckets)).cast("int").alias("bucket"))
 
     def ffd(pdf: pd.DataFrame) -> pd.DataFrame:
+        bad = pdf[pdf["n_tokens"].isna()]
+        if len(bad):
+            # a null count would otherwise surface as an opaque
+            # NaN-to-int pandas error deep in the task — name the rows
+            ids = ", ".join(sorted(bad["doc_id"].astype(str))[:5])
+            raise ValueError(
+                f"pack_sequences: null n_tokens for doc_id(s) {ids}"
+                f"{'...' if len(bad) > 5 else ''} — compute token counts "
+                "(textops.token_count) or filter null rows before packing")
         pdf = pdf.sort_values(["n_tokens", "doc_id"],
                               ascending=[False, True], kind="mergesort")
         bucket = int(pdf["bucket"].iloc[0])

@@ -309,7 +309,12 @@ def train_char_lm(docs: DataFrame, text_col: str = "text",
     bounded by charset^3, so the model frame broadcasts (the scoring
     join below hints it)."""
     grams = docs.select(F.explode(char_trigrams(F.col(text_col))).alias("gram"))
-    counts = grams.groupBy("gram").agg(F.count("*").alias("c"))
+    # persisted: the scalar (total, V) agg below materializes the full
+    # corpus scan; without the persist the returned model frame would
+    # re-run the identical extract/explode/groupBy lineage when first
+    # scored — doubling the most expensive stage. The model frame built
+    # on top stays small (<= V rows); callers persist/unpersist IT.
+    counts = grams.groupBy("gram").agg(F.count("*").alias("c")).persist()
     total, v = counts.agg(
         F.sum("c").cast("double"), F.count("*").cast("double")).first()
     total = float(total or 0.0)
@@ -366,16 +371,28 @@ def cap_per_key(docs: DataFrame, key_col: str = "source", cap: int = 100,
 
 
 def rate_per_key(docs: DataFrame, rate: float, id_col: str = "doc_id",
-                 seed: int = 0) -> DataFrame:
+                 seed: int = 0, key_col: str | None = None,
+                 keys: list | None = None) -> DataFrame:
     """Approximate deterministic thinning: keep ~``rate`` of rows by
     hash threshold — no shuffle at all (pure filter, survives any
     partitioning), the scale-path companion to ``cap_per_key``. The
     same (id, seed) always makes the same keep/drop decision, so the
-    sample is stable across runs and machines."""
+    sample is stable across runs and machines.
+
+    With ``key_col`` + ``keys``, thinning applies ONLY to rows whose
+    key is in ``keys`` (the identified hot domains); everything else
+    passes through untouched — the pre-thin-the-hot-keys step
+    cap_per_key's docstring describes. Without them the whole frame
+    thins at one global rate."""
     if not 0.0 <= rate <= 1.0:
         raise ValueError(f"rate {rate} outside [0, 1]")
+    if (key_col is None) != (keys is None):
+        raise ValueError("key_col and keys must be passed together")
     h = F.pmod(F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)), F.lit(1_000_000))
-    return docs.where(h < int(rate * 1_000_000))
+    keep = h < int(rate * 1_000_000)
+    if key_col is not None:
+        keep = (~F.col(key_col).isin(list(keys))) | keep
+    return docs.where(keep)
 
 
 def split_by_hash(docs: DataFrame, weights: dict[str, float] | None = None,

@@ -100,3 +100,19 @@ def test_split_by_hash(spark, docs_pdf):
     # no shuffle
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "BatchEvalPython" not in plan
+
+
+def test_rate_per_key_scoped_to_hot_keys(spark, docs_pdf):
+    df = spark.createDataFrame(docs_pdf)
+    out = textops.rate_per_key(df, 0.3, key_col="source", keys=["domain5"])
+    counts = {r["source"]: r["n"] for r in
+              out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    before = docs_pdf.groupby("source").size().to_dict()
+    # untouched keys pass through whole; only the hot key thins
+    for k, n in before.items():
+        if k == "domain5":
+            assert counts[k] < n
+        else:
+            assert counts[k] == n
+    with pytest.raises(ValueError):
+        textops.rate_per_key(df, 0.3, keys=["domain5"])  # key_col missing

@@ -108,3 +108,34 @@ def test_probe_engine_video_container():
     assert (info["width"], info["height"], info["nbands"], info["n_frames"]) == (6, 5, 2, 4)
     # sniff_format stays blind to the container (videos must not image-decode)
     assert codecs.sniff_format(multimodal.encode_video(frames)) == "unknown"
+
+
+def test_probe_palette_png_reports_decoded_bands():
+    # palette PNGs decode to RGB/RGBA; the probe must report the
+    # DECODED band count or nbands gates would divert valid images
+    buf = open("tests/data/conformance_pal.png", "rb").read()
+    info = _probe(buf)
+    dec = png.decode_png(buf)
+    assert info["nbands"] == dec.shape[0]
+    # palette WITHOUT tRNS -> 3 bands
+    import zlib as _z
+    pal = png.encode_png((np.indices((3, 4, 4)).sum(0) % 2 * 255).astype(np.uint8))
+    # (palette-encoding depends on encoder heuristics; just assert the
+    # color-type-3 branch directly on a hand-built minimal header)
+    ihdr = struct.pack(">IIBBBBB", 7, 5, 8, 3, 0, 0, 0)
+    hand = (b"\x89PNG\r\n\x1a\n"
+            + struct.pack(">I", 13) + b"IHDR" + ihdr + b"\x00" * 4
+            + struct.pack(">I", 0) + b"IDAT" + b"\x00" * 4)
+    h = _probe(hand)
+    assert (h["width"], h["height"], h["nbands"]) == (7, 5, 3)
+
+
+def test_probe_video_frame_count_magic_collision():
+    # a frame count whose little-endian bytes spell 'BM' (19778) must
+    # still probe as irm-video, not as a bmp with garbage dimensions
+    frames = np.zeros((2, 1, 4, 4), np.uint16)
+    v = multimodal.encode_video(frames)
+    forged = (19778).to_bytes(4, "little") + v[4:]
+    info = _probe(forged)
+    assert info["fmt_detail"] == "irm-video"
+    assert (info["width"], info["height"], info["n_frames"]) == (4, 4, 19778)

@@ -67,3 +67,10 @@ def test_pack_single_shuffle_plan(spark, docs_pdf):
     plan = packing.pack_sequences(df, 1024)._jdf.queryExecution() \
         .executedPlan().toString()
     assert plan.count("Exchange") == 1 and "FlatMapGroupsInPandas" in plan
+
+
+def test_pack_null_tokens_named_error(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": ["a", "b"], "n_tokens": [100, None]}))
+    with pytest.raises(Exception, match="null n_tokens.*doc_id.*b"):
+        packing.pack_sequences(df, 1024, n_buckets=1).collect()

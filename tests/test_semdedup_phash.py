@@ -246,3 +246,30 @@ def test_phash_incremental_equals_full_corpus(spark):
     assert set(new_banded.columns) == {"id", "h64", "combo", "bucket"}
     for p in old_per + [new_banded]:
         p.unpersist()
+
+
+def test_hamming_incremental_bucket_cap(spark, caplog):
+    """A hot (combo,bucket) in index+new combined is skipped with a
+    WARNING; pairs through cold buckets survive."""
+    import logging
+
+    from irivermetrics_spark.operators import dedup
+
+    # 20 hashes identical (hot in every bucket) + 2 distinct neighbors
+    rows = [(f"hot{i}", 0) for i in range(20)]
+    rows += [("a", 1 << 40), ("b", (1 << 40) | 1)]
+    old = spark.createDataFrame(pd.DataFrame(rows[:11], columns=["id", "h64"]))
+    new = spark.createDataFrame(pd.DataFrame(rows[11:], columns=["id", "h64"]))
+    per = []
+    dedup.hamming_candidates(old, "h64", "id", max_hamming=3,
+                             persisted_out=per).collect()
+    with caplog.at_level(logging.WARNING,
+                         logger="irivermetrics_spark.operators.dedup"):
+        pairs, nb = dedup.hamming_candidates_incremental(
+            new, per[0], max_hamming=3, bucket_cap=8)
+        got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert ("a", "b") in got                       # cold bucket survives
+    assert not any("hot" in a or "hot" in b for a, b in got)  # hot skipped
+    assert any("hot buckets" in r.message for r in caplog.records)
+    for p in per + [nb]:
+        p.unpersist()
