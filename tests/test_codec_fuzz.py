@@ -155,3 +155,28 @@ def test_webp_single_symbol_huge_dims_fast():
     b2 = b"RIFF" + struct.pack("<I", len(b"WEBP" + v2)) + b"WEBP" + v2
     with pytest.raises(ValueError, match="max_pixels"):
         webp.decode_vp8l(b2)
+
+
+def test_probe_never_raises_fuzz():
+    """probe_image_info parses untrusted header bytes on the hot
+    inventory path — it must NEVER raise and always return the full
+    field set, for random bytes AND for every magic prefix followed by
+    random/truncated tails (the adversarial case: valid sniff, corrupt
+    header)."""
+    import random
+
+    rng = random.Random(1234)
+    fields = {"fmt_detail", "width", "height", "nbands", "n_frames", "decodable"}
+    prefixes = list(_PREFIX.values()) + [
+        codecs.MAGIC, b"\x02\x00\x00\x00" + codecs.MAGIC,  # irm image/video
+        b"GIF89a", b"BM", b"RIFF\x10\x00\x00\x00WEBPVP8X",
+        b"RIFF\x10\x00\x00\x00WEBPVP8 ", b"MM\x00*"]
+    t0 = time.time()
+    for trial in range(600):
+        prefix = prefixes[trial % len(prefixes)]
+        tail = bytes(rng.getrandbits(8) for _ in range(rng.randrange(0, 64)))
+        out = codecs.probe_image_info(prefix + tail)
+        assert set(out) == fields and isinstance(out["fmt_detail"], str)
+    for short in (None, b"", b"\x00", codecs.MAGIC[:3]):
+        assert set(codecs.probe_image_info(short)) == fields
+    assert time.time() - t0 < 20  # header-only: never O(payload)
