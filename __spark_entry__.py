@@ -605,65 +605,69 @@ def _q_tile_assign_oracle(spark, sf):
     )
 
 
-def _q_quad_assign_oracle(spark, sf):
-    """Exact S2-style quadtree (Morton) tile assignment, DuckDB-oracle-
-    checked: the engine's bit-interleave cell id (cellindex.quad_cell)
-    re-derived in SQL as a per-bit sum — the second cell family the
-    north rule names (H3 AND S2)."""
-    import pandas as pd
+def _q_text_pii(spark, sf):
+    """PII redaction, DuckDB-oracle-checked end-to-end (L14): the
+    corpus text is augmented IN-QUERY with deterministic synthetic PII
+    derived from (doc_id, source) — an email, an IPv4, an SSN-shaped
+    id — then scrubbed by the production regexp chain
+    (textops.with_pii_redaction); the oracle replays the identical
+    augmentation + rule chain in DuckDB/RE2, generated from the SAME
+    PII_RULES list. Byte-exact: per-kind counts as BIGINT plus
+    md5(redacted_text). The rules are engineered alternation/
+    lookaround/non-ASCII-class-free precisely so Java regex and RE2
+    agree on every match (pinned three-engine in
+    tests/test_textops_pii.py)."""
+    from irivermetrics_spark.operators import textops
 
-    from irivermetrics_spark.functions import cellindex
-
-    e = _t(spark, sf, "events").filter(F.col("value").isNotNull())
-    pts = e.select(
-        (F.col("value") * 1000.0).alias("x"),
-        ((F.col("event_id") % 1000) * 977.0).alias("y"),
-    )
-
-    def _cell(x, y):
-        return pd.Series(cellindex.quad_cell(x.to_numpy(), y.to_numpy(), 20))
-
-    cell20 = F.pandas_udf(_cell, "long")
-    return (
-        pts.withColumn("cell", cell20("x", "y"))
-        .groupBy("cell")
-        .agg(F.count("*").cast("bigint").alias("n_points"),
-             F.round(F.sum("x"), 4).alias("sum_x"))
-    )
-
-
-def _quad_oracle_sql(level: int = 20) -> str:
-    morton = " + ".join(
-        f"(((xi >> {b}) & 1) * {1 << (2 * b)}) + (((yi >> {b}) & 1) * {1 << (2 * b + 1)})"
-        for b in range(level)
-    )
-    n = 1 << level
-    return f"""
-        WITH pts AS (
-          SELECT value * 1000.0 AS x, (event_id % 1000) * 977.0 AS y
-          FROM events WHERE value IS NOT NULL
-        ), ij AS (
-          -- world box (-2e7, -2e7, extent 4e7); trunc == floor for the
-          -- positive offsets here (numpy astype truncates)
-          SELECT x,
-                 LEAST(GREATEST(CAST(trunc((x - (-2.0e7)) / 4.0e7 * {n}) AS BIGINT), 0), {n - 1}) AS xi,
-                 LEAST(GREATEST(CAST(trunc((y - (-2.0e7)) / 4.0e7 * {n}) AS BIGINT), 0), {n - 1}) AS yi
-          FROM pts
-        ), packed AS (
-          -- kind=1 << 61 | level << 56 | morton(xi, yi)
-          SELECT x, CAST(2305843009213693952 AS BIGINT)
-                   + CAST({level} AS BIGINT) * 72057594037927936
-                   + ({morton}) AS cell
-          FROM ij
-        )
-        SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_points,
-               ROUND(SUM(x), 4) AS sum_x
-        FROM packed GROUP BY cell
-    """
+    d = _t(spark, sf, "documents")
+    aug = d.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.concat(
+            F.lit("contact "), F.col("source"), F.lit("@example.com via 10.0."),
+            (F.col("doc_id") % 256).cast("string"), F.lit(".7 id "),
+            F.lpad((F.col("doc_id") % 900 + 100).cast("string"), 3, "0"),
+            F.lit("-"),
+            F.lpad((F.col("doc_id") % 89 + 10).cast("string"), 2, "0"),
+            F.lit("-"),
+            F.lpad((F.col("doc_id") % 9000 + 1000).cast("string"), 4, "0"),
+            F.lit(" call 555."),
+            F.lpad((F.col("doc_id") % 800 + 100).cast("string"), 3, "0"),
+            F.lit("."),
+            F.lpad((F.col("doc_id") % 7000 + 2000).cast("string"), 4, "0"),
+            F.lit(" "), F.col("text"),
+        ).alias("text"))
+    out = textops.with_pii_redaction(aug)
+    return out.select(
+        "doc_id", "n_pii_email", "n_pii_ipv4", "n_pii_ssn", "n_pii_phone",
+        F.md5("redacted_text").alias("redacted_md5"))
 
 
-PIP_RING_X = [0.3, 120.4, 60.1, 110.7, 5.2]
-PIP_RING_Y = [0.7, 10.2, 55.3, 95.9, 80.1]
+def _text_pii_oracle_sql() -> str:
+    from irivermetrics_spark.operators.textops import PII_RULES
+
+    aug = """
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               'contact ' || source || '@example.com via 10.0.' ||
+               CAST(doc_id % 256 AS VARCHAR) || '.7 id ' ||
+               lpad(CAST(doc_id % 900 + 100 AS VARCHAR), 3, '0') || '-' ||
+               lpad(CAST(doc_id % 89 + 10 AS VARCHAR), 2, '0') || '-' ||
+               lpad(CAST(doc_id % 9000 + 1000 AS VARCHAR), 4, '0') ||
+               ' call 555.' || lpad(CAST(doc_id % 800 + 100 AS VARCHAR), 3, '0') ||
+               '.' || lpad(CAST(doc_id % 7000 + 2000 AS VARCHAR), 4, '0') || ' ' ||
+               text AS t0
+        FROM documents"""
+    ctes = [f"r0 AS ({aug})"]
+    cur = "t0"
+    for i, (kind, pat, tok) in enumerate(PII_RULES, start=1):
+        ctes.append(
+            f"r{i} AS (SELECT *, "
+            f"CAST(len(regexp_extract_all({cur}, '{pat}')) AS BIGINT) AS n_pii_{kind}, "
+            f"regexp_replace({cur}, '{pat}', '{tok}', 'g') AS t{i} FROM r{i - 1})")
+        cur = f"t{i}"
+    kinds = ", ".join(f"n_pii_{kind}" for kind, _, _ in PII_RULES)
+    return (f"WITH {', '.join(ctes)} "
+            f"SELECT doc_id, {kinds}, md5({cur}) AS redacted_md5 "
+            f"FROM r{len(PII_RULES)}")
 
 
 def _q_pip_oracle(spark, sf):
@@ -1518,7 +1522,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_transform": _q_multimodal_transform,
         "image_embed_neardup": _q_image_embed_neardup,
         "tile_assign_oracle": _q_tile_assign_oracle,
-        "quad_assign_oracle": _q_quad_assign_oracle,
+        "text_pii": _q_text_pii,
         "phash_neardup": _q_phash_neardup,
         "text_repetition": _q_text_repetition,
         "pathlen_oracle": _q_pathlen_oracle,
@@ -1841,7 +1845,7 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(SUM(x), 4) AS sum_x
             FROM packed GROUP BY cell
         """,
-        "quad_assign_oracle": _quad_oracle_sql(20),
+        "text_pii": _text_pii_oracle_sql(),
         "pathlen_oracle": """
             WITH per AS (
               SELECT user_id, list(value ORDER BY ts, event_id, value) AS a
