@@ -232,6 +232,65 @@ def frame_sample(videos: DataFrame, every_k: int = 5) -> DataFrame:
     return videos.select("video_id", "bytes").mapInPandas(kernel, FRAMES_SCHEMA)
 
 
+def prune_static_frames(videos: DataFrame, every_k: int = 1,
+                        max_hamming: int = 2) -> DataFrame:
+    """Within-video near-duplicate frame pruning: sample frames
+    (``frame_sample``), keep a frame only when its phash differs from
+    the PREVIOUS KEPT frame by more than ``max_hamming`` bits — the
+    static-scene/slideshow collapse step video curation runs before
+    any per-frame model cost (a 10-minute talking-head clip yields a
+    handful of frames, not thousands).
+
+    Plan shape: one ``mapInPandas`` (decode + phash per frame, fused —
+    frames of one video stay in one pass), then a per-video
+    ``applyInPandas`` running the sequential keep-chain — inherently
+    order-dependent, so it is per-group state, not a window (the
+    chain's keep decision depends on the last KEPT frame, which a
+    lag() window cannot express). Shuffle = one Exchange on video_id;
+    state = one phash per group. The first frame is always kept.
+
+    Returns the frame rows (FRAMES_SCHEMA) of kept frames plus
+    ``phash`` and ``hamming_prev`` (distance to the previously kept
+    frame; null for the first).
+    """
+    frames = frame_sample(videos, every_k=every_k)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            phs = [codecs.phash64(_decode_any(bytes(b), f))
+                   for b, f in zip(pdf["bytes"], pdf["fmt"])]
+            out = pdf.copy()
+            out["phash"] = pd.array(phs, dtype="int64")
+            yield out
+
+    hashed = frames.mapInPandas(kernel, FRAMES_SCHEMA + ", phash long")
+
+    out_schema = FRAMES_SCHEMA + ", phash long, hamming_prev int"
+
+    def keep_chain(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("frame_idx", kind="mergesort")
+        kept_rows, last, dists = [], None, []
+        for i, ph in zip(pdf.index, pdf["phash"]):
+            ph = int(ph)
+            if last is None:
+                kept_rows.append(i)
+                dists.append(None)
+                last = ph
+                continue
+            d = int(bin((ph ^ last) & 0xFFFFFFFFFFFFFFFF).count("1"))
+            if d > max_hamming:
+                kept_rows.append(i)
+                dists.append(d)
+                last = ph
+        out = pdf.loc[kept_rows].copy()
+        out["hamming_prev"] = pd.array(dists, dtype="Int32")
+        return out
+
+    return hashed.groupBy("video_id").applyInPandas(keep_chain, out_schema)
+
+
 def embed_images(images: DataFrame, pool_h: int = 4, pool_w: int = 6,
                  on_error: str = "raise") -> DataFrame:
     """Image -> embedding (array<float>): per-band mean/std + a
