@@ -705,6 +705,10 @@ def _q_pip_oracle(spark, sf):
     )
 
 
+# concave test ring shared by _q_pip_oracle and PIP_RETIRED_SQL
+PIP_RING_X = [0.3, 120.4, 60.1, 110.7, 5.2]
+PIP_RING_Y = [0.7, 10.2, 55.3, 95.9, 80.1]
+
 # the retired pip_oracle SQL, kept for the pytest pin
 # (tests/test_scale_ops.py::test_pip_retired_entry_still_matches_duckdb)
 PIP_RETIRED_SQL = """
