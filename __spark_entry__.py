@@ -247,6 +247,12 @@ def _q_o2_rank(spark, sf):  # O2 sort/rank
 
 
 def _q_u1_union(spark, sf):  # U1 union + distinct
+    """Retired from the driver board in r6 to hold the 50-entry cap
+    while c4_line_dedup joined: a plain union/distinct/count exercises
+    only Catalyst built-ins (U1 frame concat is also load-bearing
+    inside the hash-green flagship unions), so the slot went to an
+    operator with engine code behind it. Stays callable and pinned by
+    tests/test_scale_ops.py against U1_RETIRED_SQL."""
     c = _t(spark, sf, "customer")
     a = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey", "c_nationkey")
     b = c.filter(F.col("c_acctbal") > 5000).select("c_custkey", "c_nationkey")
@@ -255,6 +261,46 @@ def _q_u1_union(spark, sf):  # U1 union + distinct
         .groupBy("c_nationkey")
         .agg(F.count("*").cast("bigint").alias("n_selected"))
     )
+
+
+U1_RETIRED_SQL = """
+    WITH u AS (
+      SELECT c_custkey, c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      UNION
+      SELECT c_custkey, c_nationkey FROM customer WHERE c_acctbal > 5000
+    )
+    SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_selected FROM u GROUP BY c_nationkey
+"""
+
+
+def _q_c4_line_dedup(spark, sf):
+    """Cross-document boilerplate line removal (L26 — the C4 /
+    MassiveText / RefinedWeb corpus-wide line-dedup step; reference
+    has no text surface, cites C4 §2.2). Synthetic multi-line docs are
+    built IN-QUERY from the documents table — a per-source nav line
+    (df=docs-per-source), the doc's first 60 chars, a global footer
+    (df=corpus), a unique id line — then scrubbed by the production
+    operator (textops.remove_repeated_lines, min_df=5, drop_all). The
+    oracle replays the identical construction + document-frequency ban
+    + anti-join + ordered rebuild in DuckDB; md5(text) keeps the
+    hashed payload compact. Non-vacuous: every row loses >= 2 lines
+    and keeps >= 1."""
+    from irivermetrics_spark.operators import textops
+
+    d = _t(spark, sf, "documents")
+    built = d.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.concat_ws(
+            "\n",
+            F.concat(F.lit("nav "), F.col("source")),
+            F.substring(F.col("text"), 1, 60),
+            F.lit("subscribe footer"),
+            F.concat(F.lit("id "), F.col("doc_id").cast("string"))).alias("text"))
+    out = textops.remove_repeated_lines(built, min_df=5)
+    return out.select(
+        "doc_id",
+        F.md5(F.col("text")).alias("text_md5"),
+        F.col("lines_removed").cast("int").alias("lines_removed"))
 
 
 def _q_c1_date_regex(spark, sf):  # C1 date-from-filename
@@ -1497,7 +1543,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a7_fold": _q_a7_fold,
         "w2_topk": _q_w2_topk,
         "o2_rank": _q_o2_rank,
-        "u1_union": _q_u1_union,
+        "c4_line_dedup": _q_c4_line_dedup,
         "c1_date_regex": _q_c1_date_regex,
         "span_dedup": _q_span_dedup,
         "f9_having": _q_f9_having,
@@ -1705,13 +1751,37 @@ def oracle_sql() -> dict[str, str]:
                    CAST(DENSE_RANK() OVER (PARTITION BY s_nationkey ORDER BY s_acctbal DESC) AS BIGINT) AS bal_rank
             FROM supplier
         """,
-        "u1_union": """
-            WITH u AS (
-              SELECT c_custkey, c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
-              UNION
-              SELECT c_custkey, c_nationkey FROM customer WHERE c_acctbal > 5000
+        # u1_union retired r6 (see _q_u1_union / U1_RETIRED_SQL) — slot
+        # given to c4_line_dedup
+        "c4_line_dedup": """
+            WITH built AS (
+              SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                     'nav ' || source || chr(10) || substr(text, 1, 60) || chr(10)
+                     || 'subscribe footer' || chr(10) || 'id ' || CAST(doc_id AS VARCHAR) AS text
+              FROM documents
+            ), lines AS (
+              SELECT doc_id, generate_subscripts(l, 1) AS pos, unnest(l) AS line
+              FROM (SELECT doc_id, regexp_split_to_array(text, '\r?\n') AS l FROM built)
+            ), norm AS (
+              SELECT doc_id, pos, line,
+                     regexp_replace(regexp_replace(line, '^[ \t\f\v\r]+', ''),
+                                    '[ \t\f\v\r]+$', '') AS nline
+              FROM lines
+            ), banned AS (
+              SELECT nline FROM norm WHERE nline <> ''
+              GROUP BY nline HAVING count(DISTINCT doc_id) >= 5
+            ), kept AS (
+              SELECT n.doc_id, n.pos, n.line FROM norm n
+              ANTI JOIN banned b ON n.nline = b.nline
+            ), rebuilt AS (
+              SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text,
+                     count(*) AS n_kept
+              FROM kept GROUP BY doc_id
             )
-            SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_selected FROM u GROUP BY c_nationkey
+            SELECT b.doc_id, md5(coalesce(r.text, '')) AS text_md5,
+                   CAST(len(regexp_split_to_array(b.text, '\r?\n'))
+                        - coalesce(r.n_kept, 0) AS INT) AS lines_removed
+            FROM built b LEFT JOIN rebuilt r USING (doc_id)
         """,
         "c1_date_regex": """
             WITH s AS (

@@ -418,3 +418,93 @@ def split_by_hash(docs: DataFrame, weights: dict[str, float] | None = None,
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
     last = F.lit(names[-1]) if expr is None else expr.otherwise(names[-1])
     return docs.withColumn("split", last)
+
+
+# edge-trim class for the cross-document line-dedup identity: an
+# explicit ASCII set (space, tab, FF, VT, CR) rather than \s so the
+# Java regex engine (Spark) and RE2 (the DuckDB oracle) agree
+# byte-for-byte — Java spells vertical tab \x0B, RE2 spells it \v
+_LINE_TRIM_JAVA = "[ \\t\\f\\x0B\\r]"
+
+
+def remove_repeated_lines(docs: DataFrame, min_df: int = 2,
+                          mode: str = "drop_all",
+                          scope_col: str | None = None,
+                          id_col: str = "doc_id",
+                          text_col: str = "text") -> DataFrame:
+    """Cross-document boilerplate line removal — the C4 / MassiveText /
+    RefinedWeb corpus-dedup step that strips nav menus, cookie banners
+    and footers repeated across a crawl (C4, Raffel et al. 2020 §2.2
+    drops repeated lines corpus-wide; RefinedWeb §G runs it per
+    domain — pass ``scope_col="source"`` for that variant).
+
+    Two policies over the line's ASCII-edge-trimmed form:
+
+    - ``mode="drop_all"``: drop EVERY occurrence of any non-blank line
+      appearing in >= ``min_df`` distinct documents (document
+      frequency, not occurrence count — a line repeated inside one doc
+      is the within-doc repetition signal's job, not boilerplate).
+    - ``mode="keep_first"``: keep only the first occurrence corpus-wide
+      (ordered by ``(id_col, position)``), C4's "all but one" rule;
+      ``min_df`` is ignored.
+
+    Blank lines are never dedup targets (document structure, not
+    boilerplate). Line content is preserved verbatim — the trim only
+    defines the match identity — but line ENDINGS are normalized to
+    ``\\n`` on rebuild. Returns ``docs`` with ``text_col`` rewritten
+    and an int ``lines_removed`` column.
+
+    Scale shape (no driver state, no collect): posexplode is narrow;
+    the document-frequency count is one map-side-combinable shuffle on
+    the line key; the ban is a left-anti join co-partitioned on that
+    same key (AQE broadcasts it when the banned dim is small); rebuild
+    is one groupBy(id) shuffle + an id-key join back onto ``docs``. A
+    100 TB deployment would pre-hash the line key to xxhash64 to
+    narrow the two line-key shuffles; the string key is kept here so
+    the result is exactly string-equality semantics.
+    """
+    if mode not in ("drop_all", "keep_first"):
+        raise ValueError(f"mode must be drop_all or keep_first, got {mode!r}")
+    if mode == "drop_all" and min_df < 2:
+        raise ValueError("min_df < 2 would ban every non-blank line")
+    scope = [scope_col] if scope_col else []
+    lines = docs.select(
+        F.col(id_col), *[F.col(c) for c in scope],
+        F.posexplode(F.split(F.col(text_col), r"\r?\n", -1)).alias("pos", "line"))
+    norm = F.regexp_replace(
+        F.regexp_replace(F.col("line"), f"^{_LINE_TRIM_JAVA}+", ""),
+        f"{_LINE_TRIM_JAVA}+$", "")
+    lines = lines.withColumn("nline", norm)
+    keys = scope + ["nline"]
+    if mode == "drop_all":
+        banned = (
+            lines.where(F.col("nline") != "")
+            .groupBy(*keys)
+            .agg(F.countDistinct(id_col).alias("line_df"))
+            .where(F.col("line_df") >= int(min_df))
+            .select(*keys))
+        kept = lines.join(banned, keys, "left_anti")
+    else:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(*keys).orderBy(F.col(id_col), F.col("pos"))
+        kept = (
+            lines.withColumn("rn", F.row_number().over(w))
+            .where((F.col("nline") == "") | (F.col("rn") == 1))
+            .drop("rn"))
+    rebuilt = (
+        kept.groupBy(id_col)
+        .agg(
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                    lambda s: s["line"])).alias("__new_text"),
+            F.count(F.lit(1)).alias("__n_kept")))
+    n_lines = F.size(F.split(F.col(text_col), r"\r?\n", -1))
+    return (
+        docs.join(rebuilt, id_col, "left")
+        .withColumn("lines_removed",
+                    (n_lines - F.coalesce(F.col("__n_kept"), F.lit(0))).cast("int"))
+        .withColumn(text_col, F.coalesce(F.col("__new_text"), F.lit("")))
+        .drop("__new_text", "__n_kept"))

@@ -440,3 +440,22 @@ def test_ann_index_save_load_roundtrip_and_pruning(spark, tmp_path):
     # PartitionFilter, not a post-scan Filter
     plan = index2.where(F.col("list_id") == 2)._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [" in plan and "list_id" in plan.split("PartitionFilters: [", 1)[1][:120]
+
+
+def test_u1_retired_entry_still_matches_duckdb(spark):
+    """u1_union was retired from the driver board in r6 (slot given to
+    c4_line_dedup); the union/distinct entry stays pinned here against
+    the retired DuckDB SQL."""
+    import duckdb
+
+    import __spark_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+    got = (entry._q_u1_union(spark, sf).toPandas()
+           .sort_values("c_nationkey").reset_index(drop=True))
+    con = duckdb.connect()
+    con.sql(f"create view customer as select * from '{sf}/customer.parquet'")
+    want = (con.sql(entry.U1_RETIRED_SQL).df()
+            .sort_values("c_nationkey").reset_index(drop=True))
+    assert got.c_nationkey.tolist() == want.c_nationkey.tolist()
+    assert got.n_selected.tolist() == want.n_selected.tolist()
