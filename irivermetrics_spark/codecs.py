@@ -164,6 +164,8 @@ def sniff_format(buf: bytes) -> str:
                 return "webp-vp8x-anim"
             return "webp-vp8x"
         return "webp-unknown"
+    if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+        return "wav"  # audio payload in an image column: divert, don't fail
     if b[:6] in (b"GIF87a", b"GIF89a"):
         return "gif"
     if b[:2] == b"BM":

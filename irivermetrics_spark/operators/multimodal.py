@@ -536,22 +536,67 @@ def phash_neardup_incremental(new_images: DataFrame, banded_index: DataFrame,
                                           max_hamming, n_blocks, bucket_cap=bucket_cap)
 
 
-def audio_features(audio: DataFrame) -> DataFrame:
-    """Audio feature extraction: the Spark plumbing is real (binary in,
-    typed features out); the DSP itself treats the payload as int16 PCM
-    — a deployment swaps a real decoder in at _decode_any's analog."""
+AUDIO_FEATURES_SCHEMA = ("audio_id string, n_samples long, channels int, "
+                         "sample_rate int, duration_s double, rms double, "
+                         "peak double, zero_crossings long, silence_ratio double, "
+                         "spectral_centroid_hz double")
+
+
+def audio_features(audio: DataFrame, raw_rate: int = 16_000,
+                   silence_floor: float = 0.01,
+                   max_fft: int = 1 << 16) -> DataFrame:
+    """Audio feature extraction over a binary column: RIFF/WAVE payloads
+    decode through the from-scratch codec (kernels/wav.py — u8/i16/i24/
+    i32 PCM and float32/64, multi-channel); headerless payloads keep the
+    r1 contract (raw little-endian int16 mono at ``raw_rate``).
+
+    Level features (rms, peak, silence_ratio) are defined over the
+    normalized [-1, 1) domain (kernels.wav.to_float) so clips compare
+    across bit depths; zero_crossings and the spectral centroid run on
+    the mono mixdown. The centroid FFT is bounded to the first
+    ``max_fft`` frames — per-clip O(max_fft log max_fft) keeps task
+    cost flat no matter how long a crawl clip claims to be."""
+    from ..kernels import wav as wavk
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for rec in pdf.itertuples(index=False):
-                pcm = np.frombuffer(bytes(rec.bytes), dtype="<i2").astype(np.float64)
-                rms = float(np.sqrt(np.mean(pcm**2))) if pcm.size else 0.0
-                zc = int(np.sum(np.abs(np.diff(np.signbit(pcm))))) if pcm.size > 1 else 0
-                rows.append(dict(audio_id=rec.audio_id, n_samples=int(pcm.size),
-                                 rms=rms, zero_crossings=zc))
-            yield pd.DataFrame(rows) if rows else pd.DataFrame(
-                dict(audio_id=[], n_samples=[], rms=[], zero_crossings=[]))
+                buf = bytes(rec.bytes)
+                if buf[:4] == b"RIFF" and buf[8:12] == b"WAVE":
+                    samples, rate, bits = wavk.read_wav(buf)
+                else:
+                    samples = np.frombuffer(
+                        buf[:len(buf) & ~1], dtype="<i2")[:, None]
+                    rate, bits = int(raw_rate), 16
+                x = wavk.to_float(samples, bits)
+                n, ch = x.shape
+                mono = x.mean(axis=1) if ch > 1 else x[:, 0]
+                if n:
+                    rms = float(np.sqrt(np.mean(mono * mono)))
+                    peak = float(np.max(np.abs(x)))
+                    silence = float(np.mean(np.abs(mono) < silence_floor))
+                else:
+                    rms = peak = silence = 0.0
+                zc = int(np.count_nonzero(np.diff(np.signbit(mono)))) if n > 1 else 0
+                head = mono[:max_fft]
+                if head.size > 1:
+                    spec = np.abs(np.fft.rfft(head)) ** 2
+                    spec[0] = 0.0  # DC is not pitch
+                    tot = float(spec.sum())
+                    freqs = np.fft.rfftfreq(head.size, d=1.0 / rate)
+                    centroid = float((freqs * spec).sum() / tot) if tot > 0 else 0.0
+                else:
+                    centroid = 0.0
+                rows.append(dict(
+                    audio_id=rec.audio_id, n_samples=int(n), channels=int(ch),
+                    sample_rate=int(rate), duration_s=float(n / rate),
+                    rms=rms, peak=peak, zero_crossings=zc,
+                    silence_ratio=silence, spectral_centroid_hz=centroid))
+            cols = ("audio_id n_samples channels sample_rate duration_s rms "
+                    "peak zero_crossings silence_ratio spectral_centroid_hz").split()
+            yield (pd.DataFrame(rows)[cols] if rows
+                   else pd.DataFrame({c: [] for c in cols}))
 
     return audio.select("audio_id", "bytes").mapInPandas(
-        kernel, "audio_id string, n_samples long, rms double, zero_crossings long")
+        kernel, AUDIO_FEATURES_SCHEMA)

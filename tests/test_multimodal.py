@@ -68,8 +68,10 @@ def test_audio_features_spark(spark):
     df = spark.createDataFrame(pd.DataFrame([dict(audio_id="a0", bytes=pcm.tobytes())]))
     out = multimodal.audio_features(df).toPandas()
     assert out.iloc[0].n_samples == 8000
-    assert out.iloc[0].rms == pytest.approx(1000 / np.sqrt(2), rel=0.01)
+    # levels are normalized to [-1, 1) across bit depths (r6)
+    assert out.iloc[0].rms == pytest.approx(1000 / 32768 / np.sqrt(2), rel=0.01)
     assert out.iloc[0].zero_crossings > 100
+    assert out.iloc[0].channels == 1 and out.iloc[0].sample_rate == 16000
 
 
 def test_image_embedding_neardup_detects_reencodes(spark):
