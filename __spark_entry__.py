@@ -288,12 +288,15 @@ def _q_c4_line_dedup(spark, sf):
     from irivermetrics_spark.operators import textops
 
     d = _t(spark, sf, "documents")
+    # coalesce the nullable corpus columns on BOTH sides: concat_ws
+    # SKIPS null parts while SQL || null-propagates the whole doc — a
+    # single NULL source row would hash-diverge the entry (review find)
     built = d.select(
         F.col("doc_id").cast("bigint").alias("doc_id"),
         F.concat_ws(
             "\n",
-            F.concat(F.lit("nav "), F.col("source")),
-            F.substring(F.col("text"), 1, 60),
+            F.concat(F.lit("nav "), F.coalesce(F.col("source"), F.lit(""))),
+            F.substring(F.coalesce(F.col("text"), F.lit("")), 1, 60),
             F.lit("subscribe footer"),
             F.concat(F.lit("id "), F.col("doc_id").cast("string"))).alias("text"))
     out = textops.remove_repeated_lines(built, min_df=5)
@@ -1756,7 +1759,7 @@ def oracle_sql() -> dict[str, str]:
         "c4_line_dedup": """
             WITH built AS (
               SELECT CAST(doc_id AS BIGINT) AS doc_id,
-                     'nav ' || source || chr(10) || substr(text, 1, 60) || chr(10)
+                     'nav ' || coalesce(source, '') || chr(10) || substr(coalesce(text, ''), 1, 60) || chr(10)
                      || 'subscribe footer' || chr(10) || 'id ' || CAST(doc_id AS VARCHAR) AS text
               FROM documents
             ), lines AS (

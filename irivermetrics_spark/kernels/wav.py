@@ -112,7 +112,15 @@ def read_wav(buf: bytes) -> tuple[np.ndarray, int, int]:
         raise ValueError("missing fmt or data chunk")
     if ch is None or ch < 1 or rate is None or rate < 1:
         raise ValueError(f"bad fmt fields: channels={ch} rate={rate}")
-    width = (width_bits or 0) // 8
+    if not width_bits or width_bits % 8:
+        # 12/20-bit PCM rides a 2/4-byte container (block align tells);
+        # parsing the nominal bit count as a byte width would silently
+        # shred frames — reject rather than misread
+        raise ValueError(f"unsupported wav sample width: {width_bits} bits")
+    width = width_bits // 8
+    if _ba and _ba != width * ch:
+        raise ValueError(
+            f"block align {_ba} inconsistent with {width_bits}-bit x {ch}ch frames")
     if tag == _TAG_PCM and width in (1, 2, 3, 4):
         dt = {1: "<u1", 2: "<i2", 4: "<i4"}.get(width)
     elif tag == _TAG_FLOAT and width in (4, 8):

@@ -221,8 +221,10 @@ def frame_sample(videos: DataFrame, every_k: int = 5) -> DataFrame:
                     w, h = np.frombuffer(buf, dtype="<u2", count=2, offset=off + 6)
                     length = 10 + int(nbands) * int(w) * int(h) * 2
                     if i % every_k == 0:
+                        # header-only slice: consumers decode on demand
+                        # (a pixel decode here doubled per-frame cost on
+                        # the prune_static_frames hot path)
                         frame = buf[off : off + length]
-                        arr = codecs.decode_image(frame)
                         rows.append(dict(video_id=rec.video_id, frame_idx=i, bytes=frame,
                                          w=int(w), h=int(h), fmt=codecs.FMT_RAW16))
                     off += length
@@ -544,7 +546,8 @@ AUDIO_FEATURES_SCHEMA = ("audio_id string, n_samples long, channels int, "
 
 def audio_features(audio: DataFrame, raw_rate: int = 16_000,
                    silence_floor: float = 0.01,
-                   max_fft: int = 1 << 16) -> DataFrame:
+                   max_fft: int = 1 << 16,
+                   on_error: str = "raise") -> DataFrame:
     """Audio feature extraction over a binary column: RIFF/WAVE payloads
     decode through the from-scratch codec (kernels/wav.py — u8/i16/i24/
     i32 PCM and float32/64, multi-channel); headerless payloads keep the
@@ -555,20 +558,34 @@ def audio_features(audio: DataFrame, raw_rate: int = 16_000,
     across bit depths; zero_crossings and the spectral centroid run on
     the mono mixdown. The centroid FFT is bounded to the first
     ``max_fft`` frames — per-clip O(max_fft log max_fft) keeps task
-    cost flat no matter how long a crawl clip claims to be."""
+    cost flat no matter how long a crawl clip claims to be.
+
+    ``on_error="quarantine"``: payloads the codec rejects (ADPCM /
+    mu-law tags, truncated fmt chunks, 12/20-bit PCM) get no feature
+    row instead of failing the task — same divert-don't-fail contract
+    as embed_images/resize_images (route originals via
+    with_format_detail for the dead-letter side)."""
     from ..kernels import wav as wavk
+
+    if on_error not in ("raise", "quarantine"):
+        raise ValueError(f"on_error {on_error!r} (raise|quarantine)")
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for rec in pdf.itertuples(index=False):
-                buf = bytes(rec.bytes)
-                if buf[:4] == b"RIFF" and buf[8:12] == b"WAVE":
-                    samples, rate, bits = wavk.read_wav(buf)
-                else:
-                    samples = np.frombuffer(
-                        buf[:len(buf) & ~1], dtype="<i2")[:, None]
-                    rate, bits = int(raw_rate), 16
+                try:
+                    buf = b"" if rec.bytes is None else bytes(rec.bytes)
+                    if codecs.sniff_format(buf) == "wav":
+                        samples, rate, bits = wavk.read_wav(buf)
+                    else:
+                        samples = np.frombuffer(
+                            buf[:len(buf) & ~1], dtype="<i2")[:, None]
+                        rate, bits = int(raw_rate), 16
+                except Exception:
+                    if on_error == "quarantine":
+                        continue
+                    raise
                 x = wavk.to_float(samples, bits)
                 n, ch = x.shape
                 mono = x.mean(axis=1) if ch > 1 else x[:, 0]

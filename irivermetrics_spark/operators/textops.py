@@ -482,8 +482,15 @@ def remove_repeated_lines(docs: DataFrame, min_df: int = 2,
             .groupBy(*keys)
             .agg(F.countDistinct(id_col).alias("line_df"))
             .where(F.col("line_df") >= int(min_df))
-            .select(*keys))
-        kept = lines.join(banned, keys, "left_anti")
+            .select(*[F.col(k).alias(f"__b_{k}") for k in keys]))
+        # null-safe equality on the scope key: groupBy banks a NULL
+        # scope group, but a plain anti-join would never match it back
+        # (NULL != NULL), silently keeping that slice's boilerplate
+        cond = None
+        for k in keys:
+            c = F.col(k).eqNullSafe(F.col(f"__b_{k}"))
+            cond = c if cond is None else cond & c
+        kept = lines.join(banned, cond, "left_anti")
     else:
         from pyspark.sql import Window
 

@@ -149,3 +149,19 @@ def test_duckdb_parity_on_generated_corpus(spark):
     # non-vacuous: every row lost the two injected boilerplate lines
     assert (got["lines_removed"] >= 2).all()
     assert got["text"].str.contains("id ").all()
+
+
+def test_null_scope_rows_still_ban(spark):
+    """docs with a NULL scope form their own scope slice: boilerplate
+    repeated inside that slice must still be removed (a plain anti-join
+    never matches NULL keys — review find)."""
+    pdf = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "source": pd.array([None, None, "a"], dtype="string"),
+        "text": ["spam line\nkeep one", "spam line\nkeep two", "spam line\nkeep three"],
+    })
+    df = spark.createDataFrame(pdf)
+    out = {r["doc_id"]: r["text"]
+           for r in textops.remove_repeated_lines(df, min_df=2, scope_col="source").collect()}
+    assert out[1] == "keep one" and out[2] == "keep two"
+    assert out[3] == "spam line\nkeep three"  # df=1 within scope "a"

@@ -216,3 +216,43 @@ def test_sniff_format_tags_wav():
     buf = wav.write_wav(np.zeros(4, dtype=np.int16), 8000)
     assert codecs.sniff_format(buf) == "wav"
     assert codecs.sniff_format(buf) not in codecs.DECODABLE_DETAILS
+
+
+def test_rejects_sub_byte_and_inconsistent_widths():
+    """12/20-bit PCM rides a 2/4-byte container — parsing the nominal
+    bit count as a byte width shreds frames, so the codec must refuse
+    (review find: a crafted 12-bit file decoded as uint8 garbage)."""
+    base = wav.write_wav(np.arange(8, dtype=np.int16), 8000)
+    i = base.index(b"fmt ")
+    # patch wBitsPerSample (offset 22 into fmt body at i+8) to 12
+    twelve = bytearray(base)
+    struct.pack_into("<H", twelve, i + 8 + 14, 12)
+    with pytest.raises(ValueError, match="12 bits"):
+        wav.read_wav(bytes(twelve))
+    # patch block align (offset 12) to disagree with 16-bit mono
+    skewed = bytearray(base)
+    struct.pack_into("<H", skewed, i + 8 + 12, 3)
+    with pytest.raises(ValueError, match="block align"):
+        wav.read_wav(bytes(skewed))
+
+
+def test_audio_features_quarantine_diverts_bad_payloads(spark):
+    """A mu-law-tagged RIFF/WAVE clip (tag=7, no codec) fails the job
+    under on_error='raise' and is silently diverted under
+    on_error='quarantine' — same contract as embed_images."""
+    from irivermetrics_spark.operators import multimodal
+
+    good = wav.write_wav(np.arange(64, dtype=np.int16), 8000)
+    i = good.index(b"fmt ")
+    mulaw = bytearray(good)
+    struct.pack_into("<H", mulaw, i + 8, 7)
+    df = spark.createDataFrame(pd.DataFrame([
+        dict(audio_id="ok", bytes=good),
+        dict(audio_id="bad", bytes=bytes(mulaw)),
+    ]))
+    out = multimodal.audio_features(df, on_error="quarantine").toPandas()
+    assert out.audio_id.tolist() == ["ok"]
+    with pytest.raises(Exception):
+        multimodal.audio_features(df).toPandas()
+    with pytest.raises(ValueError):
+        multimodal.audio_features(df, on_error="nope")
