@@ -1,0 +1,93 @@
+"""Deterministic shuffle + sharded writer (operators/sharding.py):
+permutation stability across runs/partitionings, DuckDB parity of the
+shard assignment, write/read round-trip, and plan shape."""
+import duckdb
+import pandas as pd
+import pytest
+
+from irivermetrics_spark.operators import sharding
+
+
+@pytest.fixture()
+def docs(spark):
+    pdf = pd.DataFrame({
+        "doc_id": [f"d{i:03d}" for i in range(200)],
+        "text": [f"payload {i}" for i in range(200)],
+    })
+    return spark.createDataFrame(pdf)
+
+
+def test_global_shuffle_deterministic_and_permutes(spark, docs):
+    a = [r.doc_id for r in sharding.global_shuffle(docs, seed=7).collect()]
+    b = [r.doc_id for r in sharding.global_shuffle(docs.repartition(13), seed=7).collect()]
+    assert a == b, "order must not depend on input partitioning"
+    assert sorted(a) == sorted(r.doc_id for r in docs.collect())
+    assert a != sorted(a), "seeded hash order should not be identity"
+    c = [r.doc_id for r in sharding.global_shuffle(docs, seed=8).collect()]
+    assert c != a, "different seed, different permutation"
+
+
+def test_append_stability(spark, docs):
+    """The property randomSplit/rand() lacks: adding rows never
+    reorders existing rows relative to each other."""
+    half = docs.where("doc_id < 'd100'")
+    order_half = [r.doc_id for r in sharding.global_shuffle(half, seed=3).collect()]
+    order_full = [r.doc_id for r in sharding.global_shuffle(docs, seed=3).collect()]
+    kept = [d for d in order_full if d < "d100"]
+    assert kept == order_half
+
+
+def test_shard_assignment_matches_duckdb(spark, docs):
+    """shard = pmod(xxhash64(id, seed), n) replayed in DuckDB via the
+    same spark-compatible hash? DuckDB has no xxhash64 — instead pin
+    determinism + balance + the shard/pos contract in-engine, and pin
+    the membership<->position consistency relationally in DuckDB."""
+    out = sharding.shard_assignments(docs, n_shards=8, seed=1).toPandas()
+    assert set(out["shard"]) <= set(range(8))
+    # every shard's positions are exactly 0..n-1 (dense, no gaps)
+    con = duckdb.connect()
+    con.register("t", out)
+    bad = con.sql("""
+        SELECT shard FROM t GROUP BY shard
+        HAVING count(*) != max(shard_pos) + 1 OR min(shard_pos) != 0
+    """).df()
+    assert bad.empty
+    # balanced-ish: no shard holds more than 3x the fair share
+    counts = out.groupby("shard").size()
+    assert counts.max() <= 3 * (len(out) / 8)
+    again = sharding.shard_assignments(docs.repartition(5), n_shards=8, seed=1).toPandas()
+    pd.testing.assert_frame_equal(
+        out.sort_values("doc_id").reset_index(drop=True),
+        again.sort_values("doc_id").reset_index(drop=True))
+
+
+def test_write_shards_roundtrip(spark, docs, tmp_path):
+    path = str(tmp_path / "shards")
+    manifest = sharding.write_shards(docs, path, n_shards=4, seed=2).toPandas()
+    assert manifest["n_rows"].sum() == 200
+    assert len(manifest) == 4
+    back = spark.read.parquet(path)
+    assert back.count() == 200
+    assert {r.doc_id for r in back.collect()} == {f"d{i:03d}" for i in range(200)}
+    # within-shard order is the deterministic shuffle order
+    one = (back.where("shard = 1").orderBy("shard_pos").toPandas())
+    expect = (sharding.shard_assignments(docs, 4, seed=2)
+              .where("shard = 1").orderBy("shard_pos").toPandas())
+    assert one["doc_id"].tolist() == expect["doc_id"].tolist()
+    # re-write produces identical membership
+    manifest2 = sharding.write_shards(docs, path, n_shards=4, seed=2).toPandas()
+    pd.testing.assert_frame_equal(manifest, manifest2)
+
+
+def test_no_python_nodes(spark, docs):
+    plan = (sharding.global_shuffle(docs, seed=0)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BatchEvalPython" not in plan
+    plan2 = (sharding.shard_assignments(docs, 8)
+             ._jdf.queryExecution().executedPlan().toString())
+    assert "BatchEvalPython" not in plan2
+
+
+def test_bad_args(spark, docs):
+    with pytest.raises(ValueError):
+        sharding.shard_assignments(docs, 0)
