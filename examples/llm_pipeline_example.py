@@ -3,9 +3,10 @@ the LLM-pipeline operator suite chained the way a real 100 TB curation
 job would run.
 
     documents --exact dedup--> --duplicated-span removal-->
-              --quality + repetition filter-->
+              --boilerplate line removal--> --quality + repetition filter-->
               --MinHash-LSH near-dup clusters--> --keeper per cluster-->
     embeddings --IVF ANN--> nearest-neighbor retrieval for the keepers
+    train split --pack to 512 tokens--> --global shuffle--> N shards
 
 Every stage is a DataFrame transformation (bucketed candidate
 generation, no all-pairs anywhere); the same code runs unchanged on a
@@ -50,6 +51,20 @@ def main() -> None:
     exact = (exact.drop("text").join(
         despanned.select(F.col("doc_id").cast("bigint").alias("doc_id"), "text"),
         "doc_id"))
+
+    # 1c. cross-document boilerplate removal (C4/RefinedWeb line
+    # dedup): drop lines repeated across >= 25 docs — nav menus,
+    # footers, cookie banners. The synthetic corpus is single-line
+    # word soup, so simulate the crawl chrome a real shard carries: a
+    # per-site footer line on every page (exactly what this stage
+    # exists to strip — the page body survives untouched)
+    exact = exact.withColumn(
+        "text", F.concat_ws("\n", F.col("text"),
+                            F.concat(F.lit("(c) "), F.col("source"),
+                                     F.lit(" - subscribe to our newsletter"))))
+    exact = textops.remove_repeated_lines(exact, min_df=25)
+    n_boiler = exact.where(F.col("lines_removed") > 0).count()
+    exact = exact.drop("lines_removed")
 
     # 2. quality + repetition gate + PII scrub (all JVM column
     # expressions — the pii regexp chain fuses into the same scan)
@@ -111,13 +126,27 @@ def main() -> None:
     fill = packed.groupBy("pack_id").agg(F.first("pack_total").alias("t")) \
         .agg(F.round(F.avg("t") / 512, 3).alias("f")).first()["f"]
 
+    # 7. ship it: deterministic global shuffle -> N stable parquet
+    # shards (what the trainer streams; re-runs produce identical
+    # shard membership and order)
+    import tempfile
+
+    from irivermetrics_spark.operators import sharding
+
+    out_dir = os.path.join(tempfile.mkdtemp(prefix="irm_shards_"), "train")
+    manifest = sharding.write_shards(
+        train.select("doc_id", "text"), out_dir, n_shards=4).toPandas()
+
     print(f"\ndocuments: {n0} -> exact-deduped {n1} "
-          f"(span-trimmed {n1b}) -> quality-kept {n2} "
+          f"(span-trimmed {n1b}, boilerplate-trimmed {n_boiler}) "
+          f"-> quality-kept {n2} "
           f"(pii-scrubbed {n_pii}) "
           f"-> near-dup keepers {n3}; ANN rows for 5 queries: {n4} "
           f"(IVF exact-rerank) / {n5} (IVF-routed PQ); "
           f"train split packed into {n_packs} x 512-token sequences "
-          f"at {fill:.1%} mean fill")
+          f"at {fill:.1%} mean fill; "
+          f"shipped {int(manifest['n_rows'].sum())} rows as "
+          f"{len(manifest)} stable shards -> {out_dir}")
     print(hits.orderBy("query_id", "rank").toPandas().to_string(index=False))
     spark.stop()
 
