@@ -63,3 +63,60 @@ def write_shards(docs: DataFrame, path: str, n_shards: int, seed: int = 0,
     return (spark.read.parquet(path)
             .groupBy("shard").agg(F.count(F.lit(1)).alias("n_rows"))
             .orderBy("shard"))
+
+
+def mix_corpora(docs: DataFrame, weights: dict[str, float],
+                key_col: str = "source", id_col: str = "doc_id",
+                total_rows: int | None = None, seed: int = 0,
+                max_repeat: int = 100) -> DataFrame:
+    """Deterministic corpus mixing — resample so each key's share of
+    the output matches ``weights`` (the Dolma / RedPajama / Pile
+    source-weighting step between curation and shuffling). A key's
+    sampling rate may exceed 1: whole epochs duplicate every row
+    (``repeat_idx`` marks the copy) and the fractional remainder is a
+    seeded-hash thin, so the result is a pure function of
+    (id, seed) — identical across runs, machines and partitionings.
+    Keys absent from ``weights`` are dropped.
+
+    ``total_rows`` sets the target output size (default: the summed
+    row count of the weighted keys, i.e. same-size remix). The only
+    driver action is one tiny groupBy(key).count() collect — bounded
+    by the number of corpora, not rows; selection itself is a narrow
+    explode + filter, no extra shuffle."""
+    if not weights:
+        raise ValueError("weights must name at least one corpus key")
+    if any(w < 0 for w in weights.values()) or sum(weights.values()) <= 0:
+        raise ValueError("weights must be non-negative and sum > 0")
+    counts = {
+        r["k"]: r["n"]
+        for r in (docs.where(F.col(key_col).isin(list(weights)))
+                  .groupBy(F.col(key_col).alias("k"))
+                  .agg(F.count(F.lit(1)).alias("n")).collect())}
+    missing = [k for k in weights if k not in counts]
+    if missing:
+        raise ValueError(f"weighted keys absent from the corpus: {missing}")
+    wsum = float(sum(weights.values()))
+    total = int(total_rows) if total_rows is not None else sum(counts.values())
+    rates = {k: (weights[k] / wsum * total) / counts[k] for k in weights}
+    too_hot = {k: r for k, r in rates.items() if r > max_repeat}
+    if too_hot:
+        raise ValueError(
+            f"repeat factor over max_repeat={max_repeat} for {too_hot}; "
+            "raise max_repeat explicitly if many epochs are intended")
+    # per-key (whole epochs, fractional remainder in millionths)
+    n_rep = F.create_map(*[
+        x for k, r in rates.items() for x in (F.lit(k), F.lit(int(r)))])
+    frac_ppm = F.create_map(*[
+        x for k, r in rates.items()
+        for x in (F.lit(k), F.lit(int(round((r - int(r)) * 1_000_000))))])
+    h = F.pmod(F.xxhash64(F.col(id_col).cast("string"), F.lit(int(seed))),
+               F.lit(1_000_000))
+    out = (docs.where(F.col(key_col).isin(list(weights)))
+           .withColumn("__nrep", n_rep[F.col(key_col)])
+           .withColumn("__frac", frac_ppm[F.col(key_col)])
+           .withColumn("repeat_idx",
+                       F.explode(F.sequence(F.lit(0), F.col("__nrep"))))
+           .where((F.col("repeat_idx") < F.col("__nrep"))
+                  | (h < F.col("__frac")))
+           .drop("__nrep", "__frac"))
+    return out
