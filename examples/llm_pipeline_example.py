@@ -126,16 +126,22 @@ def main() -> None:
     fill = packed.groupBy("pack_id").agg(F.first("pack_total").alias("t")) \
         .agg(F.round(F.avg("t") / 512, 3).alias("f")).first()["f"]
 
-    # 7. ship it: deterministic global shuffle -> N stable parquet
-    # shards (what the trainer streams; re-runs produce identical
-    # shard membership and order)
+    # 7. ship it: the PACKED artifact (doc rows tagged with their
+    # pack) goes through the deterministic shuffle into N stable
+    # parquet shards. Sharding on pack_id keeps every pack whole
+    # inside one shard; doc_id rides along as the within-pack order.
     import tempfile
 
     from irivermetrics_spark.operators import sharding
 
     out_dir = os.path.join(tempfile.mkdtemp(prefix="irm_shards_"), "train")
-    manifest = sharding.write_shards(
-        train.select("doc_id", "text"), out_dir, n_shards=4).toPandas()
+    shipped = (train.select("doc_id", "text")
+               .join(packed.where(~F.col("oversize"))
+                     .select(F.col("doc_id").cast("bigint").alias("doc_id"),
+                             "pack_id"), "doc_id"))
+    manifest = sharding.write_shards(shipped, out_dir, n_shards=4,
+                                     id_col="pack_id",
+                                     extra_order_cols=["doc_id"]).toPandas()
 
     print(f"\ndocuments: {n0} -> exact-deduped {n1} "
           f"(span-trimmed {n1b}, boilerplate-trimmed {n_boiler}) "

@@ -41,6 +41,10 @@ def write_wav(samples: np.ndarray, rate: int, bits: int | None = None) -> bytes:
     if a.ndim != 2:
         raise ValueError(f"samples must be 1-D or 2-D, got shape {a.shape}")
     n, ch = a.shape
+    if ch < 1:
+        # fail at the producer: a channels=0 header is invalid WAV and
+        # every reader (including read_wav) rejects it far from the bug
+        raise ValueError("samples must have at least one channel")
     if a.dtype == np.uint8:
         tag, width = _TAG_PCM, 1
         payload = a.astype("<u1", copy=False).tobytes()
@@ -106,6 +110,14 @@ def read_wav(buf: bytes) -> tuple[np.ndarray, int, int]:
                 # actual tag = first two bytes of the SubFormat GUID
                 (tag,) = struct.unpack_from("<H", body, 24)
         elif cid == b"data":
+            if size == 0 and pos + 8 < end:
+                # unfinalized streaming-encoder file: the size field was
+                # never patched. Convention (ffmpeg does the same):
+                # everything to EOF is sample data. Without this the
+                # walker would misread PCM bytes as chunk headers and
+                # return 0 frames silently.
+                data = b[pos + 8:]
+                break
             data = body  # may be shorter than `size` (truncated payload)
         pos += 8 + size + (size & 1)
     if tag is None or data is None:

@@ -13,52 +13,87 @@ relative to each other.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _order_key(docs: DataFrame, id_col: str, seed: int,
+               extra_order_cols: list[str] | None = None) -> tuple[Column, list]:
+    """The deterministic shuffle key shared by every function here:
+    ``xxhash64(id[, repeat_idx], seed)`` plus the (id[, repeat_idx]
+    [, extras]) hash-collision tiebreaks that keep the order TOTAL.
+    When the frame carries ``mix_corpora``'s ``repeat_idx`` the copy
+    index joins the hash input — otherwise every epoch copy of a doc
+    would share one key (non-total order: arbitrary tie-breaks, and
+    all copies land in the same shard at consecutive positions,
+    defeating the shuffle for upsampled corpora). Pass
+    ``extra_order_cols`` when ``id_col`` itself repeats (e.g. sharding
+    packed docs on pack_id with doc_id as the within-pack order)."""
+    cols = [F.col(id_col).cast("string")]
+    ties = [F.col(id_col).asc()]
+    if "repeat_idx" in docs.columns:
+        cols.append(F.col("repeat_idx"))
+        ties.append(F.col("repeat_idx").asc())
+    for c in extra_order_cols or []:
+        ties.append(F.col(c).asc())
+    return F.xxhash64(*cols, F.lit(int(seed))), ties
+
+
 def global_shuffle(docs: DataFrame, seed: int = 0,
-                   id_col: str = "doc_id") -> DataFrame:
+                   id_col: str = "doc_id",
+                   extra_order_cols: list[str] | None = None) -> DataFrame:
     """Deterministic pseudo-random total order: sort by
-    ``(xxhash64(id, seed), id)`` — the id tiebreak keeps the order
-    total even under hash collisions. One range-partitioned sort
-    (Spark samples split points), no Python."""
-    h = F.xxhash64(F.col(id_col).cast("string"), F.lit(int(seed)))
-    return docs.orderBy(h.asc(), F.col(id_col).asc())
+    ``(xxhash64(id[, repeat_idx], seed), id[, repeat_idx])`` — the
+    tiebreaks keep the order total even under hash collisions. One
+    range-partitioned sort (Spark samples split points), no Python."""
+    h, ties = _order_key(docs, id_col, seed, extra_order_cols)
+    return docs.orderBy(h.asc(), *ties)
 
 
 def shard_assignments(docs: DataFrame, n_shards: int, seed: int = 0,
-                      id_col: str = "doc_id") -> DataFrame:
-    """Adds ``shard`` (pmod of the seeded id-hash) and ``shard_pos``
+                      id_col: str = "doc_id",
+                      extra_order_cols: list[str] | None = None) -> DataFrame:
+    """Adds ``shard`` (pmod of the seeded hash) and ``shard_pos``
     — deterministic position inside the shard under the same
-    (hash, id) order ``global_shuffle`` uses."""
+    (hash, id[, repeat_idx]) order ``global_shuffle`` uses."""
     from pyspark.sql import Window
 
     if n_shards < 1:
         raise ValueError("n_shards must be >= 1")
-    h = F.xxhash64(F.col(id_col).cast("string"), F.lit(int(seed)))
+    h, ties = _order_key(docs, id_col, seed, extra_order_cols)
     out = docs.withColumn("shard", F.pmod(h, F.lit(int(n_shards))).cast("int"))
-    w = (Window.partitionBy("shard")
-         .orderBy(h.asc(), F.col(id_col).asc()))
+    w = Window.partitionBy("shard").orderBy(h.asc(), *ties)
     return out.withColumn("shard_pos", (F.row_number().over(w) - 1).cast("bigint"))
 
 
 def write_shards(docs: DataFrame, path: str, n_shards: int, seed: int = 0,
-                 id_col: str = "doc_id") -> DataFrame:
+                 id_col: str = "doc_id",
+                 extra_order_cols: list[str] | None = None) -> DataFrame:
     """Write ``docs`` as ``n_shards`` parquet shard directories
     (``shard=K/``), each internally ordered by the deterministic
-    shuffle key — re-running on the same input produces byte-stable
+    shuffle key — re-running on the same input produces identical
     shard membership and row order. Returns the manifest (shard,
     n_rows) as a DataFrame.
 
-    Plan: one shuffle (repartition on the shard column — every shard
-    is exactly one write task via partitionBy) + an in-partition sort;
-    no driver-side loop over shards, so 10^5 shards cost the same
-    orchestration as 10."""
-    assigned = shard_assignments(docs, n_shards, seed, id_col)
-    (assigned.repartition(int(n_shards), F.col("shard"))
-     .sortWithinPartitions(F.col("shard"), F.col("shard_pos"))
-     .write.mode("overwrite").partitionBy("shard").parquet(path))
+    Plan: the shard column is a projection, the explicit
+    ``repartition(n, shard)`` is the ONLY full Exchange (its
+    HashPartitioning(shard) satisfies the shard_pos window's
+    clustering requirement, so the window adds just an in-partition
+    sort — assigning first and repartitioning after would shuffle the
+    whole dataset twice), then one ``partitionBy`` write with no
+    driver-side loop, so 10^5 shards cost the same orchestration as
+    10. Shard values can hash-collide into one write task; shard
+    DIRECTORIES are still exactly n_shards."""
+    from pyspark.sql import Window
+
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    h, ties = _order_key(docs, id_col, seed, extra_order_cols)
+    out = (docs.withColumn("shard", F.pmod(h, F.lit(int(n_shards))).cast("int"))
+           .repartition(int(n_shards), F.col("shard")))
+    w = Window.partitionBy("shard").orderBy(h.asc(), *ties)
+    assigned = out.withColumn("shard_pos", (F.row_number().over(w) - 1).cast("bigint"))
+    (assigned.write.mode("overwrite").partitionBy("shard").parquet(path))
     spark = docs.sparkSession
     return (spark.read.parquet(path)
             .groupBy("shard").agg(F.count(F.lit(1)).alias("n_rows"))
@@ -109,8 +144,9 @@ def mix_corpora(docs: DataFrame, weights: dict[str, float],
     frac_ppm = F.create_map(*[
         x for k, r in rates.items()
         for x in (F.lit(k), F.lit(int(round((r - int(r)) * 1_000_000))))])
-    h = F.pmod(F.xxhash64(F.col(id_col).cast("string"), F.lit(int(seed))),
-               F.lit(1_000_000))
+    from .textops import seeded_hash_ppm
+
+    h = seeded_hash_ppm(id_col, seed)
     out = (docs.where(F.col(key_col).isin(list(weights)))
            .withColumn("__nrep", n_rep[F.col(key_col)])
            .withColumn("__frac", frac_ppm[F.col(key_col)])

@@ -370,6 +370,17 @@ def cap_per_key(docs: DataFrame, key_col: str = "source", cap: int = 100,
             .where(F.col("_rn") <= cap).drop("_rn"))
 
 
+def seeded_hash_ppm(id_col: str, seed: int) -> Column:
+    """The one seeded keep/drop hash the sampling family shares:
+    pmod(xxhash64(cast(id as string), seed), 10^6) — a uniform integer
+    in [0, 1e6) that is a pure function of (id, seed). rate_per_key,
+    split_by_hash and sharding.mix_corpora all compare against this
+    same expression, so "same (id, seed), same decision" holds across
+    operators; change the recipe HERE or nowhere."""
+    return F.pmod(F.xxhash64(F.col(id_col).cast("string"), F.lit(int(seed))),
+                  F.lit(1_000_000))
+
+
 def rate_per_key(docs: DataFrame, rate: float, id_col: str = "doc_id",
                  seed: int = 0, key_col: str | None = None,
                  keys: list | None = None) -> DataFrame:
@@ -388,7 +399,7 @@ def rate_per_key(docs: DataFrame, rate: float, id_col: str = "doc_id",
         raise ValueError(f"rate {rate} outside [0, 1]")
     if (key_col is None) != (keys is None):
         raise ValueError("key_col and keys must be passed together")
-    h = F.pmod(F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)), F.lit(1_000_000))
+    h = seeded_hash_ppm(id_col, seed)
     keep = h < int(rate * 1_000_000)
     if key_col is not None:
         keep = (~F.col(key_col).isin(list(keys))) | keep
@@ -409,7 +420,7 @@ def split_by_hash(docs: DataFrame, weights: dict[str, float] | None = None,
     total = sum(weights.values())
     if total <= 0:
         raise ValueError("weights must sum to a positive value")
-    h = F.pmod(F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)), F.lit(1_000_000))
+    h = seeded_hash_ppm(id_col, seed)
     expr, lo = None, 0.0
     names = list(weights)
     for name in names[:-1]:

@@ -163,3 +163,49 @@ def test_mix_corpora_plan_and_errors(spark):
         sharding.mix_corpora(docs, {"no_such_source": 1.0})
     with pytest.raises(ValueError, match="max_repeat"):
         sharding.mix_corpora(docs, {"src0": 1.0}, total_rows=10_000_000)
+
+
+def test_upsampled_copies_spread_and_stay_deterministic(spark):
+    """mix_corpora output (duplicate doc_ids distinguished by
+    repeat_idx) must still get a TOTAL deterministic order: copies of
+    one doc hash independently (so epochs spread across shards instead
+    of sitting back-to-back in one), and two runs agree exactly
+    (review find: the id-only key made copy order arbitrary)."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    mixed = sharding.mix_corpora(docs, {"src3": 1.0}, total_rows=100, seed=5)
+    a = sharding.shard_assignments(mixed, n_shards=4, seed=9).toPandas()
+    b = sharding.shard_assignments(mixed.repartition(11), n_shards=4, seed=9).toPandas()
+    key = ["doc_id", "repeat_idx"]
+    pd.testing.assert_frame_equal(
+        a.sort_values(key).reset_index(drop=True),
+        b.sort_values(key).reset_index(drop=True))
+    # copies of the same doc land in >1 shard overall (4 copies each
+    # of 25 docs over 4 shards: all-in-one-shard means the copy index
+    # is not in the hash)
+    spread = a.groupby("doc_id")["shard"].nunique()
+    assert spread.max() > 1
+    # order is total: no (shard, shard_pos) collisions
+    assert not a.duplicated(["shard", "shard_pos"]).any()
+
+
+def test_write_shards_with_repeated_id_and_tiebreak(spark, tmp_path):
+    """Sharding on a repeating key (pack_id) keeps the group whole in
+    one shard; extra_order_cols makes the within-group order
+    deterministic."""
+    pdf = pd.DataFrame({
+        "pack_id": [f"p{i // 4}" for i in range(80)],
+        "doc_id": [f"d{i:02d}" for i in range(80)],
+    })
+    docs = spark.createDataFrame(pdf)
+    path = str(tmp_path / "packs")
+    sharding.write_shards(docs, path, n_shards=3, seed=1,
+                          id_col="pack_id", extra_order_cols=["doc_id"])
+    back = spark.read.parquet(path).toPandas()
+    assert back.groupby("pack_id")["shard"].nunique().max() == 1
+    sharding.write_shards(docs.repartition(9), path + "2", n_shards=3, seed=1,
+                          id_col="pack_id", extra_order_cols=["doc_id"])
+    back2 = spark.read.parquet(path + "2").toPandas()
+    key = ["pack_id", "doc_id"]
+    pd.testing.assert_frame_equal(
+        back.sort_values(key).reset_index(drop=True)[["shard", "shard_pos"] + key],
+        back2.sort_values(key).reset_index(drop=True)[["shard", "shard_pos"] + key])

@@ -51,7 +51,7 @@ def test_roundtrip_i24():
 
 def test_roundtrip_i32_and_floats():
     rng = np.random.default_rng(2)
-    a = rng.integers(-(1 << 31), 1 << 31 - 1, (100, 1)).astype(np.int32)
+    a = rng.integers(-(1 << 31), (1 << 31) - 1, (100, 1)).astype(np.int32)
     _, got, _, b = _rt(a, 16000)
     assert b == 32 and np.array_equal(got, a)
     f = rng.normal(size=(64, 2)).astype(np.float32)
@@ -256,3 +256,25 @@ def test_audio_features_quarantine_diverts_bad_payloads(spark):
         multimodal.audio_features(df).toPandas()
     with pytest.raises(ValueError):
         multimodal.audio_features(df, on_error="nope")
+
+
+def test_zero_size_data_chunk_reads_to_eof():
+    """Unfinalized streaming-encoder files leave the data size field 0
+    with PCM following — read to EOF instead of returning 0 frames
+    (review find: the walker misread PCM bytes as chunk headers)."""
+    a = np.arange(-40, 40, dtype=np.int16)
+    buf = bytearray(wav.write_wav(a, 8000))
+    i = buf.rindex(b"data")
+    struct.pack_into("<I", buf, i + 4, 0)
+    got, rate, bits = wav.read_wav(bytes(buf))
+    assert rate == 8000 and bits == 16
+    assert np.array_equal(got[:, 0], a)
+    # a legitimately empty data chunk at EOF still decodes as 0 frames
+    empty = wav.write_wav(np.zeros((0, 1), dtype=np.int16), 8000)
+    got2, _, _ = wav.read_wav(empty)
+    assert got2.shape == (0, 1)
+
+
+def test_write_rejects_zero_channels():
+    with pytest.raises(ValueError, match="channel"):
+        wav.write_wav(np.zeros((100, 0), dtype=np.int16), 8000)
