@@ -177,12 +177,15 @@ def sniff_format(buf: bytes) -> str:
 
 # format details the engine's from-scratch codecs actually decode
 # (multimodal._decode_any + codecs.decode_image routing); lossy VP8
-# joined in r6 via the RFC 6386 keyframe decoder (kernels/vp8.py) and
+# joined in r6 via the RFC 6386 keyframe decoder (kernels/vp8.py),
 # animated webp via the ANMF compositor (kernels/webpanim.py: first
-# frame for still consumers, every frame for frame_sample) — only
-# foreign formats (gif/bmp/...) stay diverted
+# frame for still consumers, every frame for frame_sample), and late
+# r6 closed gif (kernels/gif.py: GIF-variant LZW, interlace, local
+# palettes) and bmp (kernels/bmp.py: 8/24/32-bit BI_RGB) — the last
+# diverted web-image formats. Audio ('wav') stays out: it is not an
+# image and routes to audio_features instead
 DECODABLE_DETAILS = frozenset(
-    {FMT_RAW16, FMT_QLOSSY, "tiff", "jpeg", "png",
+    {FMT_RAW16, FMT_QLOSSY, "tiff", "jpeg", "png", "gif", "bmp",
      "webp-vp8l", "webp-vp8", "webp-vp8x", "webp-vp8x-anim"})
 
 

@@ -1,0 +1,86 @@
+"""From-scratch Windows BMP (DIB) codec — read 8-bit palette / 24-bit
+BGR / 32-bit BGRA uncompressed (BI_RGB) bitmaps, write 24-bit.
+
+The reference engine has no BMP surface (GeoTIFF/NetCDF only); BMP
+rows show up in web-crawl image tables, and until r6 they diverted to
+quarantine. Public layout: 14-byte BITMAPFILEHEADER ('BM', file size,
+pixel-data offset) + BITMAPINFOHEADER (40+ bytes, little-endian) +
+optional palette + pixel rows padded to 4-byte boundaries, bottom-up
+unless height is negative. Returns the engine's (bands, h, w) uint16
+convention with native 0-255 values.
+"""
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+
+def decode_bmp(buf: bytes) -> np.ndarray:
+    b = bytes(buf)
+    if len(b) < 54 or b[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (data_off,) = struct.unpack_from("<I", b, 10)
+    (hdr_size,) = struct.unpack_from("<I", b, 14)
+    if hdr_size < 40:
+        raise ValueError(f"unsupported DIB header size {hdr_size}")
+    w, h = struct.unpack_from("<ii", b, 18)
+    (planes, bpp) = struct.unpack_from("<HH", b, 26)
+    (compression,) = struct.unpack_from("<I", b, 30)
+    if compression != 0:
+        raise ValueError(f"unsupported BMP compression {compression}")
+    if w <= 0 or h == 0 or planes != 1:
+        raise ValueError(f"bad BMP dimensions w={w} h={h} planes={planes}")
+    top_down = h < 0
+    h = abs(h)
+    if w * h > 100_000_000:
+        raise ValueError("BMP dimensions exceed the 1e8-pixel safety cap")
+    if bpp == 8:
+        (used,) = struct.unpack_from("<I", b, 46)
+        n_pal = used or 256
+        pal_off = 14 + hdr_size
+        pal = np.frombuffer(b, dtype=np.uint8,
+                            count=n_pal * 4, offset=pal_off).reshape(n_pal, 4)
+        stride = (w + 3) & ~3
+        need = stride * h
+        rows = np.frombuffer(b, dtype=np.uint8, count=need,
+                             offset=data_off).reshape(h, stride)[:, :w]
+        idx = rows if top_down else rows[::-1]
+        rgb = pal[idx][:, :, [2, 1, 0]]  # palette entries are BGRX
+    elif bpp in (24, 32):
+        nb = bpp // 8
+        stride = (w * nb + 3) & ~3
+        need = stride * h
+        rows = np.frombuffer(b, dtype=np.uint8, count=need,
+                             offset=data_off).reshape(h, stride)
+        px = rows[:, :w * nb].reshape(h, w, nb)
+        if not top_down:
+            px = px[::-1]
+        rgb = px[:, :, [2, 1, 0]]  # BGR(A) -> RGB, alpha dropped
+    else:
+        raise ValueError(f"unsupported BMP bit depth {bpp}")
+    return np.ascontiguousarray(rgb.transpose(2, 0, 1)).astype(np.uint16)
+
+
+def encode_bmp(arr: np.ndarray) -> bytes:
+    """(3, h, w) or (1, h, w)/(h, w) values 0-255 -> 24-bit BI_RGB."""
+    a = np.asarray(arr)
+    if a.ndim == 2:
+        a = a[None]
+    if a.ndim != 3 or a.shape[0] not in (1, 3):
+        raise ValueError(f"expected (1|3, h, w), got {a.shape}")
+    if a.shape[0] == 1:
+        a = np.repeat(a, 3, axis=0)
+    if a.max(initial=0) > 255:
+        raise ValueError("BMP encodes 8-bit samples (0-255)")
+    _, h, w = a.shape
+    bgr = a[[2, 1, 0]].transpose(1, 2, 0).astype(np.uint8)[::-1]  # bottom-up
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, :w * 3] = bgr.reshape(h, w * 3)
+    data = rows.tobytes()
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data),
+                       2835, 2835, 0, 0)
+    off = 14 + 40
+    head = b"BM" + struct.pack("<IHHI", off + len(data), 0, 0, off)
+    return head + info + data

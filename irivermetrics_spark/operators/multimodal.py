@@ -63,6 +63,14 @@ def _decode_any(buf: bytes, fmt: str) -> np.ndarray:
         from ..kernels import webp
 
         return webp.decode_webp_gray16(bytes(buf))
+    if fmt == "gif":
+        from ..kernels import gif
+
+        return gif.decode_gif(bytes(buf))
+    if fmt == "bmp":
+        from ..kernels import bmp
+
+        return bmp.decode_bmp(bytes(buf))
     raise ValueError(f"unknown fmt {fmt!r}")
 
 

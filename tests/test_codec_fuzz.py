@@ -30,6 +30,11 @@ _PREFIX = {
                  b"\x00\x00\x00\x13\x00\x00\x0b\x00\x00"),
     "png": bytes([137, 80, 78, 71, 13, 10, 26, 10]),
     "jpeg": b"\xff\xd8\xff\xe0",
+    # small logical screen + GCT flag so the random tail fuzzes the
+    # block walk, sub-block chains and the LZW decoder itself
+    "gif": b"GIF89a\x10\x00\x10\x00\x80\x00\x00",
+    "bmp": b"BM",
+    "wav": b"RIFF\x40\x00\x00\x00WAVE",
     "codecs": b"",
 }
 _DECODE = {
@@ -40,8 +45,24 @@ _DECODE = {
     "webpanim": webpanim.decode_webp_anim,
     "png": png.decode_png,
     "jpeg": jpeg.decode_baseline,
+    "gif": None,
+    "bmp": None,
+    "wav": None,
     "codecs": codecs.decode_image,
 }
+
+
+def _late_decoders():
+    from irivermetrics_spark.kernels import bmp as _bmp
+    from irivermetrics_spark.kernels import gif as _gif
+    from irivermetrics_spark.kernels import wav as _wav
+
+    _DECODE["gif"] = _gif.decode_gif
+    _DECODE["bmp"] = _bmp.decode_bmp
+    _DECODE["wav"] = _wav.read_wav
+
+
+_late_decoders()
 
 
 @pytest.mark.parametrize("name", sorted(_DECODE))

@@ -1,0 +1,199 @@
+"""GIF and BMP codecs (kernels/gif.py, kernels/bmp.py): encoder/decoder
+round-trips, a hand-assembled interlaced golden, LZW width-bump and
+table-overflow paths, multi-frame counting, and the Spark decode
+routing that used to divert these formats."""
+import struct
+
+import numpy as np
+import pandas as pd
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from irivermetrics_spark import codecs
+from irivermetrics_spark.kernels import bmp, gif
+
+
+def _rgb(h, w, seed=0, colors=8):
+    rng = np.random.default_rng(seed)
+    pal = rng.integers(0, 256, (colors, 3))
+    idx = rng.integers(0, colors, (h, w))
+    return pal[idx].transpose(2, 0, 1).astype(np.uint16)
+
+
+# ---------- BMP ----------
+
+def test_bmp_roundtrip_24bit():
+    a = _rgb(13, 17, seed=1)
+    got = bmp.decode_bmp(bmp.encode_bmp(a))
+    assert got.dtype == np.uint16 and np.array_equal(got, a)
+
+
+def test_bmp_8bit_palette_and_topdown():
+    # hand-build: 4x2 8-bit palette BMP, top-down (negative height)
+    pal = bytes([10, 20, 30, 0, 200, 150, 100, 0])  # 2 BGRX entries
+    rows = bytes([0, 1, 1, 0]) + bytes([1, 0, 0, 1])  # stride 4 = w
+    info = struct.pack("<IiiHHIIiiII", 40, 4, -2, 1, 8, 0, len(rows),
+                       0, 0, 2, 0)
+    off = 14 + 40 + len(pal)
+    buf = b"BM" + struct.pack("<IHHI", off + len(rows), 0, 0, off) + info + pal + rows
+    got = bmp.decode_bmp(buf)
+    assert got.shape == (3, 2, 4)
+    assert got[:, 0, 0].tolist() == [30, 20, 10]   # BGR -> RGB
+    assert got[:, 0, 1].tolist() == [100, 150, 200]
+    assert got[:, 1, 0].tolist() == [100, 150, 200]  # top-down preserved
+
+
+def test_bmp_32bit_alpha_dropped():
+    a = _rgb(5, 5, seed=2)
+    buf24 = bmp.encode_bmp(a)
+    # rebuild as 32-bit: insert alpha byte per pixel
+    px = a[[2, 1, 0]].transpose(1, 2, 0).astype(np.uint8)[::-1]
+    bgra = np.concatenate([px, np.full((5, 5, 1), 99, np.uint8)], axis=2)
+    data = bgra.tobytes()
+    info = struct.pack("<IiiHHIIiiII", 40, 5, 5, 1, 32, 0, len(data), 0, 0, 0, 0)
+    buf = b"BM" + struct.pack("<IHHI", 54 + len(data), 0, 0, 54) + info + data
+    assert np.array_equal(bmp.decode_bmp(buf), bmp.decode_bmp(buf24))
+
+
+def test_bmp_rejects():
+    for bad in (b"", b"BMshort", b"II*\x00"):
+        with pytest.raises(ValueError):
+            bmp.decode_bmp(bad)
+    a = _rgb(3, 3)
+    with pytest.raises(ValueError):
+        bmp.encode_bmp(a * 300)  # >255 samples
+    rle = bytearray(bmp.encode_bmp(a))
+    struct.pack_into("<I", rle, 30, 1)  # BI_RLE8
+    with pytest.raises(ValueError, match="compression"):
+        bmp.decode_bmp(bytes(rle))
+
+
+# ---------- GIF ----------
+
+def test_gif_roundtrip_small_palette():
+    a = _rgb(11, 23, seed=3, colors=5)
+    got = gif.decode_gif(gif.encode_gif(a))
+    assert got.dtype == np.uint16 and np.array_equal(got, a)
+
+
+def test_gif_roundtrip_256_colors_width_bumps():
+    # 256 colors + noisy image: exercises width bumps 9->10->11->12
+    # and (at this size) table growth deep into the dictionary
+    rng = np.random.default_rng(4)
+    pal = rng.integers(0, 256, (256, 3))
+    idx = rng.integers(0, 256, (64, 64))
+    a = pal[idx].transpose(2, 0, 1).astype(np.uint16)
+    got = gif.decode_gif(gif.encode_gif(a))
+    assert np.array_equal(got, a)
+
+
+def test_gif_table_overflow_clear():
+    # highly diverse 128x128 forces the 4096-entry table to fill ->
+    # encoder emits mid-stream CLEAR; decoder must resync
+    rng = np.random.default_rng(5)
+    pal = rng.integers(0, 256, (256, 3))
+    idx = rng.integers(0, 256, (128, 128))
+    a = pal[idx].transpose(2, 0, 1).astype(np.uint16)
+    got = gif.decode_gif(gif.encode_gif(a))
+    assert np.array_equal(got, a)
+
+
+def test_gif_grayscale_and_two_color():
+    a = (np.arange(12).reshape(3, 4) % 2 * 255).astype(np.uint16)
+    got = gif.decode_gif(gif.encode_gif(a))
+    assert np.array_equal(got[0], a) and np.array_equal(got[1], a)
+
+
+def test_gif_interlaced_hand_built():
+    """Interlace golden: encode normally, then rewrite the image as
+    interlaced by reordering rows into the 4-pass layout and setting
+    the interlace flag — the decoder must undo it exactly."""
+    a = _rgb(13, 7, seed=6, colors=4)
+    plain = bytearray(gif.encode_gif(a))
+    # locate the image descriptor (0x2C after the 6+7+GCT header)
+    flags = plain[10]
+    gct_len = (2 << (flags & 0x07)) * 3
+    desc = 13 + gct_len
+    assert plain[desc] == 0x2C
+    h, w = 13, 7
+    # decode the palette indices by re-decoding the plain image
+    rgb = gif.decode_gif(bytes(plain))
+    pal = np.frombuffer(bytes(plain[13:13 + gct_len]), np.uint8).reshape(-1, 3)
+    lut = {tuple(c): i for i, c in enumerate(pal)}
+    idx = np.array([[lut[tuple(rgb[:, y, x].astype(np.uint8))] for x in range(w)]
+                    for y in range(h)])
+    order = []
+    for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
+        order.extend(range(start, h, step))
+    inter_idx = idx[order]
+    mcs = plain[desc + 10]
+    lzw = gif._lzw_encode(inter_idx.ravel(), mcs)
+    out = bytearray(plain[:desc])
+    out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0x40)  # interlace flag
+    out.append(mcs)
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i:i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"
+    got = gif.decode_gif(bytes(out))
+    assert np.array_equal(got, gif.decode_gif(bytes(plain)))
+
+
+def test_gif_multiframe_count_and_frame_select():
+    a = _rgb(6, 6, seed=7, colors=3)
+    b_ = _rgb(6, 6, seed=8, colors=3)
+    one = bytearray(gif.encode_gif(a))
+    two = bytearray(gif.encode_gif(b_))
+    flags = two[10]
+    gct_len2 = (2 << (flags & 0x07)) * 3
+    # append second image descriptor (with ITS palette as a local one)
+    desc2 = bytearray(two[13 + gct_len2:-1])  # 0x2C ... (no trailer)
+    # give frame 2 a local color table: set LCT flag + palette bits
+    pal2 = bytes(two[13:13 + gct_len2])
+    n_bits = flags & 0x07
+    desc2[9] = 0x80 | n_bits
+    desc2[10:10] = pal2  # insert LCT right after the descriptor
+    merged = bytes(one[:-1]) + bytes(desc2) + b"\x3b"
+    assert gif.count_images(merged) == 2
+    assert np.array_equal(gif.decode_gif(merged, frame=0), gif.decode_gif(bytes(one)))
+    assert np.array_equal(gif.decode_gif(merged, frame=1), gif.decode_gif(bytes(two)))
+    with pytest.raises(ValueError, match="no image descriptor"):
+        gif.decode_gif(merged, frame=2)
+
+
+def test_gif_rejects():
+    for bad in (b"", b"GIF89a", b"NOTGIF" + b"\x00" * 20):
+        with pytest.raises(ValueError):
+            gif.decode_gif(bad)
+    rng = np.random.default_rng(10)
+    noisy = rng.integers(0, 256, (3, 30, 30)).astype(np.uint16)
+    assert len(np.unique(noisy.reshape(3, -1).T, axis=0)) > 256
+    with pytest.raises(ValueError, match="256"):
+        gif.encode_gif(noisy)
+
+
+@settings(max_examples=25, deadline=None)
+@given(h=st.integers(1, 24), w=st.integers(1, 24),
+       colors=st.integers(1, 16), seed=st.integers(0, 2**31 - 1))
+def test_gif_property_roundtrip(h, w, colors, seed):
+    a = _rgb(h, w, seed=seed, colors=colors)
+    assert np.array_equal(gif.decode_gif(gif.encode_gif(a)), a)
+
+
+# ---------- Spark routing ----------
+
+def test_spark_decode_path_for_gif_and_bmp(spark):
+    from irivermetrics_spark.operators import multimodal
+
+    a = _rgb(8, 10, seed=9, colors=6)
+    rows = [("g", gif.encode_gif(a), "gif"), ("b", bmp.encode_bmp(a), "bmp")]
+    df = spark.createDataFrame(rows, "image_id string, bytes binary, fmt string")
+    routed = multimodal.with_format_detail(df).collect()
+    assert all(r["decodable"] for r in routed)
+    assert {r["fmt_detail"] for r in routed} == {"gif", "bmp"}
+    emb = multimodal.embed_images(df).collect()
+    assert len(emb) == 2  # both decode through _decode_any without error
+    resized = {r["image_id"]: r for r in multimodal.resize_images(df, 5, 4).collect()}
+    assert resized["g"]["w"] == 5 and resized["b"]["h"] == 4

@@ -63,7 +63,7 @@ def test_probe_webp_all_flavours():
 def test_probe_foreign_and_truncated():
     gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00" * 10
     g = _probe(gif)
-    assert (g["fmt_detail"], g["width"], g["height"], g["decodable"]) == ("gif", 320, 200, False)
+    assert (g["fmt_detail"], g["width"], g["height"], g["decodable"]) == ("gif", 320, 200, True)
 
     bmp = b"BM" + b"\x00" * 16 + struct.pack("<ii", 64, -48) + b"\x00\x00" + struct.pack("<H", 24)
     b = _probe(bmp)
@@ -91,7 +91,7 @@ def test_with_image_info_spark(spark):
     assert (got["a"]["width"], got["a"]["height"], got["a"]["nbands"]) == (12, 8, 3)
     assert got["a"]["decodable"] and got["b"]["decodable"]
     assert (got["b"]["width"], got["b"]["height"]) == (24, 16)
-    assert got["c"]["fmt_detail"] == "gif" and not got["c"]["decodable"]
+    assert got["c"]["fmt_detail"] == "gif" and got["c"]["decodable"]
     assert got["c"]["width"] == 9
     assert got["d"]["fmt_detail"] == "png" and got["d"]["width"] is None
     # the probe must beat decode: plan has exactly one Arrow UDF eval

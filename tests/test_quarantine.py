@@ -47,12 +47,16 @@ def test_sniff_format_magic_bytes():
     assert s(b"total garbage") == "unknown"
     assert s(b"") == "unknown"
     # decodability routing: both webp flavours in since r6 (kernels/vp8),
-    # animations too (kernels/webpanim); foreign formats stay diverted
+    # animations too (kernels/webpanim), gif/bmp since late r6 — audio
+    # and garbage stay diverted
     assert "webp-vp8l" in codecs.DECODABLE_DETAILS
     assert "webp-vp8" in codecs.DECODABLE_DETAILS
     assert "webp-vp8x" in codecs.DECODABLE_DETAILS
     assert "webp-vp8x-anim" in codecs.DECODABLE_DETAILS
-    assert "gif" not in codecs.DECODABLE_DETAILS
+    assert "gif" in codecs.DECODABLE_DETAILS
+    assert "bmp" in codecs.DECODABLE_DETAILS
+    assert "wav" not in codecs.DECODABLE_DETAILS
+    assert "unknown" not in codecs.DECODABLE_DETAILS
 
 
 def test_with_format_detail_column(spark):
