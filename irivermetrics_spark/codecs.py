@@ -343,6 +343,12 @@ def probe_image_info(buf: bytes) -> dict:
         elif fmt == "gif":
             w, h = struct.unpack("<HH", b[6:10])
             out.update(width=w, height=h, nbands=3)
+            try:
+                from .kernels import gif as _gif
+
+                out.update(n_frames=_gif.count_images(b))
+            except Exception:
+                pass  # block walk failed (truncated tail): shape stands
         elif fmt == "bmp":
             w, h = struct.unpack("<ii", b[18:26])
             bpp = struct.unpack("<H", b[28:30])[0] if len(b) >= 30 else 8

@@ -197,3 +197,13 @@ def test_spark_decode_path_for_gif_and_bmp(spark):
     assert len(emb) == 2  # both decode through _decode_any without error
     resized = {r["image_id"]: r for r in multimodal.resize_images(df, 5, 4).collect()}
     assert resized["g"]["w"] == 5 and resized["b"]["h"] == 4
+
+
+def test_probe_counts_gif_frames():
+    a = _rgb(6, 6, seed=11, colors=3)
+    one = gif.encode_gif(a)
+    info = codecs.probe_image_info(one)
+    assert (info["fmt_detail"], info["n_frames"]) == ("gif", 1)
+    # truncated tail: shape survives, frame count degrades to None
+    info2 = codecs.probe_image_info(one[:20])
+    assert info2["width"] == 6 and info2["n_frames"] in (None, 0)
