@@ -141,7 +141,7 @@ def sniff_format(buf: bytes) -> str:
     the VP8X flags byte further splits still images from animations,
     which route through kernels/webpanim), the engine container by its
     format code. Never raises; unknown bytes tag 'unknown'."""
-    b = bytes(buf[:21]) if buf is not None else b""
+    b = bytes(buf[:34]) if buf is not None else b""
     if b[:4] == MAGIC:
         return _FMT_NAME.get(b[4], "irm-unknown") if len(b) > 4 else "irm-unknown"
     if b[:4] in (b"II*\x00", b"MM\x00*"):
@@ -169,7 +169,15 @@ def sniff_format(buf: bytes) -> str:
     if b[:6] in (b"GIF87a", b"GIF89a"):
         return "gif"
     if b[:2] == b"BM":
-        return "bmp"
+        # decodable only when the DIB variant matches kernels/bmp.py:
+        # BI_RGB (compression 0) at 8/24/32 bpp — RLE/BITFIELDS and
+        # 1/4/16-bpp files divert instead of failing the decode stage
+        if len(b) >= 34:
+            bpp = b[28] | (b[29] << 8)
+            comp = b[30] | (b[31] << 8) | (b[32] << 16) | (b[33] << 24)
+            if comp == 0 and bpp in (8, 24, 32):
+                return "bmp"
+        return "bmp-unsupported"
     if b[:3] == b"CDF":
         return "netcdf3"
     return "unknown"
@@ -234,7 +242,7 @@ def probe_image_info(buf: bytes) -> dict:
     foreign payloads come back with ``fmt_detail`` set and the shape
     fields None, matching the quarantine router's divert-don't-fail
     contract (sniff_format). Works for formats the engine can't decode
-    (gif/bmp logical screen headers), so even quarantined rows can be
+    (e.g. 'bmp-unsupported' RLE variants), so even quarantined rows can be
     inventoried.
     """
     import struct
@@ -349,10 +357,12 @@ def probe_image_info(buf: bytes) -> dict:
                 out.update(n_frames=_gif.count_images(b))
             except Exception:
                 pass  # block walk failed (truncated tail): shape stands
-        elif fmt == "bmp":
+        elif fmt.startswith("bmp"):
             w, h = struct.unpack("<ii", b[18:26])
-            bpp = struct.unpack("<H", b[28:30])[0] if len(b) >= 30 else 8
-            out.update(width=w, height=abs(h), nbands=max(bpp // 8, 1), n_frames=1)
+            # decode_bmp always returns 3 bands (palette expanded,
+            # alpha dropped) — the probe must match what decode yields
+            out.update(width=w, height=abs(h),
+                       nbands=3 if fmt == "bmp" else None, n_frames=1)
     except (struct.error, IndexError):
         # truncated header: keep fmt_detail, leave the shape fields None
         out.update(width=None, height=None, nbands=None, n_frames=None)

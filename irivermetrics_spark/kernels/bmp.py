@@ -46,6 +46,9 @@ def decode_bmp(buf: bytes) -> np.ndarray:
         rows = np.frombuffer(b, dtype=np.uint8, count=need,
                              offset=data_off).reshape(h, stride)[:, :w]
         idx = rows if top_down else rows[::-1]
+        # out-of-palette indices (malformed biClrUsed) clip to the last
+        # entry — same policy as decode_gif, never a raw IndexError
+        idx = np.minimum(idx, n_pal - 1)
         rgb = pal[idx][:, :, [2, 1, 0]]  # palette entries are BGRX
     elif bpp in (24, 32):
         nb = bpp // 8

@@ -102,6 +102,22 @@ def _sub_blocks(b: bytes, pos: int) -> tuple[bytes, int]:
     return b"".join(parts), pos
 
 
+def _skip_sub_blocks(b: bytes, pos: int) -> int:
+    """Advance past a sub-block chain without materializing it — keeps
+    count_images and frame skipping O(1) in copies (the header probe
+    promises never-O(payload) work per row)."""
+    while True:
+        if pos >= len(b):
+            raise ValueError("GIF sub-blocks truncated")
+        n = b[pos]
+        pos += 1
+        if n == 0:
+            return pos
+        if pos + n > len(b):
+            raise ValueError("GIF sub-block truncated")
+        pos += n
+
+
 def decode_gif(buf: bytes, frame: int = 0) -> np.ndarray:
     """Decode image descriptor ``frame`` (0 = what still consumers
     want) to (3, h, w) uint16. Frames are placed on the logical screen
@@ -126,9 +142,9 @@ def decode_gif(buf: bytes, frame: int = 0) -> np.ndarray:
         pos += 1
         if blk == 0x3B:  # trailer
             break
-        if blk == 0x21:  # extension: label + sub-blocks
+        if blk == 0x21:  # extension: label + sub-blocks (skip, no copy)
             pos += 1
-            _, pos = _sub_blocks(b, pos)
+            pos = _skip_sub_blocks(b, pos)
             continue
         if blk != 0x2C:
             raise ValueError(f"unknown GIF block 0x{blk:02x}")
@@ -142,10 +158,11 @@ def decode_gif(buf: bytes, frame: int = 0) -> np.ndarray:
             pos += n * 3
         mcs = b[pos]
         pos += 1
-        data, pos = _sub_blocks(b, pos)
         if seen != frame:
+            pos = _skip_sub_blocks(b, pos)
             seen += 1
             continue
+        data, pos = _sub_blocks(b, pos)
         if pal is None:
             raise ValueError("GIF image has no color table")
         if not 2 <= mcs <= 11:
@@ -191,7 +208,7 @@ def count_images(buf: bytes) -> int:
             break
         if blk == 0x21:
             pos += 1
-            _, pos = _sub_blocks(b, pos)
+            pos = _skip_sub_blocks(b, pos)
             continue
         if blk != 0x2C:
             break
@@ -200,7 +217,7 @@ def count_images(buf: bytes) -> int:
         if iflags & 0x80:
             pos += (2 << (iflags & 0x07)) * 3
         pos += 1
-        _, pos = _sub_blocks(b, pos)
+        pos = _skip_sub_blocks(b, pos)
         n += 1
     return n
 
@@ -246,6 +263,12 @@ def _lzw_encode(indices: np.ndarray, min_code_size: int) -> bytes:
             nxt = end + 1
         cur = k
     emit(cur, width)
+    # the decoder adds one more entry on receiving this final code
+    # (unless it is the first since a clear); if that add lands the
+    # table exactly on 2^width, a spec-strict decoder bumps before
+    # reading END — emit END at the bumped width to match
+    if nxt > end + 1 and nxt == (1 << width) and width < 12:
+        width += 1
     emit(end, width)
     if nbits:
         out.append(acc & 0xFF)

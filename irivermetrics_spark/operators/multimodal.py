@@ -208,7 +208,8 @@ def frame_sample(videos: DataFrame, every_k: int = 5) -> DataFrame:
             rows = []
             for rec in pdf.itertuples(index=False):
                 buf = bytes(rec.bytes)
-                if codecs.sniff_format(buf) == "webp-vp8x-anim":
+                sniffed = codecs.sniff_format(buf)
+                if sniffed == "webp-vp8x-anim":
                     from ..kernels import webpanim
 
                     frames, _, info = webpanim.decode_webp_anim(
@@ -219,6 +220,20 @@ def frame_sample(videos: DataFrame, every_k: int = 5) -> DataFrame:
                             bytes=codecs.encode_image(
                                 fr.astype(np.uint16), codecs.FMT_RAW16),
                             w=info.canvas_w, h=info.canvas_h,
+                            fmt=codecs.FMT_RAW16))
+                    continue
+                if sniffed == "gif":
+                    from ..kernels import gif as gifk
+
+                    # per-frame decode re-walks the block chain, but the
+                    # skip walker is copy-free so sampling stays cheap
+                    nf = gifk.count_images(buf)
+                    for j in range(0, max(nf, 1), every_k):
+                        fr = gifk.decode_gif(buf, frame=j)
+                        rows.append(dict(
+                            video_id=rec.video_id, frame_idx=j,
+                            bytes=codecs.encode_image(fr, codecs.FMT_RAW16),
+                            w=int(fr.shape[2]), h=int(fr.shape[1]),
                             fmt=codecs.FMT_RAW16))
                     continue
                 n = int(np.frombuffer(buf, dtype="<u4", count=1)[0])

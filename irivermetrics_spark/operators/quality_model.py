@@ -62,6 +62,8 @@ def _grad_kernel(n_features: int, bc_w, bc_b):
         loss = 0.0
         for pdf in batches:
             for idx_arr, y in zip(pdf["__fidx"], pdf["__y"]):
+                if idx_arr is None or y is None or y != y:
+                    continue  # NULL text/label rows carry no gradient
                 idx = np.asarray(idx_arr, dtype=np.int64)
                 if idx.size == 0:
                     continue
@@ -153,6 +155,9 @@ def score_quality(docs: DataFrame, model: dict,
         for pdf in batches:
             probs = np.empty(len(pdf), dtype=np.float64)
             for i, idx_arr in enumerate(pdf["__fidx"]):
+                if idx_arr is None:
+                    probs[i] = np.nan  # NULL text scores NULL, not 0.5
+                    continue
                 idx = np.asarray(idx_arr, dtype=np.int64)
                 z = (w[idx].sum() / idx.size if idx.size else 0.0) + b
                 probs[i] = 1.0 / (1.0 + np.exp(-z))

@@ -10,8 +10,9 @@ import numpy as np
 import pytest
 
 from irivermetrics_spark import codecs
-from irivermetrics_spark.kernels import (geotiff, jpeg, lzw, netcdf, png,
-                                          vp8, webp, webpanim)
+from irivermetrics_spark.kernels import (bmp, geotiff, gif, jpeg, lzw,
+                                          netcdf, png, vp8, wav, webp,
+                                          webpanim)
 
 # lossy-VP8 fuzz prefix: valid keyframe tag (first_part_size=64, so the
 # random tail is long enough to be "the partition"), start code, and
@@ -45,24 +46,11 @@ _DECODE = {
     "webpanim": webpanim.decode_webp_anim,
     "png": png.decode_png,
     "jpeg": jpeg.decode_baseline,
-    "gif": None,
-    "bmp": None,
-    "wav": None,
+    "gif": gif.decode_gif,
+    "bmp": bmp.decode_bmp,
+    "wav": wav.read_wav,
     "codecs": codecs.decode_image,
 }
-
-
-def _late_decoders():
-    from irivermetrics_spark.kernels import bmp as _bmp
-    from irivermetrics_spark.kernels import gif as _gif
-    from irivermetrics_spark.kernels import wav as _wav
-
-    _DECODE["gif"] = _gif.decode_gif
-    _DECODE["bmp"] = _bmp.decode_bmp
-    _DECODE["wav"] = _wav.read_wav
-
-
-_late_decoders()
 
 
 @pytest.mark.parametrize("name", sorted(_DECODE))

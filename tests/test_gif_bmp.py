@@ -207,3 +207,53 @@ def test_probe_counts_gif_frames():
     # truncated tail: shape survives, frame count degrades to None
     info2 = codecs.probe_image_info(one[:20])
     assert info2["width"] == 6 and info2["n_frames"] in (None, 0)
+
+
+def test_lzw_end_code_width_bump_boundary():
+    """When the decoder's add for the FINAL data code lands the table
+    exactly on 2^width, a strict decoder bumps before reading END —
+    the encoder must emit END at the bumped width (review find). With
+    mcs=2: codes go clear(4),0,1,2 at width 3, then END at width 4."""
+    stream = gif._lzw_encode(np.array([0, 1, 2]), 2)
+    # LSB-first bit reader
+    acc = int.from_bytes(stream, "little")
+    got, pos = [], 0
+    for w in (3, 3, 3, 3, 4):
+        got.append((acc >> pos) & ((1 << w) - 1))
+        pos += w
+    assert got == [4, 0, 1, 2, 5]  # clear, roots, END at the bumped width
+    # and the in-repo decoder still round-trips it
+    assert gif._lzw_decode(stream, 2, 3).tolist() == [0, 1, 2]
+
+
+def test_frame_sample_routes_gif(spark):
+    from irivermetrics_spark.operators import multimodal
+
+    a = _rgb(6, 6, seed=12, colors=3)
+    b_ = _rgb(6, 6, seed=13, colors=3)
+    one = bytearray(gif.encode_gif(a))
+    two = bytearray(gif.encode_gif(b_))
+    flags = two[10]
+    gct_len2 = (2 << (flags & 0x07)) * 3
+    desc2 = bytearray(two[13 + gct_len2:-1])
+    desc2[9] = 0x80 | (flags & 0x07)
+    desc2[10:10] = bytes(two[13:13 + gct_len2])
+    merged = bytes(one[:-1]) + bytes(desc2) + b"\x3b"
+    df = spark.createDataFrame([("g", merged)], "video_id string, bytes binary")
+    out = multimodal.frame_sample(df, every_k=1).toPandas().sort_values("frame_idx")
+    assert out.frame_idx.tolist() == [0, 1]
+    got0 = codecs.decode_image(bytes(out.iloc[0]["bytes"]))
+    assert np.array_equal(got0, gif.decode_gif(merged, frame=0))
+    got1 = codecs.decode_image(bytes(out.iloc[1]["bytes"]))
+    assert np.array_equal(got1, gif.decode_gif(merged, frame=1))
+
+
+def test_bmp_out_of_palette_clips():
+    pal = bytes([10, 20, 30, 0, 200, 150, 100, 0])  # only 2 entries
+    rows = bytes([0, 5, 1, 0]) + bytes([7, 0, 0, 1])  # 5 and 7 overflow
+    info = struct.pack("<IiiHHIIiiII", 40, 4, -2, 1, 8, 0, len(rows),
+                       0, 0, 2, 0)
+    off = 14 + 40 + len(pal)
+    buf = b"BM" + struct.pack("<IHHI", off + len(rows), 0, 0, off) + info + pal + rows
+    got = bmp.decode_bmp(buf)  # must not raise
+    assert got[:, 0, 1].tolist() == [100, 150, 200]  # clipped to entry 1

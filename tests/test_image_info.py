@@ -65,9 +65,16 @@ def test_probe_foreign_and_truncated():
     g = _probe(gif)
     assert (g["fmt_detail"], g["width"], g["height"], g["decodable"]) == ("gif", 320, 200, True)
 
-    bmp = b"BM" + b"\x00" * 16 + struct.pack("<ii", 64, -48) + b"\x00\x00" + struct.pack("<H", 24)
+    bmp = (b"BM" + b"\x00" * 16 + struct.pack("<ii", 64, -48) + b"\x00\x00"
+           + struct.pack("<HI", 24, 0))  # 24bpp BI_RGB: decodable variant
     b = _probe(bmp)
     assert (b["fmt_detail"], b["width"], b["height"], b["nbands"]) == ("bmp", 64, 48, 3)
+    # unsupported variants (RLE8) sniff as bmp-unsupported: shape still
+    # probed, decodable stays False so the router diverts them
+    rle = (b"BM" + b"\x00" * 16 + struct.pack("<ii", 64, 48) + b"\x00\x00"
+           + struct.pack("<HI", 8, 1))
+    r = _probe(rle)
+    assert (r["fmt_detail"], r["width"], r["decodable"]) == ("bmp-unsupported", 64, False)
 
     # truncated headers: fmt detected, shape None, never raises
     for frag in (b"\x89PNG\r\n\x1a\n", b"II*\x00\x08\x00", b"RIFF1234WEBPVP8 ",

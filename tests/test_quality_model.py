@@ -71,7 +71,7 @@ def test_matches_numpy_reference(spark, corpus):
         n += 1
     w_ref = -2.0 * grad / n
     b_ref = -2.0 * gb / n
-    assert np.allclose(model["w"], w_ref, atol=1e-12)
+    assert np.allclose(model["w"], w_ref, rtol=0, atol=1e-12)
     assert model["b"] == pytest.approx(b_ref, abs=1e-12)
 
 
@@ -82,7 +82,7 @@ def test_deterministic_across_partitionings(spark, corpus):
     m2 = qm.train_quality_classifier(spark.createDataFrame(corpus).repartition(7),
                                      "label", n_features=1 << 10,
                                      epochs=3, grad_partitions=5)
-    assert np.allclose(m1["w"], m2["w"], atol=1e-12)
+    assert np.allclose(m1["w"], m2["w"], rtol=0, atol=1e-12)
     assert m1["b"] == pytest.approx(m2["b"], abs=1e-12)
 
 
@@ -102,3 +102,16 @@ def test_empty_and_degenerate(spark):
     model = dict(w=np.zeros(64), b=0.0, n_features=64, seed=0)
     scored = qm.score_quality(docs, model).toPandas()
     assert scored.quality_prob.iloc[0] == pytest.approx(0.5)
+
+
+def test_null_text_and_label_rows_skip(spark):
+    docs = spark.createDataFrame(pd.DataFrame(dict(
+        doc_id=["a", "b", "c", "d"],
+        label=pd.array([1, 0, None, 1], dtype="Int64"),
+        text=pd.array(["good words here", "bad words here", "x", None],
+                      dtype="string"))))
+    model = qm.train_quality_classifier(docs, "label", n_features=256,
+                                        epochs=2, grad_partitions=2)
+    scored = qm.score_quality(docs, model).toPandas().set_index("doc_id")
+    assert np.isnan(scored.loc["d"].quality_prob)
+    assert np.isfinite(scored.loc["a"].quality_prob)
