@@ -118,11 +118,15 @@ def _skip_sub_blocks(b: bytes, pos: int) -> int:
         pos += n
 
 
-def decode_gif(buf: bytes, frame: int = 0) -> np.ndarray:
-    """Decode image descriptor ``frame`` (0 = what still consumers
-    want) to (3, h, w) uint16. Frames are placed on the logical screen
-    at their (left, top); uncovered screen area is the background
-    color (or palette 0)."""
+def iter_frames(buf: bytes):
+    """Yield COMPOSITED frames — GIF89a player semantics, the same
+    idea as kernels/webpanim for animated WebP: each image descriptor
+    paints onto the persistent logical-screen canvas at (left, top),
+    the preceding Graphic Control Extension supplies the transparent
+    index (those pixels leave the canvas untouched) and the disposal
+    method applied AFTER the frame shows (1/0 keep, 2 restore
+    background in the frame rect, 3 restore the pre-frame canvas).
+    Every yield is an independent (3, h, w) uint16 copy."""
     b = bytes(buf)
     if len(b) < 13 or b[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF payload")
@@ -136,14 +140,25 @@ def decode_gif(buf: bytes, frame: int = 0) -> np.ndarray:
         gct = np.frombuffer(b, dtype=np.uint8, count=n * 3,
                             offset=pos).reshape(n, 3)
         pos += n * 3
-    seen = 0
+    bg_idx = bg if gct is not None and bg < len(gct) else 0
+    bg_rgb = gct[bg_idx] if gct is not None else np.zeros(3, np.uint8)
+    canvas = np.empty((sh, sw, 3), dtype=np.uint8)
+    canvas[:] = bg_rgb
+    transparent = None
+    disposal = 0
     while pos < len(b):
         blk = b[pos]
         pos += 1
         if blk == 0x3B:  # trailer
             break
-        if blk == 0x21:  # extension: label + sub-blocks (skip, no copy)
+        if blk == 0x21:  # extension
+            label = b[pos]
             pos += 1
+            if label == 0xF9 and pos < len(b) and b[pos] >= 4:
+                # Graphic Control Extension: flags, delay, transparent idx
+                gflags = b[pos + 1]
+                disposal = (gflags >> 2) & 0x07
+                transparent = b[pos + 4] if gflags & 0x01 else None
             pos = _skip_sub_blocks(b, pos)
             continue
         if blk != 0x2C:
@@ -158,10 +173,6 @@ def decode_gif(buf: bytes, frame: int = 0) -> np.ndarray:
             pos += n * 3
         mcs = b[pos]
         pos += 1
-        if seen != frame:
-            pos = _skip_sub_blocks(b, pos)
-            seen += 1
-            continue
         data, pos = _sub_blocks(b, pos)
         if pal is None:
             raise ValueError("GIF image has no color table")
@@ -181,14 +192,34 @@ def decode_gif(buf: bytes, frame: int = 0) -> np.ndarray:
                 rows[start:h:step] = np.arange(i, i + n_rows)
                 i += n_rows
             idx = idx[rows]
-        idx = np.clip(idx, 0, len(pal) - 1)
-        screen = np.empty((sh, sw, 3), dtype=np.uint8)
-        bg_idx = bg if gct is not None and bg < len(gct) else 0
-        screen[:] = (gct[bg_idx] if gct is not None else 0)
         ch, cw = min(h, sh - top), min(w, sw - left)
-        screen[top:top + ch, left:left + cw] = pal[idx][:ch, :cw]
-        return np.ascontiguousarray(screen.transpose(2, 0, 1)).astype(np.uint16)
-    raise ValueError(f"GIF has no image descriptor #{frame} ({seen} present)")
+        clipped = idx[:ch, :cw]
+        region = canvas[top:top + ch, left:left + cw]
+        saved = region.copy() if disposal == 3 else None
+        safe = np.clip(clipped, 0, len(pal) - 1)
+        painted = pal[safe]
+        if transparent is not None:
+            keep = (clipped == transparent)[:, :, None]
+            painted = np.where(keep, region, painted)
+        canvas[top:top + ch, left:left + cw] = painted
+        yield np.ascontiguousarray(
+            canvas.transpose(2, 0, 1)).astype(np.uint16)
+        if disposal == 2:
+            canvas[top:top + ch, left:left + cw] = bg_rgb
+        elif disposal == 3 and saved is not None:
+            canvas[top:top + ch, left:left + cw] = saved
+        transparent = None
+        disposal = 0
+
+
+def decode_gif(buf: bytes, frame: int = 0) -> np.ndarray:
+    """Decode the ``frame``-th COMPOSITED frame (0 = what still
+    consumers want) to (3, h, w) uint16 — earlier frames are decoded
+    too because GIF animation frames are deltas over the canvas."""
+    for i, fr in enumerate(iter_frames(buf)):
+        if i == frame:
+            return fr
+    raise ValueError(f"GIF has no image descriptor #{frame}")
 
 
 def count_images(buf: bytes) -> int:

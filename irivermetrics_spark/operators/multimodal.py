@@ -225,11 +225,12 @@ def frame_sample(videos: DataFrame, every_k: int = 5) -> DataFrame:
                 if sniffed == "gif":
                     from ..kernels import gif as gifk
 
-                    # per-frame decode re-walks the block chain, but the
-                    # skip walker is copy-free so sampling stays cheap
-                    nf = gifk.count_images(buf)
-                    for j in range(0, max(nf, 1), every_k):
-                        fr = gifk.decode_gif(buf, frame=j)
+                    # one compositing pass over the animation (frames
+                    # are deltas, so every frame decodes regardless of
+                    # the sampling stride — same as the webpanim path)
+                    for j, fr in enumerate(gifk.iter_frames(buf)):
+                        if j % every_k:
+                            continue
                         rows.append(dict(
                             video_id=rec.video_id, frame_idx=j,
                             bytes=codecs.encode_image(fr, codecs.FMT_RAW16),

@@ -257,3 +257,80 @@ def test_bmp_out_of_palette_clips():
     buf = b"BM" + struct.pack("<IHHI", off + len(rows), 0, 0, off) + info + pal + rows
     got = bmp.decode_bmp(buf)  # must not raise
     assert got[:, 0, 1].tolist() == [100, 150, 200]  # clipped to entry 1
+
+
+def _gce(disposal, transparent_idx=None):
+    gflags = (disposal & 0x07) << 2
+    t = 0
+    if transparent_idx is not None:
+        gflags |= 1
+        t = transparent_idx
+    return b"\x21\xf9\x04" + bytes([gflags, 0, 0, t]) + b"\x00"
+
+
+def _frame_block(left, top, idx2d, mcs):
+    h, w = idx2d.shape
+    out = bytearray(b"\x2c" + struct.pack("<HHHHB", left, top, w, h, 0))
+    out.append(mcs)
+    lzw = gif._lzw_encode(np.asarray(idx2d).ravel(), mcs)
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i:i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00"
+    return bytes(out)
+
+
+def _anim(frames_with_gce, sw, sh, palette):
+    """Hand-assemble an animated GIF: global palette + (gce, frame)."""
+    n = len(palette)
+    bits = max(1, int(np.ceil(np.log2(max(n, 2)))))
+    pal = np.zeros((1 << bits, 3), dtype=np.uint8)
+    pal[:n] = palette
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", sw, sh, 0x80 | ((bits - 1) & 0x07), 0, 0)
+    out += pal.tobytes()
+    for gce, frame in frames_with_gce:
+        out += gce + frame
+    out += b"\x3b"
+    return bytes(out)
+
+
+def test_gif_animation_compositing_transparency_and_disposal():
+    """Player semantics: frame 2 is a partial delta whose transparent
+    pixels show frame 1 through; disposal 2 restores background before
+    frame 3; disposal 3 restores the pre-frame canvas."""
+    pal = np.array([[0, 0, 0], [255, 0, 0], [0, 255, 0], [0, 0, 255]],
+                   dtype=np.uint8)
+    mcs = 2
+    full = np.full((4, 4), 1)          # all red
+    delta = np.array([[2, 0], [0, 2]])  # green + transparent(idx 0)
+    blocks = [
+        (_gce(1), _frame_block(0, 0, full, mcs)),
+        (_gce(2, transparent_idx=0), _frame_block(1, 1, delta, mcs)),
+        (_gce(3, transparent_idx=0), _frame_block(0, 0, np.array([[3]]), mcs)),
+        (_gce(1), _frame_block(0, 0, np.array([[2]]), mcs)),
+    ]
+    buf = _anim(blocks, 4, 4, pal)
+    frames = list(gif.iter_frames(buf))
+    assert len(frames) == 4
+    f1, f2, f3, f4 = frames
+    # frame 1: solid red
+    assert (f1[0] == 255).all() and (f1[1] == 0).all()
+    # frame 2: green at (1,1) and (2,2); transparent cells show red
+    assert f2[:, 1, 1].tolist() == [0, 255, 0]
+    assert f2[:, 1, 2].tolist() == [255, 0, 0]  # transparent -> red shows
+    assert f2[:, 2, 2].tolist() == [0, 255, 0]
+    assert f2[:, 0, 0].tolist() == [255, 0, 0]  # outside the delta rect
+    # frame 3 painted AFTER disposal 2 restored background (palette 0 =
+    # black) in frame 2's rect: (1,1)..(2,2) black now, (0,0) blue
+    assert f3[:, 0, 0].tolist() == [0, 0, 255]
+    assert f3[:, 1, 1].tolist() == [0, 0, 0]
+    assert f3[:, 1, 2].tolist() == [0, 0, 0]
+    assert f3[:, 3, 3].tolist() == [255, 0, 0]  # untouched red corner
+    # frame 4 painted after disposal 3 restored the canvas FROM BEFORE
+    # frame 3: (0,0) back to red, then painted green by frame 4
+    assert f4[:, 0, 0].tolist() == [0, 255, 0]
+    assert f4[:, 1, 1].tolist() == [0, 0, 0]  # disposal-2 bg persists
+    # decode_gif(frame=N) returns the composited Nth frame
+    assert np.array_equal(gif.decode_gif(buf, frame=2), f3)
