@@ -170,12 +170,13 @@ def sniff_format(buf: bytes) -> str:
         return "gif"
     if b[:2] == b"BM":
         # decodable only when the DIB variant matches kernels/bmp.py:
-        # BI_RGB (compression 0) at 8/24/32 bpp — RLE/BITFIELDS and
-        # 1/4/16-bpp files divert instead of failing the decode stage
+        # BI_RGB (compression 0) at 8/24/32 bpp or BI_RLE8 at 8 bpp —
+        # BITFIELDS and 1/4/16-bpp files divert instead of failing the
+        # decode stage
         if len(b) >= 34:
             bpp = b[28] | (b[29] << 8)
             comp = b[30] | (b[31] << 8) | (b[32] << 16) | (b[33] << 24)
-            if comp == 0 and bpp in (8, 24, 32):
+            if (comp == 0 and bpp in (8, 24, 32)) or (comp == 1 and bpp == 8):
                 return "bmp"
         return "bmp-unsupported"
     if b[:3] == b"CDF":

@@ -27,7 +27,7 @@ def decode_bmp(buf: bytes) -> np.ndarray:
     w, h = struct.unpack_from("<ii", b, 18)
     (planes, bpp) = struct.unpack_from("<HH", b, 26)
     (compression,) = struct.unpack_from("<I", b, 30)
-    if compression != 0:
+    if compression not in (0, 1):
         raise ValueError(f"unsupported BMP compression {compression}")
     if w <= 0 or h == 0 or planes != 1:
         raise ValueError(f"bad BMP dimensions w={w} h={h} planes={planes}")
@@ -35,6 +35,17 @@ def decode_bmp(buf: bytes) -> np.ndarray:
     h = abs(h)
     if w * h > 100_000_000:
         raise ValueError("BMP dimensions exceed the 1e8-pixel safety cap")
+    if compression == 1:  # BI_RLE8
+        if bpp != 8 or top_down:
+            raise ValueError("BI_RLE8 requires bottom-up 8-bit data")
+        (used,) = struct.unpack_from("<I", b, 46)
+        n_pal = used or 256
+        pal = np.frombuffer(b, dtype=np.uint8, count=n_pal * 4,
+                            offset=14 + hdr_size).reshape(n_pal, 4)
+        idx = _decode_rle8(b[data_off:], w, h)[::-1]  # stored bottom-up
+        idx = np.minimum(idx, n_pal - 1)
+        rgb = pal[idx][:, :, [2, 1, 0]]
+        return np.ascontiguousarray(rgb.transpose(2, 0, 1)).astype(np.uint16)
     if bpp == 8:
         (used,) = struct.unpack_from("<I", b, 46)
         n_pal = used or 256
@@ -63,6 +74,48 @@ def decode_bmp(buf: bytes) -> np.ndarray:
     else:
         raise ValueError(f"unsupported BMP bit depth {bpp}")
     return np.ascontiguousarray(rgb.transpose(2, 0, 1)).astype(np.uint16)
+
+
+def _decode_rle8(data: bytes, w: int, h: int) -> np.ndarray:
+    """BI_RLE8 run decoder: pairs are (count, index) runs; escape
+    count 0 switches on the second byte — 0 end-of-line, 1 end of
+    bitmap, 2 (dx, dy) delta, n>=3 literal run (word-aligned).
+    Unwritten cells (deltas skip them) stay 0, like most readers."""
+    out = np.zeros((h, w), dtype=np.uint8)
+    x = y = i = 0
+    n = len(data)
+    while i + 1 < n:
+        c, v = data[i], data[i + 1]
+        i += 2
+        if c > 0:  # run of v, clipped to the row
+            end = min(x + c, w)
+            if y < h:
+                out[y, x:end] = v
+            x = end
+            continue
+        if v == 0:  # end of line
+            x, y = 0, y + 1
+            continue
+        if v == 1:  # end of bitmap
+            break
+        if v == 2:  # delta jump
+            if i + 1 >= n:
+                raise ValueError("BI_RLE8 truncated delta")
+            x = min(x + data[i], w)
+            y += data[i + 1]
+            i += 2
+            continue
+        lit = data[i:i + v]
+        if len(lit) < v:
+            raise ValueError("BI_RLE8 truncated literal run")
+        end = min(x + v, w)
+        if y < h:
+            out[y, x:end] = np.frombuffer(lit[:end - x], dtype=np.uint8)
+        x = end
+        i += v + (v & 1)  # literal runs are word-aligned
+        if y > h:
+            break
+    return out
 
 
 def encode_bmp(arr: np.ndarray) -> bytes:

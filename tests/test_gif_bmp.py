@@ -63,10 +63,14 @@ def test_bmp_rejects():
     a = _rgb(3, 3)
     with pytest.raises(ValueError):
         bmp.encode_bmp(a * 300)  # >255 samples
-    rle = bytearray(bmp.encode_bmp(a))
-    struct.pack_into("<I", rle, 30, 1)  # BI_RLE8
+    bf = bytearray(bmp.encode_bmp(a))
+    struct.pack_into("<I", bf, 30, 3)  # BI_BITFIELDS: unsupported
     with pytest.raises(ValueError, match="compression"):
-        bmp.decode_bmp(bytes(rle))
+        bmp.decode_bmp(bytes(bf))
+    rle24 = bytearray(bmp.encode_bmp(a))
+    struct.pack_into("<I", rle24, 30, 1)  # RLE8 flag on 24-bit data
+    with pytest.raises(ValueError, match="RLE8"):
+        bmp.decode_bmp(bytes(rle24))
 
 
 # ---------- GIF ----------
@@ -334,3 +338,48 @@ def test_gif_animation_compositing_transparency_and_disposal():
     assert f4[:, 1, 1].tolist() == [0, 0, 0]  # disposal-2 bg persists
     # decode_gif(frame=N) returns the composited Nth frame
     assert np.array_equal(gif.decode_gif(buf, frame=2), f3)
+
+
+def test_bmp_rle8_decodes():
+    """BI_RLE8: runs, a literal segment (word-aligned), an EOL, a
+    delta skip (skipped cells read 0) and EOB — hand-assembled and
+    checked cell-by-cell against the spec walk."""
+    pal = np.array([[1, 2, 3, 0], [10, 20, 30, 0], [100, 110, 120, 0]],
+                   dtype=np.uint8)
+    # target 6x3 (bottom-up rows in the stream):
+    # stream row 0 (bottom): run 4x idx1, literal [2, 0], EOL
+    # stream row 1: run 2x idx2, delta (+2,0), run 2x idx1, EOL
+    # stream row 2 (top): literal [0,1,2] (padded), run 3x idx0, EOB
+    rle = bytes([4, 1, 0, 3, 2, 0, 0, 0, 0,   # row0: run + literal(3? no) ...
+                 ])
+    # assemble precisely instead: counts/escapes listed explicitly
+    rle = bytes([
+        4, 1,          # 4 cells of palette 1
+        0, 3, 2, 0, 0, 0,  # literal run of 3: [2,0,0] + pad
+        0, 0,          # end of line
+        2, 2,          # 2 cells of palette 2
+        0, 2, 2, 0,    # delta: skip 2 right
+        2, 1,          # 2 cells of palette 1
+        0, 0,          # end of line
+        0, 3, 0, 1, 2, 0,  # literal [0,1,2] + pad
+        3, 0,          # 3 cells of palette 0
+        0, 1,          # end of bitmap
+    ])
+    info = struct.pack("<IiiHHIIiiII", 40, 6, 3, 1, 8, 1, len(rle),
+                       0, 0, 3, 0)
+    off = 14 + 40 + len(pal.tobytes())
+    buf = (b"BM" + struct.pack("<IHHI", off + len(rle), 0, 0, off)
+           + info + pal.tobytes() + rle)
+    from irivermetrics_spark import codecs as _codecs
+    assert _codecs.sniff_format(buf) == "bmp"
+    got = bmp.decode_bmp(buf)
+    rgb = {0: [3, 2, 1], 1: [30, 20, 10], 2: [120, 110, 100]}
+    # bottom stream row is the LAST raster row (bottom-up)
+    want_rows = [
+        [0, 1, 2, 0, 0, 0],      # top raster row = stream row 2
+        [2, 2, 0, 0, 1, 1],      # middle: run2x2, delta-skipped zeros, run2x1
+        [1, 1, 1, 1, 2, 0],      # bottom raster row = stream row 0
+    ]
+    for y, row in enumerate(want_rows):
+        for x, pi in enumerate(row):
+            assert got[:, y, x].tolist() == rgb[pi], (y, x)

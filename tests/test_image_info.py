@@ -69,12 +69,16 @@ def test_probe_foreign_and_truncated():
            + struct.pack("<HI", 24, 0))  # 24bpp BI_RGB: decodable variant
     b = _probe(bmp)
     assert (b["fmt_detail"], b["width"], b["height"], b["nbands"]) == ("bmp", 64, 48, 3)
-    # unsupported variants (RLE8) sniff as bmp-unsupported: shape still
-    # probed, decodable stays False so the router diverts them
+    # unsupported variants (BITFIELDS) sniff as bmp-unsupported: shape
+    # still probed, decodable stays False so the router diverts them;
+    # RLE8 at 8 bpp decodes since late r6
+    bitf = (b"BM" + b"\x00" * 16 + struct.pack("<ii", 64, 48) + b"\x00\x00"
+            + struct.pack("<HI", 16, 3))
+    r = _probe(bitf)
+    assert (r["fmt_detail"], r["width"], r["decodable"]) == ("bmp-unsupported", 64, False)
     rle = (b"BM" + b"\x00" * 16 + struct.pack("<ii", 64, 48) + b"\x00\x00"
            + struct.pack("<HI", 8, 1))
-    r = _probe(rle)
-    assert (r["fmt_detail"], r["width"], r["decodable"]) == ("bmp-unsupported", 64, False)
+    assert _probe(rle)["decodable"]
 
     # truncated headers: fmt detected, shape None, never raises
     for frag in (b"\x89PNG\r\n\x1a\n", b"II*\x00\x08\x00", b"RIFF1234WEBPVP8 ",
