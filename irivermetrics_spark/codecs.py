@@ -176,8 +176,10 @@ def sniff_format(buf: bytes) -> str:
         if len(b) >= 34:
             bpp = b[28] | (b[29] << 8)
             comp = b[30] | (b[31] << 8) | (b[32] << 16) | (b[33] << 24)
-            if (comp == 0 and bpp in (8, 24, 32)) or (comp == 1 and bpp == 8):
-                return "bmp"
+            top_down = b[25] >= 0x80  # height int32 sign byte
+            if (comp == 0 and bpp in (8, 24, 32)) or (
+                    comp == 1 and bpp == 8 and not top_down):
+                return "bmp"  # RLE8 is defined bottom-up only
         return "bmp-unsupported"
     if b[:3] == b"CDF":
         return "netcdf3"

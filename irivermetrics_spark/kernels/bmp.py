@@ -27,36 +27,31 @@ def decode_bmp(buf: bytes) -> np.ndarray:
     w, h = struct.unpack_from("<ii", b, 18)
     (planes, bpp) = struct.unpack_from("<HH", b, 26)
     (compression,) = struct.unpack_from("<I", b, 30)
-    if compression not in (0, 1):
-        raise ValueError(f"unsupported BMP compression {compression}")
+    if compression not in (0, 1) or (compression == 1 and bpp != 8):
+        raise ValueError(
+            f"unsupported BMP compression {compression} at {bpp} bpp")
     if w <= 0 or h == 0 or planes != 1:
         raise ValueError(f"bad BMP dimensions w={w} h={h} planes={planes}")
     top_down = h < 0
     h = abs(h)
     if w * h > 100_000_000:
         raise ValueError("BMP dimensions exceed the 1e8-pixel safety cap")
-    if compression == 1:  # BI_RLE8
-        if bpp != 8 or top_down:
-            raise ValueError("BI_RLE8 requires bottom-up 8-bit data")
+    if bpp == 8:
+        # shared palette path for BI_RGB and BI_RLE8 — only the index
+        # plane construction differs between the two
         (used,) = struct.unpack_from("<I", b, 46)
         n_pal = used or 256
         pal = np.frombuffer(b, dtype=np.uint8, count=n_pal * 4,
                             offset=14 + hdr_size).reshape(n_pal, 4)
-        idx = _decode_rle8(b[data_off:], w, h)[::-1]  # stored bottom-up
-        idx = np.minimum(idx, n_pal - 1)
-        rgb = pal[idx][:, :, [2, 1, 0]]
-        return np.ascontiguousarray(rgb.transpose(2, 0, 1)).astype(np.uint16)
-    if bpp == 8:
-        (used,) = struct.unpack_from("<I", b, 46)
-        n_pal = used or 256
-        pal_off = 14 + hdr_size
-        pal = np.frombuffer(b, dtype=np.uint8,
-                            count=n_pal * 4, offset=pal_off).reshape(n_pal, 4)
-        stride = (w + 3) & ~3
-        need = stride * h
-        rows = np.frombuffer(b, dtype=np.uint8, count=need,
-                             offset=data_off).reshape(h, stride)[:, :w]
-        idx = rows if top_down else rows[::-1]
+        if compression == 1:  # BI_RLE8: defined bottom-up only
+            if top_down:
+                raise ValueError("BI_RLE8 requires bottom-up 8-bit data")
+            idx = _decode_rle8(b[data_off:], w, h)[::-1]
+        else:
+            stride = (w + 3) & ~3
+            rows = np.frombuffer(b, dtype=np.uint8, count=stride * h,
+                                 offset=data_off).reshape(h, stride)[:, :w]
+            idx = rows if top_down else rows[::-1]
         # out-of-palette indices (malformed biClrUsed) clip to the last
         # entry — same policy as decode_gif, never a raw IndexError
         idx = np.minimum(idx, n_pal - 1)

@@ -12,10 +12,12 @@ the code width when next_code == (1<<width) (TIFF's LZW — kernels/
 lzw.py — is the 'early change' variant that bumps one entry sooner;
 the two are deliberately separate kernels).
 
-Still consumers get frame 0; ``n_images`` counts image descriptors
-(a GIF89a animation's frame count). Transparency indices resolve to
-their palette color (the engine's raster planes have no alpha).
-Returns (3, h, w) uint16 with native 0-255 values.
+Still consumers get frame 0; ``count_images`` counts image
+descriptors (a GIF89a animation's frame count). Animation compositing
+follows player semantics: transparent pixels show the underlying
+canvas through, disposal methods restore background / the pre-frame
+canvas (see ``iter_frames``). Returns (3, h, w) uint16 with native
+0-255 values.
 """
 from __future__ import annotations
 
@@ -118,15 +120,12 @@ def _skip_sub_blocks(b: bytes, pos: int) -> int:
         pos += n
 
 
-def iter_frames(buf: bytes):
-    """Yield COMPOSITED frames — GIF89a player semantics, the same
-    idea as kernels/webpanim for animated WebP: each image descriptor
-    paints onto the persistent logical-screen canvas at (left, top),
-    the preceding Graphic Control Extension supplies the transparent
-    index (those pixels leave the canvas untouched) and the disposal
-    method applied AFTER the frame shows (1/0 keep, 2 restore
-    background in the frame rect, 3 restore the pre-frame canvas).
-    Every yield is an independent (3, h, w) uint16 copy."""
+def _composite(buf: bytes):
+    """Internal compositor: yields ``(frame_idx, canvas)`` where the
+    canvas is the LIVE (h, w, 3) uint8 buffer — valid only until the
+    next iteration step. Callers copy/convert the frames they keep,
+    so sampling a 1000-frame animation does not pay 1000 full-canvas
+    uint16 conversions."""
     b = bytes(buf)
     if len(b) < 13 or b[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF payload")
@@ -146,15 +145,18 @@ def iter_frames(buf: bytes):
     canvas[:] = bg_rgb
     transparent = None
     disposal = 0
+    fidx = 0
     while pos < len(b):
         blk = b[pos]
         pos += 1
         if blk == 0x3B:  # trailer
             break
         if blk == 0x21:  # extension
+            if pos >= len(b):
+                raise ValueError("GIF extension truncated")
             label = b[pos]
             pos += 1
-            if label == 0xF9 and pos < len(b) and b[pos] >= 4:
+            if label == 0xF9 and pos + 4 < len(b) and b[pos] >= 4:
                 # Graphic Control Extension: flags, delay, transparent idx
                 gflags = b[pos + 1]
                 disposal = (gflags >> 2) & 0x07
@@ -163,6 +165,8 @@ def iter_frames(buf: bytes):
             continue
         if blk != 0x2C:
             raise ValueError(f"unknown GIF block 0x{blk:02x}")
+        if pos + 10 > len(b):
+            raise ValueError("GIF image descriptor truncated")
         left, top, w, h, iflags = struct.unpack_from("<HHHHB", b, pos)
         pos += 9
         pal = gct
@@ -192,33 +196,64 @@ def iter_frames(buf: bytes):
                 rows[start:h:step] = np.arange(i, i + n_rows)
                 i += n_rows
             idx = idx[rows]
-        ch, cw = min(h, sh - top), min(w, sw - left)
+        # clamp to the on-screen overlap; a fully offscreen frame
+        # paints nothing but still shows (players skip the paint)
+        ch = max(0, min(h, sh - top))
+        cw = max(0, min(w, sw - left))
         clipped = idx[:ch, :cw]
         region = canvas[top:top + ch, left:left + cw]
         saved = region.copy() if disposal == 3 else None
-        safe = np.clip(clipped, 0, len(pal) - 1)
-        painted = pal[safe]
-        if transparent is not None:
-            keep = (clipped == transparent)[:, :, None]
-            painted = np.where(keep, region, painted)
-        canvas[top:top + ch, left:left + cw] = painted
-        yield np.ascontiguousarray(
-            canvas.transpose(2, 0, 1)).astype(np.uint16)
-        if disposal == 2:
+        if ch and cw:
+            safe = np.clip(clipped, 0, len(pal) - 1)
+            painted = pal[safe]
+            if transparent is not None:
+                keep = (clipped == transparent)[:, :, None]
+                painted = np.where(keep, region, painted)
+            canvas[top:top + ch, left:left + cw] = painted
+        yield fidx, canvas
+        fidx += 1
+        if disposal == 2 and ch and cw:
             canvas[top:top + ch, left:left + cw] = bg_rgb
-        elif disposal == 3 and saved is not None:
+        elif disposal == 3 and saved is not None and ch and cw:
             canvas[top:top + ch, left:left + cw] = saved
         transparent = None
         disposal = 0
+
+
+def _to_planes(canvas: np.ndarray) -> np.ndarray:
+    return np.ascontiguousarray(canvas.transpose(2, 0, 1)).astype(np.uint16)
+
+
+def iter_frames(buf: bytes):
+    """Yield every COMPOSITED frame — GIF89a player semantics, the
+    same idea as kernels/webpanim for animated WebP: each image
+    descriptor paints onto the persistent logical-screen canvas at
+    (left, top), the preceding Graphic Control Extension supplies the
+    transparent index (those pixels show the underlying canvas
+    through) and the disposal method applied AFTER the frame shows
+    (1/0 keep, 2 restore background in the frame rect, 3 restore the
+    pre-frame canvas). Every yield is an independent (3, h, w) uint16
+    copy."""
+    for _, canvas in _composite(buf):
+        yield _to_planes(canvas)
+
+
+def sample_frames(buf: bytes, every_k: int = 1):
+    """Yield ``(frame_idx, frame)`` for every ``every_k``-th frame.
+    All frames composite internally (they are deltas), but only the
+    sampled ones pay the uint16 plane conversion."""
+    for i, canvas in _composite(buf):
+        if i % every_k == 0:
+            yield i, _to_planes(canvas)
 
 
 def decode_gif(buf: bytes, frame: int = 0) -> np.ndarray:
     """Decode the ``frame``-th COMPOSITED frame (0 = what still
     consumers want) to (3, h, w) uint16 — earlier frames are decoded
     too because GIF animation frames are deltas over the canvas."""
-    for i, fr in enumerate(iter_frames(buf)):
+    for i, canvas in _composite(buf):
         if i == frame:
-            return fr
+            return _to_planes(canvas)
     raise ValueError(f"GIF has no image descriptor #{frame}")
 
 

@@ -194,14 +194,21 @@ def encode_video(frames: np.ndarray) -> bytes:
     return b"".join(parts)
 
 
-def frame_sample(videos: DataFrame, every_k: int = 5) -> DataFrame:
+def frame_sample(videos: DataFrame, every_k: int = 5,
+                 on_error: str = "raise") -> DataFrame:
     """Video table (video_id, bytes, fmt) -> every k-th frame as an
     image row.  Real container parsing for the engine format AND for
     animated WebP (kernels/webpanim: ANMF chain composited with
-    libwebp semantics, frames re-encoded as 4-band ARGB raw16 rows);
-    external containers (mp4 etc.) stub at _decode_any's level of the
-    deployment.
+    libwebp semantics, frames re-encoded as 4-band ARGB raw16 rows)
+    AND animated GIF (kernels/gif.sample_frames: GCE transparency +
+    disposal compositing); external containers (mp4 etc.) stub at
+    _decode_any's level of the deployment.
+
+    ``on_error="quarantine"`` (GIF path): a corrupt frame mid-animation
+    keeps the frames composited before it instead of failing the task.
     """
+    if on_error not in ("raise", "quarantine"):
+        raise ValueError(f"on_error {on_error!r} (raise|quarantine)")
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -227,15 +234,20 @@ def frame_sample(videos: DataFrame, every_k: int = 5) -> DataFrame:
 
                     # one compositing pass over the animation (frames
                     # are deltas, so every frame decodes regardless of
-                    # the sampling stride — same as the webpanim path)
-                    for j, fr in enumerate(gifk.iter_frames(buf)):
-                        if j % every_k:
-                            continue
-                        rows.append(dict(
-                            video_id=rec.video_id, frame_idx=j,
-                            bytes=codecs.encode_image(fr, codecs.FMT_RAW16),
-                            w=int(fr.shape[2]), h=int(fr.shape[1]),
-                            fmt=codecs.FMT_RAW16))
+                    # the sampling stride — same as the webpanim path);
+                    # only sampled frames pay the plane conversion
+                    try:
+                        for j, fr in gifk.sample_frames(buf, every_k):
+                            rows.append(dict(
+                                video_id=rec.video_id, frame_idx=j,
+                                bytes=codecs.encode_image(fr, codecs.FMT_RAW16),
+                                w=int(fr.shape[2]), h=int(fr.shape[1]),
+                                fmt=codecs.FMT_RAW16))
+                    except ValueError:
+                        if on_error == "raise":
+                            raise
+                        # quarantine: keep the frames composited before
+                        # the corruption, drop the unreachable tail
                     continue
                 n = int(np.frombuffer(buf, dtype="<u4", count=1)[0])
                 off = 4

@@ -69,7 +69,7 @@ def test_bmp_rejects():
         bmp.decode_bmp(bytes(bf))
     rle24 = bytearray(bmp.encode_bmp(a))
     struct.pack_into("<I", rle24, 30, 1)  # RLE8 flag on 24-bit data
-    with pytest.raises(ValueError, match="RLE8"):
+    with pytest.raises(ValueError, match="compression 1 at 24 bpp"):
         bmp.decode_bmp(bytes(rle24))
 
 
@@ -350,9 +350,6 @@ def test_bmp_rle8_decodes():
     # stream row 0 (bottom): run 4x idx1, literal [2, 0], EOL
     # stream row 1: run 2x idx2, delta (+2,0), run 2x idx1, EOL
     # stream row 2 (top): literal [0,1,2] (padded), run 3x idx0, EOB
-    rle = bytes([4, 1, 0, 3, 2, 0, 0, 0, 0,   # row0: run + literal(3? no) ...
-                 ])
-    # assemble precisely instead: counts/escapes listed explicitly
     rle = bytes([
         4, 1,          # 4 cells of palette 1
         0, 3, 2, 0, 0, 0,  # literal run of 3: [2,0,0] + pad
@@ -383,3 +380,62 @@ def test_bmp_rle8_decodes():
     for y, row in enumerate(want_rows):
         for x, pi in enumerate(row):
             assert got[:, y, x].tolist() == rgb[pi], (y, x)
+
+
+def test_gif_truncated_extension_and_offscreen_frame():
+    """Bounds review finds: a GIF ending mid-extension raises
+    ValueError (not IndexError); a frame positioned past the screen
+    paints nothing but still yields."""
+    pal = np.array([[0, 0, 0], [255, 0, 0]], dtype=np.uint8)
+    head = _anim([], 2, 2, pal)[:-1]  # header + GCT, no trailer
+    with pytest.raises(ValueError):
+        list(gif.iter_frames(head + b"\x21"))
+    with pytest.raises(ValueError):
+        list(gif.iter_frames(head + b"\x21\xf9\x04"))
+    with pytest.raises(ValueError):
+        list(gif.iter_frames(head + b"\x2c\x00\x00"))
+    # fully offscreen frame: top=5 on a 2x2 screen
+    off = _frame_block(0, 5, np.full((3, 2), 1), 2)
+    on = _frame_block(0, 0, np.full((2, 2), 1), 2)
+    buf = head + _gce(1) + off + _gce(1) + on + b"\x3b"
+    frames = list(gif.iter_frames(buf))
+    assert len(frames) == 2
+    assert (frames[0] == 0).all()          # nothing painted
+    assert (frames[1][0] == 255).all()     # second frame paints red
+
+
+def test_frame_sample_gif_quarantine_keeps_prefix(spark):
+    from irivermetrics_spark.operators import multimodal
+
+    pal = np.array([[0, 0, 0], [255, 0, 0]], dtype=np.uint8)
+    head = _anim([], 3, 3, pal)[:-1]
+    good = _frame_block(0, 0, np.full((3, 3), 1), 2)
+    # corrupt second frame: descriptor promises data, stream truncated
+    bad = bytearray(_frame_block(0, 0, np.full((3, 3), 1), 2))
+    corrupt = bytes(bad[:12])  # cut inside the LZW sub-blocks
+    buf = head + _gce(1) + good + _gce(1) + corrupt
+    df = spark.createDataFrame([("v", buf)], "video_id string, bytes binary")
+    out = multimodal.frame_sample(df, every_k=1, on_error="quarantine").toPandas()
+    assert out.frame_idx.tolist() == [0]  # prefix survives
+    with pytest.raises(Exception):
+        multimodal.frame_sample(df, every_k=1).toPandas()
+    with pytest.raises(ValueError):
+        multimodal.frame_sample(df, on_error="nope")
+
+
+def test_sample_frames_matches_iter_frames():
+    a = _rgb(5, 5, seed=20, colors=3)
+    b_ = _rgb(5, 5, seed=21, colors=3)
+    buf = bytearray(gif.encode_gif(a))
+    two = bytearray(gif.encode_gif(b_))
+    flags = two[10]
+    g = (2 << (flags & 0x07)) * 3
+    d2 = bytearray(two[13 + g:-1])
+    d2[9] = 0x80 | (flags & 0x07)
+    d2[10:10] = bytes(two[13:13 + g])
+    merged = bytes(buf[:-1]) + bytes(d2) * 3 + b"\x3b"  # 4 frames
+    allf = list(gif.iter_frames(merged))
+    sampled = list(gif.sample_frames(merged, every_k=2))
+    assert [i for i, _ in sampled] == [0, 2]
+    assert np.array_equal(sampled[0][1], allf[0])
+    assert np.array_equal(sampled[1][1], allf[2])
