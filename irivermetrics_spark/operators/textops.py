@@ -526,3 +526,50 @@ def remove_repeated_lines(docs: DataFrame, min_df: int = 2,
                     (n_lines - F.coalesce(F.col("__n_kept"), F.lit(0))).cast("int"))
         .withColumn(text_col, F.coalesce(F.col("__new_text"), F.lit("")))
         .drop("__new_text", "__n_kept"))
+
+
+def chunk_documents(docs: DataFrame, max_tokens: int, overlap: int = 0,
+                    id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Split long documents into token windows — the context-window
+    chunking every pretraining / RAG pipeline runs before packing or
+    embedding (documents longer than the model context become
+    ``max_tokens``-token chunks overlapping by ``overlap`` tokens so
+    no boundary context is lost).
+
+    Tokens are whitespace words (the same cheap stand-in
+    ``token_count`` uses — swap a real tokenizer at the split
+    expression). Output: one row per chunk with ``chunk_idx``,
+    ``chunk_text`` and ``chunk_tokens``; every input doc with at least
+    one token yields >= 1 chunk, empty/whitespace docs yield none
+    (posexplode drops them). The final window is the only one allowed
+    shorter than ``max_tokens``, and a trailing stub entirely covered
+    by the previous window is not emitted.
+
+    Pure JVM expressions end-to-end: split -> filter -> sequence of
+    window starts -> transform(slice + concat_ws) -> posexplode. The
+    only shuffle-free narrow op in the chunking family — Catalyst
+    pipelines it into the scan."""
+    if max_tokens < 1:
+        raise ValueError("max_tokens must be >= 1")
+    if not 0 <= overlap < max_tokens:
+        raise ValueError("overlap must satisfy 0 <= overlap < max_tokens")
+    step = max_tokens - overlap
+    words = F.filter(F.split(F.col(text_col), r"(?U)\s+", -1),
+                     lambda w: F.length(w) > 0)
+    n = F.size(words)
+    # last start = the largest multiple of step strictly below n —
+    # guarantees the tail window is non-empty and not fully contained
+    # in the previous one
+    last = (F.ceil(F.greatest(n - F.lit(max_tokens), F.lit(0)) /
+                   F.lit(step)) * step).cast("int")
+    starts = F.when(n > 0, F.sequence(F.lit(0), last, F.lit(step)))
+    chunks = F.transform(
+        starts,
+        lambda s: F.concat_ws(" ", F.slice(words, s + 1, max_tokens)))
+    out = docs.select(
+        F.col(id_col), *[c for c in docs.columns if c not in (id_col, text_col)],
+        F.posexplode(chunks).alias("chunk_idx", "chunk_text"))
+    return out.withColumn(
+        "chunk_tokens",
+        F.size(F.split(F.col("chunk_text"), " ", -1)).cast("int"))
