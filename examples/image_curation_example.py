@@ -19,15 +19,17 @@ import numpy as np  # noqa: E402
 from pyspark.sql import functions as F  # noqa: E402
 
 from irivermetrics_spark import codecs  # noqa: E402
-from irivermetrics_spark.kernels import jpeg, png  # noqa: E402
+from irivermetrics_spark.kernels import gif, jpeg, png, wav  # noqa: E402
 from irivermetrics_spark.operators import dedup, multimodal  # noqa: E402
 from irivermetrics_spark.session import get_spark  # noqa: E402
 
 
 def _make_batch():
     """A deterministic crawl batch: two artwork families re-encoded
-    across codecs (near-dups), a blurry/flat image, a letterboxed one,
-    a low-res thumbnail, a foreign gif, and a corrupt payload."""
+    across codecs (near-dups — including a real GIF since late r6), a
+    blurry/flat image, a letterboxed one, a low-res thumbnail, an
+    audio payload in the image column, a header-only gif and a corrupt
+    payload."""
     rng = np.random.default_rng(7)
     rows = []
 
@@ -43,6 +45,9 @@ def _make_batch():
         rows.append((f"f{fam}_jpeg", jpeg.encode_baseline(a, quality=95), "jpeg"))
         a16 = (a.astype(np.uint16) * 78)  # same artwork in the engine domain
         rows.append((f"f{fam}_raw16", codecs.encode_image(a16, "raw16"), "raw16"))
+    # the same artwork as a real GIF: its 8x8 blocks quantize losslessly
+    # into a <=256-color palette, so it lands in family 0's dup cluster
+    rows.append(("f0_gif", gif.encode_gif(art(0).astype(np.uint16)), "gif"))
 
     flat = np.full((3, 64, 96), 120, np.uint8)
     rows.append(("flat", png.encode_png(flat), "png"))
@@ -52,8 +57,13 @@ def _make_batch():
     rows.append(("letterboxed", png.encode_png(boxed), "png"))
     thumb = art(6, h=16, w=24)
     rows.append(("thumb", png.encode_png(thumb), "png"))
-    rows.append(("foreign", b"GIF89a" + (320).to_bytes(2, "little")
+    # decodable format, but header-only (no image descriptor): the
+    # frame gate diverts it (n_frames = 0)
+    rows.append(("gif_headeronly", b"GIF89a" + (320).to_bytes(2, "little")
                  + (200).to_bytes(2, "little") + bytes(10), "gif"))
+    # audio in the image column: sniffs as wav, not decodable as image
+    rows.append(("audio", wav.write_wav(
+        np.arange(500, dtype=np.int16), 8000), "wav"))
     rows.append(("corrupt", bytes(rng.integers(0, 256, 64, dtype=np.uint8)), "png"))
     return rows
 
@@ -88,7 +98,7 @@ def main() -> None:
     n2 = keepers.count()
 
     print(f"\ncrawl batch: {n0} -> probe-gated {n0 - n_diverted} "
-          f"(diverted {n_diverted}: foreign/corrupt-header/low-res) "
+          f"(diverted {n_diverted}: audio/header-only-gif/corrupt/low-res) "
           f"-> quality-kept {n1} -> near-dup keepers {n2}")
     print(q.select("image_id", F.round("sharpness", 4).alias("sharpness"),
                    F.round("entropy", 2).alias("entropy"),

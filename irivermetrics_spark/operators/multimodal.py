@@ -510,7 +510,8 @@ def with_image_quality(images: DataFrame, peak: float | None = None,
                 try:
                     row_peak = peak
                     if row_peak is None:
-                        row_peak = (255.0 if rec.fmt in ("jpeg", "png", "webp")
+                        row_peak = (255.0 if rec.fmt in ("jpeg", "png", "webp",
+                                                         "gif", "bmp")
                                     else float(codecs.REFLECTANCE_MAX))
                     row = dict(image_id=rec.image_id,
                                **image_quality_metrics(_decode_any(raw, rec.fmt), row_peak))

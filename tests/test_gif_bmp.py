@@ -439,3 +439,26 @@ def test_sample_frames_matches_iter_frames():
     assert [i for i, _ in sampled] == [0, 2]
     assert np.array_equal(sampled[0][1], allf[0])
     assert np.array_equal(sampled[1][1], allf[2])
+
+
+def test_image_quality_normalizes_gif_bmp_to_8bit_peak(spark):
+    """gif/bmp carry native 0-255 samples: the quality pass must use
+    the 8-bit peak, not the engine's 20000-DN reflectance peak (found
+    live: every signal of a gif row flattened to ~0)."""
+    from irivermetrics_spark.operators import multimodal
+
+    rng = np.random.default_rng(30)
+    base = rng.integers(0, 180, (8, 12)).astype(np.float64)
+    img = np.kron(base, np.ones((8, 8)))
+    a = np.stack([img, img, img]).clip(0, 255).astype(np.uint16)
+    from irivermetrics_spark.kernels import png as pngk
+    rows = [("g", gif.encode_gif(a), "gif"),
+            ("b", bmp.encode_bmp(a), "bmp"),
+            ("p", pngk.encode_png(a.astype(np.uint8)), "png")]
+    df = spark.createDataFrame(rows, "image_id string, bytes binary, fmt string")
+    q = (multimodal.with_image_quality(df).toPandas()
+         .set_index("image_id"))
+    for fid in ("g", "b"):
+        assert q.loc[fid].entropy == pytest.approx(q.loc["p"].entropy, rel=1e-6)
+        assert q.loc[fid].sharpness == pytest.approx(q.loc["p"].sharpness, rel=1e-6)
+        assert q.loc[fid].entropy > 1.0
