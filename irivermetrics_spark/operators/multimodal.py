@@ -4,13 +4,15 @@ feature-extract over opaque ``binary`` payloads.
 Images, audio and video are carried as BinaryType columns with typed
 metadata; all processing is batched Arrow ``mapInPandas`` — the Spark
 plumbing (schemas, partitioning, batch shapes) is real and tested.
-Every IMAGE format decodes for real with zero external libraries: the
+Every format decodes for real with zero external libraries: the
 engine's own raster formats (codecs.py), JPEG (kernels/jpeg.py), PNG
-(kernels/png.py) and WebP — lossless VP8L (kernels/webp.py) and lossy
-VP8 keyframes with alpha (kernels/vp8.py) — are all
-from-scratch codecs; audio/video payloads use the engine raster
-container (concatenated frames), and the single swap-in point for any
-further external codec is ``_decode_any``.
+(kernels/png.py), WebP — lossless VP8L (kernels/webp.py), lossy VP8
+keyframes with alpha (kernels/vp8.py), animated (kernels/webpanim.py)
+— GIF incl. composited animations (kernels/gif.py), BMP incl. RLE8
+(kernels/bmp.py) and WAV audio (kernels/wav.py) are all from-scratch
+codecs; video payloads use the engine raster container (concatenated
+frames), and the single swap-in point for any further external codec
+(mp4 etc.) is ``_decode_any``.
 
 - resize: real nearest-neighbor + block-mean downsample (pure numpy)
 - frame_sample: video = concatenated raster frames; every k-th frame
