@@ -163,3 +163,32 @@ def to_float(samples: np.ndarray, bits: int) -> np.ndarray:
     if bits == 8:
         return (a.astype(np.float64) - 128.0) / 128.0
     return a.astype(np.float64) / float(1 << (bits - 1))
+
+
+def resample(samples: np.ndarray, rate_in: int, rate_out: int) -> np.ndarray:
+    """Linear-interpolation resampling, per channel — the cheap
+    deterministic rate normalization run before batch feature
+    extraction (a real deployment swaps in a windowed-sinc kernel at
+    this seam). Output length = round(n * rate_out / rate_in);
+    endpoints map exactly (first sample preserved). Integer inputs
+    round back to their native dtype."""
+    a = np.asarray(samples)
+    if a.ndim == 1:
+        a = a[:, None]
+    if rate_in < 1 or rate_out < 1:
+        raise ValueError("rates must be >= 1")
+    n, ch = a.shape
+    if n == 0 or rate_in == rate_out:
+        return a.copy()
+    m = max(1, int(round(n * rate_out / rate_in)))
+    # sample positions in input time: preserve t=0, spacing rate_in/rate_out
+    pos = np.arange(m) * (rate_in / rate_out)
+    pos = np.clip(pos, 0, n - 1)
+    lo = np.floor(pos).astype(np.int64)
+    hi = np.minimum(lo + 1, n - 1)
+    frac = (pos - lo)[:, None]
+    x = a.astype(np.float64)
+    out = x[lo] * (1.0 - frac) + x[hi] * frac
+    if a.dtype.kind in "iu":
+        return np.round(out).astype(a.dtype)
+    return out.astype(a.dtype)

@@ -1,0 +1,51 @@
+"""Per-row payload decompression (textops.decompress_payloads):
+gzip/zlib/raw sniffing, zip-bomb guard, dead-letter diversion."""
+import gzip
+import zlib
+
+import pandas as pd
+import pytest
+
+from irivermetrics_spark.operators import textops
+
+
+def test_mixed_batch_decompresses(spark):
+    body = "the quick brown fox " * 50
+    rows = [
+        ("g", gzip.compress(body.encode())),
+        ("z", zlib.compress(body.encode())),
+        ("r", body.encode()),
+        ("bad_utf8", b"\xff\xfe\x00raw bytes that are not text"),
+        ("corrupt_gz", b"\x1f\x8b" + b"\x00" * 20),
+        ("null", None),
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "payload"]))
+    out = {r.doc_id: r for r in textops.decompress_payloads(df).collect()}
+    assert out["g"].text == body and out["g"].compression == "gzip"
+    assert out["z"].text == body and out["z"].compression == "zlib"
+    assert out["r"].text == body and out["r"].compression == "none"
+    assert out["g"].decomp_error is None
+    for bad in ("bad_utf8", "corrupt_gz", "null"):
+        assert out[bad].text is None and out[bad].decomp_error is not None
+    assert "payload" not in out["g"].asDict()
+
+
+def test_zip_bomb_guard(spark):
+    bomb = gzip.compress(b"\x00" * 10_000_000)  # ~10k-fold expansion
+    df = spark.createDataFrame(
+        pd.DataFrame([("b", bomb)], columns=["doc_id", "payload"]))
+    out = textops.decompress_payloads(df, max_ratio=100).collect()[0]
+    assert out.text is None
+    assert "bomb guard" in out.decomp_error
+    # generous ratio: decompresses fine
+    ok = textops.decompress_payloads(df, max_ratio=10_000).collect()[0]
+    assert ok.text == "\x00" * 10_000_000 and ok.decomp_error is None
+
+
+def test_zlib_header_check_rejects_lookalikes(spark):
+    # 0x78 first byte but an invalid fletcher check: treated as raw text
+    fake = b"x1 this is plain ascii starting with x"
+    df = spark.createDataFrame(
+        pd.DataFrame([("f", fake)], columns=["doc_id", "payload"]))
+    out = textops.decompress_payloads(df).collect()[0]
+    assert out.compression == "none" and out.text.startswith("x1 ")

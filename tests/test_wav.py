@@ -278,3 +278,47 @@ def test_zero_size_data_chunk_reads_to_eof():
 def test_write_rejects_zero_channels():
     with pytest.raises(ValueError, match="channel"):
         wav.write_wav(np.zeros((100, 0), dtype=np.int16), 8000)
+
+
+def test_resample_identity_and_endpoints():
+    a = np.arange(100, dtype=np.int16)
+    same = wav.resample(a, 8000, 8000)
+    assert np.array_equal(same[:, 0], a)
+    up = wav.resample(a, 8000, 16000)
+    assert up.shape[0] == 200 and up[0, 0] == a[0]
+    # linear ramp resamples to a linear ramp (interp is exact on lines;
+    # float input — int16 output rounds the half steps)
+    upf = wav.resample(a.astype(np.float64), 8000, 16000)
+    assert np.allclose(np.diff(upf[:, 0])[:-1], 0.5)
+    down = wav.resample(a, 8000, 4000)
+    assert down.shape[0] == 50
+    assert np.array_equal(down[:, 0], a[::2])
+
+
+def test_resample_preserves_tone_frequency():
+    rate_in, rate_out, f0 = 16000, 44100, 440
+    t = np.arange(16000) / rate_in
+    x = (10000 * np.sin(2 * np.pi * f0 * t)).astype(np.int16)
+    y = wav.resample(x, rate_in, rate_out)[:, 0].astype(np.float64)
+    spec = np.abs(np.fft.rfft(y))
+    freqs = np.fft.rfftfreq(y.size, d=1.0 / rate_out)
+    assert abs(freqs[int(np.argmax(spec))] - f0) < 2.0
+    with pytest.raises(ValueError):
+        wav.resample(x, 0, 8000)
+
+
+def test_resample_through_wav_roundtrip_and_features(spark):
+    """Resampled clip re-encoded as WAV reports the new rate and the
+    same duration/tone through audio_features."""
+    from irivermetrics_spark.operators import multimodal
+
+    rate0, f0 = 8000, 200
+    t = np.arange(8000) / rate0
+    x = (20000 * np.sin(2 * np.pi * f0 * t)).astype(np.int16)
+    y = wav.resample(x, rate0, 16000)
+    buf = wav.write_wav(y, 16000)
+    df = spark.createDataFrame(pd.DataFrame([dict(audio_id="r", bytes=buf)]))
+    out = multimodal.audio_features(df).toPandas().iloc[0]
+    assert out.sample_rate == 16000
+    assert out.duration_s == pytest.approx(1.0, rel=1e-3)
+    assert out.spectral_centroid_hz == pytest.approx(f0, rel=0.05)
