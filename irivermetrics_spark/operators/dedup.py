@@ -395,14 +395,37 @@ def cluster_duplicates(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
 
 
 def keep_canonical(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
-                   edge_limit: int = 1_000_000) -> DataFrame:
-    """Drop every duplicate except the min-id doc of each cluster — the
+                   edge_limit: int = 1_000_000, rank_col: str | None = None,
+                   descending: bool = True) -> DataFrame:
+    """Drop every duplicate except one keeper per cluster — the
     keeper-selection step after any candidate generator (exact groupBy,
-    MinHash-LSH, SimHash). Docs in no pair pass through untouched."""
+    MinHash-LSH, SimHash). Docs in no pair pass through untouched.
+
+    Default keeper = the min-id member (deterministic, no extra data).
+    ``rank_col`` selects the BEST member instead — e.g.
+    ``rank_col="quality_prob"`` keeps the highest-quality duplicate,
+    the policy real curation pipelines use (an arbitrary keeper throws
+    away the one well-OCR'd copy of a page). Ties (and NULL ranks,
+    which sort last) break to the min id, so the choice stays
+    deterministic. Cost: one extra shuffle over the clustered docs
+    only — non-duplicates never enter the window."""
     clusters = cluster_duplicates(pairs, edge_limit=edge_limit)
-    losers = clusters.filter(F.col("id") != F.col("cluster")).select(
-        F.col("id").alias(id_col)
-    )
+    if rank_col is None:
+        losers = clusters.filter(F.col("id") != F.col("cluster")).select(
+            F.col("id").alias(id_col)
+        )
+    else:
+        from pyspark.sql import Window
+
+        ranked = clusters.join(
+            docs.select(F.col(id_col).alias("id"),
+                        F.col(rank_col).alias("__rank")), "id")
+        order = (F.col("__rank").desc_nulls_last() if descending
+                 else F.col("__rank").asc_nulls_last())
+        w = Window.partitionBy("cluster").orderBy(order, F.col("id").asc())
+        losers = (ranked.withColumn("__rn", F.row_number().over(w))
+                  .where(F.col("__rn") > 1)
+                  .select(F.col("id").alias(id_col)))
     return docs.join(losers, id_col, "left_anti")
 
 

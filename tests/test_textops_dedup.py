@@ -264,3 +264,29 @@ def test_langid_argmax_markers_and_ties(spark):
     got = {r.doc_id: r.lang for r in df.select(
         "doc_id", textops.langid_argmax(F.col("text")).alias("lang")).collect()}
     assert got == {"d_en": "en", "d_de": "de", "d_fr": "fr", "d_tie": "de"}
+
+
+def test_keep_canonical_rank_col_keeps_best(spark):
+    """rank_col keeper policy: the highest-quality member of each
+    duplicate cluster survives (ties and NULL ranks lose to min id);
+    non-duplicates pass through; default min-id path unchanged."""
+    import pandas as pd
+
+    from irivermetrics_spark.operators import dedup
+
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": ["a", "b", "c", "d", "e", "f"],
+        "quality": pd.array([0.2, 0.9, 0.9, None, 0.5, 0.1], dtype="Float64"),
+    }))
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("d", "e")], "id_a string, id_b string")
+    best = {r.doc_id for r in dedup.keep_canonical(
+        docs, pairs, rank_col="quality").collect()}
+    # cluster {a,b,c}: b and c tie at 0.9 -> min id b; cluster {d,e}:
+    # d has NULL quality -> e wins; f untouched
+    assert best == {"b", "e", "f"}
+    worst = {r.doc_id for r in dedup.keep_canonical(
+        docs, pairs, rank_col="quality", descending=False).collect()}
+    assert worst == {"a", "e", "f"}  # e still beats NULL-ranked d
+    minid = {r.doc_id for r in dedup.keep_canonical(docs, pairs).collect()}
+    assert minid == {"a", "d", "f"}
