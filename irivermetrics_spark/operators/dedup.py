@@ -416,10 +416,16 @@ def keep_canonical(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
         )
     else:
         from pyspark.sql import Window
+        from pyspark.sql.types import DoubleType, FloatType
 
+        rank = F.col(rank_col)
+        if isinstance(docs.schema[rank_col].dataType, (DoubleType, FloatType)):
+            # Spark orders NaN ABOVE every double: under descending a
+            # NaN-quality member would beat every real score — fold
+            # NaN into NULL so it sorts last like missing ranks do
+            rank = F.nanvl(rank, F.lit(None).cast("double"))
         ranked = clusters.join(
-            docs.select(F.col(id_col).alias("id"),
-                        F.col(rank_col).alias("__rank")), "id")
+            docs.select(F.col(id_col).alias("id"), rank.alias("__rank")), "id")
         order = (F.col("__rank").desc_nulls_last() if descending
                  else F.col("__rank").asc_nulls_last())
         w = Window.partitionBy("cluster").orderBy(order, F.col("id").asc())

@@ -537,9 +537,10 @@ def chunk_documents(docs: DataFrame, max_tokens: int, overlap: int = 0,
     ``max_tokens``-token chunks overlapping by ``overlap`` tokens so
     no boundary context is lost).
 
-    Tokens are whitespace words (the same cheap stand-in
-    ``token_count`` uses — swap a real tokenizer at the split
-    expression). Output: one row per chunk with ``chunk_idx``,
+    Tokens are Unicode-whitespace words (the same ``(?U)\s+`` split
+    the repetition signals use — NOT ``token_count``'s single-space
+    split, which keeps empty segments; swap a real tokenizer at the
+    split expression). Output: one row per chunk with ``chunk_idx``,
     ``chunk_text`` and ``chunk_tokens``; every input doc with at least
     one token yields >= 1 chunk, empty/whitespace docs yield none
     (posexplode drops them). The final window is the only one allowed
@@ -569,10 +570,16 @@ def chunk_documents(docs: DataFrame, max_tokens: int, overlap: int = 0,
         lambda s: F.concat_ws(" ", F.slice(words, s + 1, max_tokens)))
     out = docs.select(
         F.col(id_col), *[c for c in docs.columns if c not in (id_col, text_col)],
+        n.alias("__nw"),
         F.posexplode(chunks).alias("chunk_idx", "chunk_text"))
-    return out.withColumn(
+    # arithmetic, not a re-split: window i holds tokens [i*step,
+    # i*step + max_tokens) clipped to n — re-scanning every chunk
+    # string would double the per-row work
+    return (out.withColumn(
         "chunk_tokens",
-        F.size(F.split(F.col("chunk_text"), " ", -1)).cast("int"))
+        F.least(F.lit(max_tokens),
+                F.col("__nw") - F.col("chunk_idx") * step).cast("int"))
+        .drop("__nw"))
 
 
 DECOMPRESS_SCHEMA_TAIL = ", text string, compression string, decomp_error string"
@@ -597,6 +604,37 @@ def decompress_payloads(docs: DataFrame, bytes_col: str = "payload",
     only; no external codecs."""
     import zlib
 
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    clash = {"text", "compression", "decomp_error"} & {
+        f.name for f in docs.schema.fields if f.name != bytes_col}
+    if clash:
+        raise ValueError(
+            f"docs already carries output column(s) {sorted(clash)}; "
+            "rename them before decompress_payloads")
+
+    def _inflate(raw: bytes, wbits: int, cap: int, multi: bool) -> bytes:
+        """Full-stream inflate with eof/CRC verification, the bomb cap,
+        and (gzip) concatenated-member support — WARC bodies routinely
+        carry several members back-to-back."""
+        parts, buf = [], raw
+        total = 0
+        while True:
+            d = zlib.decompressobj(wbits=wbits)
+            chunk = d.decompress(buf, cap - total + 1)
+            total += len(chunk)
+            if total > cap or d.unconsumed_tail:
+                raise ValueError(f"decompressed past the {cap}-byte bomb guard")
+            if not d.eof:
+                # stdlib verifies the gzip CRC only at end-of-stream;
+                # partial output here means a truncated crawl body
+                raise ValueError("truncated or incomplete compressed stream")
+            parts.append(chunk)
+            buf = d.unused_data
+            if not multi or not buf.strip(b"\x00"):
+                break
+        return b"".join(parts)
+
     def kernel(batches):
         for pdf in batches:
             texts, comps, errs = [], [], []
@@ -609,21 +647,21 @@ def decompress_payloads(docs: DataFrame, bytes_col: str = "payload",
                     cap = min(int(max_ratio) * max(len(raw), 1), int(max_bytes))
                     if raw[:2] == b"\x1f\x8b":
                         comp = "gzip"
-                        d = zlib.decompressobj(wbits=31)
-                    elif raw[:1] == b"\x78" and len(raw) >= 2 and \
-                            ((raw[0] << 8) | raw[1]) % 31 == 0:
-                        comp = "zlib"
-                        d = zlib.decompressobj(wbits=15)
+                        data = _inflate(raw, 31, cap, multi=True)
+                    elif (len(raw) >= 2 and (raw[0] & 0x0F) == 8
+                          and ((raw[0] << 8) | raw[1]) % 31 == 0):
+                        # deflate CM + fletcher check: plain text can
+                        # collide (e.g. "x " passes) — fall back to raw
+                        # below rather than dead-lettering good rows
+                        try:
+                            data = _inflate(raw, 15, cap, multi=False)
+                            comp = "zlib"
+                        except Exception:
+                            comp = "none"
+                            data = raw
                     else:
                         comp = "none"
-                        d = None
-                    if d is None:
                         data = raw
-                    else:
-                        data = d.decompress(raw, cap)
-                        if d.unconsumed_tail:
-                            raise ValueError(
-                                f"decompressed past the {cap}-byte bomb guard")
                     text = data.decode(encoding)
                 except Exception as e:  # divert, never fail the task
                     text, err = None, f"{type(e).__name__}: {e}"
@@ -636,8 +674,8 @@ def decompress_payloads(docs: DataFrame, bytes_col: str = "payload",
             out["decomp_error"] = pd.array(errs, dtype="string")
             yield out
 
-    keep = [f.name for f in docs.schema.fields if f.name != bytes_col]
-    schema = ", ".join(
-        f"{f.name} {f.dataType.simpleString()}"
-        for f in docs.schema.fields if f.name != bytes_col) + DECOMPRESS_SCHEMA_TAIL
-    return docs.select(*keep, bytes_col).mapInPandas(kernel, schema)
+    keep = [f for f in docs.schema.fields if f.name != bytes_col]
+    schema = StructType(keep + [StructField("text", StringType()),
+                                StructField("compression", StringType()),
+                                StructField("decomp_error", StringType())])
+    return docs.select(*[f.name for f in keep], bytes_col).mapInPandas(kernel, schema)

@@ -49,3 +49,42 @@ def test_zlib_header_check_rejects_lookalikes(spark):
         pd.DataFrame([("f", fake)], columns=["doc_id", "payload"]))
     out = textops.decompress_payloads(df).collect()[0]
     assert out.compression == "none" and out.text.startswith("x1 ")
+
+
+def test_truncated_and_multimember_gzip(spark):
+    """Review finds: a truncated gzip body must dead-letter (stdlib
+    returns partial output silently) and concatenated members — the
+    WARC norm — must ALL decode."""
+    body = "the quick brown fox jumps " * 40
+    full = gzip.compress(body.encode())
+    rows = [
+        ("trunc", full[:len(full) // 2]),
+        ("multi", gzip.compress(b"first member. ") + gzip.compress(b"second member.")),
+        ("padded", gzip.compress(b"padded member") + b"\x00" * 8),
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "payload"]))
+    out = {r.doc_id: r for r in textops.decompress_payloads(df).collect()}
+    assert out["trunc"].text is None and "truncated" in out["trunc"].decomp_error
+    assert out["multi"].text == "first member. second member."
+    assert out["padded"].text == "padded member"
+
+
+def test_zlib_lookalike_text_falls_back_to_raw(spark):
+    """'x ' passes the fletcher check ((0x78<<8|0x20) % 31 == 0): the
+    kernel must fall back to raw text instead of dead-lettering."""
+    assert ((0x78 << 8) | 0x20) % 31 == 0
+    rows = [("xspace", b"x = 5 is plain source code"),
+            ("realz", zlib.compress(b"actual zlib data here"))]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "payload"]))
+    out = {r.doc_id: r for r in textops.decompress_payloads(df).collect()}
+    assert out["xspace"].compression == "none"
+    assert out["xspace"].text.startswith("x = 5")
+    assert out["realz"].compression == "zlib"
+    assert out["realz"].text == "actual zlib data here"
+
+
+def test_output_column_collision_raises(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame([("a", b"x", "already")], columns=["doc_id", "payload", "text"]))
+    with pytest.raises(ValueError, match="output column"):
+        textops.decompress_payloads(df)

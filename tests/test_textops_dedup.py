@@ -290,3 +290,21 @@ def test_keep_canonical_rank_col_keeps_best(spark):
     assert worst == {"a", "e", "f"}  # e still beats NULL-ranked d
     minid = {r.doc_id for r in dedup.keep_canonical(docs, pairs).collect()}
     assert minid == {"a", "d", "f"}
+
+
+def test_keep_canonical_nan_rank_loses(spark):
+    """NaN ranks sort ABOVE every double in Spark: fold to NULL so a
+    NaN-quality member never beats a real score (review find)."""
+    import numpy as np
+    import pandas as pd
+
+    from irivermetrics_spark.operators import dedup
+
+    docs = spark.createDataFrame(pd.DataFrame({
+        "doc_id": ["a", "b"],
+        "quality": [np.nan, 0.4],
+    }))
+    pairs = spark.createDataFrame([("a", "b")], "id_a string, id_b string")
+    kept = {r.doc_id for r in dedup.keep_canonical(
+        docs, pairs, rank_col="quality").collect()}
+    assert kept == {"b"}
