@@ -89,7 +89,9 @@ def main() -> None:
     # 3. MinHash-LSH near-dup clusters -> one keeper per cluster
     cand = dedup.lsh_candidates(kept, "doc_id", "text")
     pairs = dedup.exact_jaccard_pairs(kept, cand).filter(F.col("jaccard") >= 0.8)
-    keepers = dedup.keep_canonical(kept, pairs, "doc_id")
+    # keeper = the highest-quality member of each cluster (not an
+    # arbitrary min-id): the well-formed copy of a page survives
+    keepers = dedup.keep_canonical(kept, pairs, "doc_id", rank_col="quality")
     n3 = keepers.count()
 
     # 4. ANN retrieval over the embedding table for a sample of keepers
