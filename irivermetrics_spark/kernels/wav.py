@@ -192,3 +192,41 @@ def resample(samples: np.ndarray, rate_in: int, rate_out: int) -> np.ndarray:
     if a.dtype.kind in "iu":
         return np.round(out).astype(a.dtype)
     return out.astype(a.dtype)
+
+
+def probe_wav_info(buf: bytes) -> dict:
+    """Header-only WAV metadata — rate / channels / bits / frame count
+    / duration without touching the sample data (the audio analog of
+    codecs.probe_image_info: inventory and duration filters run
+    scan-bound BEFORE any decode). Never raises; unknown or corrupt
+    payloads return fmt_detail-only rows with null fields."""
+    out = dict(fmt_detail="unknown", sample_rate=None, channels=None,
+               bits=None, n_frames=None, duration_s=None)
+    try:
+        b = bytes(buf) if buf is not None else b""
+        if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+            return out
+        out["fmt_detail"] = "wav"
+        pos, end = 12, len(b)
+        ch = rate = wbits = None
+        data_len = None
+        while pos + 8 <= end:
+            cid = b[pos:pos + 4]
+            (size,) = struct.unpack_from("<I", b, pos + 4)
+            if cid == b"fmt " and pos + 8 + 16 <= end:
+                _t, ch, rate, _br, _ba, wbits = struct.unpack_from(
+                    "<HHIIHH", b, pos + 8)
+            elif cid == b"data":
+                avail = end - (pos + 8)
+                data_len = avail if size == 0 else min(size, avail)
+                break  # header fields precede data in practice
+            pos += 8 + size + (size & 1)
+        if ch and rate and wbits and wbits % 8 == 0 and data_len is not None:
+            frame = (wbits // 8) * ch
+            n = data_len // frame
+            out.update(sample_rate=int(rate), channels=int(ch),
+                       bits=int(wbits), n_frames=int(n),
+                       duration_s=float(n / rate))
+    except Exception:
+        pass
+    return out

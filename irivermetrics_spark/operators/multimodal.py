@@ -656,3 +656,27 @@ def audio_features(audio: DataFrame, raw_rate: int = 16_000,
 
     return audio.select("audio_id", "bytes").mapInPandas(
         kernel, AUDIO_FEATURES_SCHEMA)
+
+
+AUDIO_INFO_SCHEMA = ("fmt_detail string, sample_rate int, channels int, "
+                     "bits int, n_frames bigint, duration_s double")
+
+
+def with_audio_info(audio: DataFrame, bytes_col: str = "bytes") -> DataFrame:
+    """Header-only audio metadata columns (rate/channels/bits/frames/
+    duration) via kernels.wav.probe_wav_info — the duration/rate
+    inventory an audio table filters on BEFORE paying feature-extract
+    cost (e.g. ``duration_s BETWEEN 1 AND 30``). Scan-bound: tens of
+    header bytes per row, never the payload; corrupt headers yield
+    null fields, never task failures."""
+    from ..kernels import wav as wavk
+
+    @F.pandas_udf(f"struct<{AUDIO_INFO_SCHEMA}>")
+    def probe(bufs: pd.Series) -> pd.DataFrame:
+        return pd.DataFrame([wavk.probe_wav_info(b) for b in bufs])
+
+    out = audio.withColumn("_ainfo", probe(bytes_col))
+    for field in ("fmt_detail", "sample_rate", "channels", "bits",
+                  "n_frames", "duration_s"):
+        out = out.withColumn(field, F.col("_ainfo")[field])
+    return out.drop("_ainfo")

@@ -322,3 +322,27 @@ def test_resample_through_wav_roundtrip_and_features(spark):
     assert out.sample_rate == 16000
     assert out.duration_s == pytest.approx(1.0, rel=1e-3)
     assert out.spectral_centroid_hz == pytest.approx(f0, rel=0.05)
+
+
+def test_probe_wav_info_and_operator(spark):
+    from irivermetrics_spark.operators import multimodal
+
+    stereo = wav.write_wav(np.zeros((8000, 2), dtype=np.int16), 16000)
+    i24 = wav.write_wav(np.zeros((100, 1), dtype=np.int32), 8000, bits=24)
+    info = wav.probe_wav_info(stereo)
+    assert info == dict(fmt_detail="wav", sample_rate=16000, channels=2,
+                        bits=16, n_frames=8000, duration_s=0.5)
+    assert wav.probe_wav_info(i24)["bits"] == 24
+    assert wav.probe_wav_info(b"garbage")["fmt_detail"] == "unknown"
+    assert wav.probe_wav_info(None)["sample_rate"] is None
+    # truncated data chunk: frame count reflects what's actually there
+    cut = wav.probe_wav_info(stereo[:len(stereo) // 2])
+    assert cut["n_frames"] < 8000
+    df = spark.createDataFrame(pd.DataFrame([
+        dict(audio_id="s", bytes=stereo),
+        dict(audio_id="junk", bytes=b"not audio"),
+    ]))
+    out = multimodal.with_audio_info(df).toPandas().set_index("audio_id")
+    assert out.loc["s"].duration_s == pytest.approx(0.5)
+    assert out.loc["junk"].fmt_detail == "unknown"
+    assert pd.isna(out.loc["junk"].n_frames)
