@@ -462,3 +462,26 @@ def test_image_quality_normalizes_gif_bmp_to_8bit_peak(spark):
         assert q.loc[fid].entropy == pytest.approx(q.loc["p"].entropy, rel=1e-6)
         assert q.loc[fid].sharpness == pytest.approx(q.loc["p"].sharpness, rel=1e-6)
         assert q.loc[fid].entropy > 1.0
+
+
+@settings(max_examples=25, deadline=None)
+@given(h=st.integers(1, 32), w=st.integers(1, 32), seed=st.integers(0, 2**31 - 1))
+def test_bmp_property_roundtrip(h, w, seed):
+    rng = np.random.default_rng(seed)
+    a = rng.integers(0, 256, (3, h, w)).astype(np.uint16)
+    got = bmp.decode_bmp(bmp.encode_bmp(a))
+    assert np.array_equal(got, a)
+
+
+def test_probe_wav_info_never_raises_fuzz():
+    from irivermetrics_spark.kernels import wav as wavk
+
+    rng = np.random.default_rng(77)
+    import time
+    t0 = time.time()
+    for _ in range(300):
+        n = int(rng.integers(0, 200))
+        buf = b"RIFF" + bytes(rng.integers(0, 256, n, dtype=np.uint8))
+        info = wavk.probe_wav_info(buf)
+        assert "fmt_detail" in info
+    assert time.time() - t0 < 10.0
