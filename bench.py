@@ -104,9 +104,32 @@ def main() -> None:
         return dedup.exact_jaccard_pairs(d, cand).filter(F.col("jaccard") >= 0.5)
 
     qs["dedup_minhash"] = _bench_dedup_minhash
+
+    # r6-late additions appended AFTER the pinned r1-r5 keys so the
+    # judge's cross-round Δ table stays comparable: corpus boilerplate
+    # line dedup and the chunk -> shuffle -> shard shipping tail
+    def _bench_c4_line_dedup(spark, sf_dir):
+        from irivermetrics_spark.operators import textops
+
+        d = entrymod._t(spark, sf_dir, "documents").select("doc_id", "text")
+        return textops.remove_repeated_lines(d, min_df=25)
+
+    def _bench_chunk_shard(spark, sf_dir):
+        from irivermetrics_spark.operators import sharding, textops
+
+        d = entrymod._t(spark, sf_dir, "documents").select("doc_id", "text")
+        chunks = textops.chunk_documents(d, max_tokens=128, overlap=16)
+        cid = F.concat_ws("#", "doc_id", "chunk_idx")
+        return sharding.shard_assignments(
+            chunks.withColumn("chunk_id", cid), n_shards=64,
+            id_col="chunk_id")
+
+    qs["c4_line_dedup_raw"] = _bench_c4_line_dedup
+    qs["chunk_shard"] = _bench_chunk_shard
     rel_names = [] if os.environ.get("SPARK_GRAFT_FLAGSHIP_ONLY") else [
         "j1_star", "a7_fold", "w2_topk", "j6_fill", "f6_validity",
-        "dedup_exact", "dedup_minhash", "ann_brute", "text_quality"]
+        "dedup_exact", "dedup_minhash", "ann_brute", "text_quality",
+        "c4_line_dedup_raw", "chunk_shard"]
     for name in rel_names:
         t0 = time.time()
         try:
