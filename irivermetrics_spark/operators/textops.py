@@ -349,7 +349,9 @@ def with_perplexity(docs: DataFrame, model: DataFrame, oov_logp: float,
 
 
 def cap_per_key(docs: DataFrame, key_col: str = "source", cap: int = 100,
-                id_col: str = "doc_id", seed: int = 0) -> DataFrame:
+                id_col: str = "doc_id", seed: int = 0,
+                auto_thin: bool = True, hot_factor: int = 50,
+                thin_safety: float = 8.0) -> DataFrame:
     """Corpus balancing: keep at most ``cap`` documents per key (the
     per-domain cap of web-curation pipelines — one hot domain must not
     dominate the training mix). Deterministic: rows rank by
@@ -357,17 +359,61 @@ def cap_per_key(docs: DataFrame, key_col: str = "source", cap: int = 100,
     partitionings keep the SAME winners (ties broken by id).
 
     Exact-cap needs a per-key global order — one shuffle on the key
-    (window row_number). A 10^8-row hot key serializes on one task, so
-    at crawl scale pre-thin such keys first with the approximate
-    hash-threshold pass (``rate_per_key``) down to O(cap) candidates,
-    then run this exact pass; both stages stay deterministic.
+    (window row_number), and a 10^8-row hot key would serialize on one
+    window task. With ``auto_thin`` (default) the operator gates
+    itself: one map-side-combinable ``groupBy(key).count()`` finds keys
+    with ``n > hot_factor * cap`` (that hot dim is bounded by
+    ``total_rows / (hot_factor*cap)`` keys, so it always broadcasts),
+    and rows of hot keys are pre-filtered to the ones whose rank hash
+    falls below a per-key threshold sized for ``thin_safety * cap``
+    expected survivors. The thin condition uses the SAME hash the
+    window orders by, so the ``cap`` smallest rank values always
+    survive whenever at least ``cap`` rows do — winners are IDENTICAL
+    to the unthinned result, not approximately so. A per-partition
+    survivor count guards the (astronomically unlikely, ~e^-cap) hash
+    fluctuation where a hot key keeps fewer than ``cap`` rows and
+    raises instead of silently dropping winners; seeds are fixed, so a
+    run that passes once passes always.
     """
     from pyspark.sql import Window
 
     rank_key = F.xxhash64(F.col(id_col).cast("string"), F.lit(seed))
+    frame = docs
+    hot_join = False
+    if auto_thin:
+        hot_threshold = int(hot_factor) * int(cap)
+        hot = (docs.groupBy(key_col)
+               .agg(F.count(F.lit(1)).alias("__key_n"))
+               .where(F.col("__key_n") > hot_threshold))
+        # per-key keep fraction -> threshold in xxhash64's signed
+        # 64-bit space (double rounding here only nudges the expected
+        # survivor count by ~1 ulp — thin_safety dwarfs it)
+        frac = F.least(F.lit(1.0),
+                       F.lit(float(thin_safety) * cap) / F.col("__key_n"))
+        thr = (F.lit(-9.223372036854776e18) +
+               frac * F.lit(1.8446744073709552e19)).cast("bigint")
+        hot = hot.withColumn("__thr", thr)
+        frame = (docs.join(F.broadcast(hot), on=key_col, how="left")
+                 .where(F.col("__thr").isNull() | (rank_key < F.col("__thr"))))
+        hot_join = True
     w = Window.partitionBy(key_col).orderBy(rank_key.asc(), F.col(id_col).asc())
-    return (docs.withColumn("_rn", F.row_number().over(w))
-            .where(F.col("_rn") <= cap).drop("_rn"))
+    out = frame.withColumn("_rn", F.row_number().over(w))
+    if hot_join:
+        n_surv = F.count(F.lit(1)).over(
+            Window.partitionBy(key_col)
+            .orderBy(rank_key.asc(), F.col(id_col).asc())
+            .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+        bad = (F.col("__thr").isNotNull() &
+               (n_surv < F.least(F.lit(int(cap)), F.col("__key_n"))))
+        out = (out.withColumn(
+                   "_chk",
+                   F.when(bad, F.raise_error(F.lit(
+                       "cap_per_key auto-thin kept fewer than cap rows for a "
+                       "hot key; raise thin_safety"))).otherwise(F.lit(1)))
+               .where(F.col("_chk") == 1)
+               .drop("_chk", "__thr", "__key_n"))
+    # the hot-dim join moves key_col first — restore the input order
+    return out.where(F.col("_rn") <= cap).drop("_rn").select(*docs.columns)
 
 
 def seeded_hash_ppm(id_col: str, seed: int) -> Column:
