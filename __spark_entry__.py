@@ -191,10 +191,47 @@ def _q_a2_cond_avg(spark, sf):  # A2 pp_mean analog: avg over threshold
     )
 
 
-def _q_a3_cond_sum(spark, sf):  # A3 ra_area analog: scaled conditional sum
+def _q_a3_cond_sum(spark, sf):
+    """A3 ra_area analog: scaled conditional sum. Retired from the
+    driver board in r7 to hold the 50-entry cap while bpe_tokens
+    joined: the conditional-sum shape is redundant with a7_fold (whose
+    fold computes the same CASE-gated sums inside the hash-green
+    flagship metrics) and a2_cond_avg. Stays callable and pinned by
+    tests/test_scale_ops.py against A3_RETIRED_SQL."""
     e = _t(spark, sf, "events")
     return e.groupBy("event_type").agg(
         F.round(F.coalesce(F.sum(F.when(F.col("value") > 90, F.col("value"))), F.lit(0.0)) * 1e-4, 6).alias("ra_sum")
+    )
+
+
+A3_RETIRED_SQL = """
+    SELECT event_type,
+           ROUND(COALESCE(SUM(CASE WHEN value > 90 THEN value END), 0.0) * 1e-4, 6) AS ra_sum
+    FROM events GROUP BY event_type
+"""
+
+
+def _q_bpe_tokens(spark, sf):
+    """Trained byte-level BPE (operators/bpe.py, SURVEY §2.12 L33)
+    through the REAL distributed train (word-frequency groupBy) + the
+    REAL mapInPandas merge-loop encoder — generated-data-through-real-
+    kernel trick: the corpus is 'ab'*(doc_id%9+1) built from the
+    documents ids, on which the trained merge table is provably
+    [(97,98)->256 'ab', (256,256)->257 'abab'] (pair (a,b) strictly
+    outnumbers (b,a); after merge 1 only (256,256) adjacencies exist),
+    so encoding 'ab'*n yields [257]*(n//2)+[256]*(n%2) and the DuckDB
+    oracle is pure integer arithmetic + string repeat."""
+    from irivermetrics_spark.operators import bpe
+
+    d = _t(spark, sf, "documents").select("doc_id").orderBy("doc_id").limit(30)
+    corpus = d.withColumn(
+        "text", F.expr("repeat('ab', CAST(doc_id % 9 + 1 AS INT))"))
+    model = bpe.train_bpe(corpus, vocab_size=258)
+    out = bpe.with_bpe_tokens(corpus, model)
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("bpe_n_tokens").cast("bigint").alias("n_tokens"),
+        F.concat_ws(",", F.col("bpe_ids")).alias("ids_str"),
     )
 
 
@@ -499,7 +536,12 @@ def _q_text_langid(spark, sf):  # marker-ngram language heuristic
     )
 
 
-def _q_text_tokens_bpe(spark, sf):  # BPE-ish regex token budgeting
+def _q_text_tokens_bpe(spark, sf):
+    """BPE-ish regex token budgeting. Retired from the driver board in
+    r7 — superseded by bpe_tokens, which pins the TRAINED tokenizer
+    (operators/bpe.py) instead of the pre-tokenizer-segment stand-in.
+    Stays callable and pinned by tests/test_scale_ops.py against
+    TOKENS_BPE_RETIRED_SQL."""
     from irivermetrics_spark.operators import textops
 
     d = _t(spark, sf, "documents")
@@ -507,6 +549,38 @@ def _q_text_tokens_bpe(spark, sf):  # BPE-ish regex token budgeting
     return d.groupBy("lang").agg(
         F.sum(n).cast("bigint").alias("total_bpe_tokens"),
         F.round(F.avg(n), 6).alias("avg_bpe_tokens"),
+    )
+
+
+TOKENS_BPE_RETIRED_SQL = r"""
+    WITH t AS (
+      SELECT lang,
+             len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]|\s+')) AS n
+      FROM documents
+    )
+    SELECT lang,
+           CAST(SUM(n) AS BIGINT) AS total_bpe_tokens,
+           ROUND(AVG(n), 6) AS avg_bpe_tokens
+    FROM t GROUP BY lang
+"""
+
+
+def _q_text_chunks(spark, sf):
+    """Context-window document chunking (textops.chunk_documents, L31)
+    over the real documents table: 16-token windows overlapping by 4.
+    Pure JVM arithmetic windows (zero-Exchange — the plan pipelines
+    into the scan); the DuckDB oracle replays the same window starts
+    with unnest(range(...)) + list_slice. The corpus is ASCII, so the
+    Java (?U)\\s+ split and RE2 \\s+ agree byte-for-byte."""
+    from irivermetrics_spark.operators import textops
+
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    out = textops.chunk_documents(d, max_tokens=16, overlap=4)
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        F.col("chunk_text"),
+        F.col("chunk_tokens").cast("bigint").alias("chunk_tokens"),
     )
 
 
@@ -1541,7 +1615,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j6_fill": _q_j6_fill,
         "a1_persistence": _q_a1_persistence,
         "a2_cond_avg": _q_a2_cond_avg,
-        "a3_cond_sum": _q_a3_cond_sum,
+        "bpe_tokens": _q_bpe_tokens,
         "a4_ratio": _q_a4_ratio,
         "a7_fold": _q_a7_fold,
         "w2_topk": _q_w2_topk,
@@ -1560,7 +1634,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": _q_dedup_simhash,
         "text_quality": _q_text_quality,
         "text_langid": _q_text_langid,
-        "text_tokens_bpe": _q_text_tokens_bpe,
+        "text_chunks": _q_text_chunks,
         "semdedup": _q_semdedup,
         "ann_brute": _q_ann_brute,
         "ann_ivf": _q_ann_ivf,
@@ -1719,10 +1793,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, ROUND(AVG(CASE WHEN value > 50 THEN value END), 6) AS avg_above_50
             FROM events GROUP BY event_type
         """,
-        "a3_cond_sum": """
-            SELECT event_type,
-                   ROUND(COALESCE(SUM(CASE WHEN value > 90 THEN value END), 0.0) * 1e-4, 6) AS ra_sum
-            FROM events GROUP BY event_type
+        # a3_cond_sum retired r7 (see _q_a3_cond_sum / A3_RETIRED_SQL) —
+        # slot given to bpe_tokens
+        "bpe_tokens": """
+            WITH base AS (
+              SELECT doc_id, CAST(doc_id % 9 + 1 AS INT) AS n
+              FROM documents ORDER BY doc_id LIMIT 30
+            )
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(CEIL(n / 2.0) AS BIGINT) AS n_tokens,
+                   rtrim(repeat('257,', n // 2) || repeat('256,', n % 2), ',') AS ids_str
+            FROM base
         """,
         "a4_ratio": """
             SELECT strftime(ts, '%Y-%m-%d') AS day,
@@ -1981,16 +2062,24 @@ def oracle_sql() -> dict[str, str]:
             JOIN dupf f ON d.doc_id = f.doc_id
             LEFT JOIN top t ON d.doc_id = t.doc_id
         """,
-        "text_tokens_bpe": """
-            WITH t AS (
-              SELECT lang,
-                     len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]|\\s+')) AS n
+        # text_tokens_bpe retired r7 (see _q_text_tokens_bpe /
+        # TOKENS_BPE_RETIRED_SQL) — superseded by the trained bpe_tokens
+        "text_chunks": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(text, '\s+'),
+                                 x -> len(x) > 0) AS words
               FROM documents
+            ), p AS (
+              SELECT doc_id, words, len(words) AS n,
+                     CAST(CEIL(GREATEST(len(words) - 16, 0) / 12.0) * 12 AS INT) AS last
+              FROM w WHERE len(words) > 0
             )
-            SELECT lang,
-                   CAST(SUM(n) AS BIGINT) AS total_bpe_tokens,
-                   ROUND(AVG(n), 6) AS avg_bpe_tokens
-            FROM t GROUP BY lang
+            SELECT CAST(p.doc_id AS BIGINT) AS doc_id,
+                   CAST(s // 12 AS BIGINT) AS chunk_idx,
+                   array_to_string(words[s + 1 : s + 16], ' ') AS chunk_text,
+                   CAST(LEAST(16, n - s) AS BIGINT) AS chunk_tokens
+            FROM p, UNNEST(range(0, last + 1, 12)) AS t(s)
         """,
         # text_langid_argmax retired r6 (slot given to semdedup) — the
         # argmax tie-break semantics stay pytest-pinned

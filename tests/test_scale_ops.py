@@ -459,3 +459,41 @@ def test_u1_retired_entry_still_matches_duckdb(spark):
             .sort_values("c_nationkey").reset_index(drop=True))
     assert got.c_nationkey.tolist() == want.c_nationkey.tolist()
     assert got.n_selected.tolist() == want.n_selected.tolist()
+
+
+def test_a3_retired_entry_still_matches_duckdb(spark):
+    """a3_cond_sum was retired from the driver board in r7 (slot given
+    to bpe_tokens); the conditional-sum entry stays pinned here."""
+    import duckdb
+
+    import __spark_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+    got = (entry._q_a3_cond_sum(spark, sf).toPandas()
+           .sort_values("event_type").reset_index(drop=True))
+    con = duckdb.connect()
+    con.sql(f"create view events as select * from '{sf}/events.parquet'")
+    want = (con.sql(entry.A3_RETIRED_SQL).df()
+            .sort_values("event_type").reset_index(drop=True))
+    assert got.event_type.tolist() == want.event_type.tolist()
+    assert got.ra_sum.tolist() == want.ra_sum.tolist()
+
+
+def test_tokens_bpe_retired_entry_still_matches_duckdb(spark):
+    """text_tokens_bpe was retired from the driver board in r7
+    (superseded by the trained bpe_tokens); the segment-count stand-in
+    stays pinned here."""
+    import duckdb
+
+    import __spark_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+    got = (entry._q_text_tokens_bpe(spark, sf).toPandas()
+           .sort_values("lang").reset_index(drop=True))
+    con = duckdb.connect()
+    con.sql(f"create view documents as select * from '{sf}/documents.parquet'")
+    want = (con.sql(entry.TOKENS_BPE_RETIRED_SQL).df()
+            .sort_values("lang").reset_index(drop=True))
+    assert got.lang.tolist() == want.lang.tolist()
+    assert got.total_bpe_tokens.tolist() == want.total_bpe_tokens.tolist()
+    assert got.avg_bpe_tokens.tolist() == [round(v, 6) for v in want.avg_bpe_tokens]
