@@ -32,6 +32,28 @@ def main() -> None:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     n0 = docs.count()
 
+    # 0. HTML -> text front door: a real crawl arrives as markup, so
+    # simulate the page chrome (head/script/nav/footer) around each
+    # synthetic body, then strip it with the from-scratch extractor —
+    # the nav/footer link blocks fall to the link-density cut and the
+    # body survives verbatim. Rows with broken markup would land in
+    # html_error instead of failing the job.
+    from irivermetrics_spark.operators import htmltext
+
+    pages = docs.withColumn(
+        "html",
+        F.concat(
+            F.lit("<html><head><title>page</title><script>var a=1;"
+                  "</script></head><body><nav><a href='/'>Home</a> "
+                  "<a href='/x'>About</a> <a href='/y'>More</a></nav><p>"),
+            F.col("text"),
+            F.lit("</p><footer><a href='/t'>Terms</a> "
+                  "<a href='/p'>Privacy</a></footer></body></html>")))
+    docs = (htmltext.with_html_text(pages.drop("text"))
+            .where(F.col("html_error").isNull())
+            .drop("html", "html_blocks_kept", "html_blocks_dropped",
+                  "html_error"))
+
     # 1. exact dedup (md5 groupBy, one shuffle): keep the min-id doc
     # of every identical-text group
     keep_ids = docs.groupBy(F.md5("text").alias("h")).agg(
@@ -119,10 +141,16 @@ def main() -> None:
     from irivermetrics_spark.operators import packing
 
     split = textops.split_by_hash(keepers)
-    # n_tokens was computed pre-redaction; pack budgets must count the
-    # text that actually ships (redaction shrinks '555 111 2222' -> '<PHONE>')
-    train = split.where("split = 'train'").withColumn(
-        "n_tokens", textops.token_count(F.col("text")))
+    # pack budgets count REAL tokens: train the byte-level BPE on the
+    # surviving corpus and recount post-redaction text with it (the
+    # whitespace word count undercounts by the subword factor)
+    from irivermetrics_spark.operators import bpe
+
+    tok = bpe.train_bpe(keepers, vocab_size=512)
+    train = (bpe.with_bpe_tokens(split.where("split = 'train'"), tok,
+                                 with_ids=False)
+             .withColumn("n_tokens", F.col("bpe_n_tokens").cast("bigint"))
+             .drop("bpe_n_tokens"))
     packed = packing.pack_sequences(train, seq_len=512, n_buckets=8)
     n_packs = packed.select("pack_id").distinct().count()
     fill = packed.groupBy("pack_id").agg(F.first("pack_total").alias("t")) \
