@@ -46,7 +46,13 @@ LANG_MARKERS = {
 def langid_argmax(text: Column, markers: dict[str, list[str]] | None = None) -> Column:
     """Best-scoring language among the marker lexicons (ties break by
     language-code order, deterministic). A 4-way greatest() over pure
-    SQL expressions — no UDF, pushes through codegen."""
+    SQL expressions — no UDF, pushes through codegen.
+
+    ROLE (r7): this is the oracle-checkable DEMO of the argmax shape —
+    text without any marker ties at 0 and returns the alphabetically
+    first language, so it is NOT a curation signal. Use the trained
+    model (operators/langid_model.py: hashed char-trigram softmax
+    regression, held-out-accuracy-tested) for real language ID."""
     markers = markers or LANG_MARKERS
     langs = sorted(markers)
     scores = [marker_score(text, markers[lg]) for lg in langs]
