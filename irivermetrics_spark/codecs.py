@@ -166,6 +166,18 @@ def sniff_format(buf: bytes) -> str:
         return "webp-unknown"
     if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
         return "wav"  # audio payload in an image column: divert, don't fail
+    if b[:4] == b"fLaC":
+        return "flac"
+    if b[:3] == b"ID3" and len(b) > 9 and b[3] != 0xFF and b[4] != 0xFF:
+        # ID3v2-tagged audio — almost always mp3 (an id3-prefixed flac
+        # resolves precisely in probe_audio_info, which sees past the
+        # tag; either way the payload diverts out of the image path)
+        return "mp3"
+    if len(b) >= 4 and b[0] == 0xFF and (b[1] & 0xE0) == 0xE0:
+        from .kernels.audioprobe import _parse_mp3_header
+
+        if _parse_mp3_header(b, 0) is not None:
+            return "mp3"
     if b[:6] in (b"GIF87a", b"GIF89a"):
         return "gif"
     if b[:2] == b"BM":

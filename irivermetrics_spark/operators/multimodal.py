@@ -664,16 +664,17 @@ AUDIO_INFO_SCHEMA = ("fmt_detail string, sample_rate int, channels int, "
 
 def with_audio_info(audio: DataFrame, bytes_col: str = "bytes") -> DataFrame:
     """Header-only audio metadata columns (rate/channels/bits/frames/
-    duration) via kernels.wav.probe_wav_info — the duration/rate
+    duration) via kernels.audioprobe.probe_audio_info (WAV + FLAC
+    STREAMINFO + mp3 frame-header/Xing walk) — the duration/rate
     inventory an audio table filters on BEFORE paying feature-extract
     cost (e.g. ``duration_s BETWEEN 1 AND 30``). Scan-bound: tens of
     header bytes per row, never the payload; corrupt headers yield
     null fields, never task failures."""
-    from ..kernels import wav as wavk
+    from ..kernels import audioprobe
 
     @F.pandas_udf(f"struct<{AUDIO_INFO_SCHEMA}>")
     def probe(bufs: pd.Series) -> pd.DataFrame:
-        return pd.DataFrame([wavk.probe_wav_info(b) for b in bufs])
+        return pd.DataFrame([audioprobe.probe_audio_info(b) for b in bufs])
 
     out = audio.withColumn("_ainfo", probe(bytes_col))
     for field in ("fmt_detail", "sample_rate", "channels", "bits",
