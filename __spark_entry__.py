@@ -184,10 +184,60 @@ def _q_a1_persistence(spark, sf):  # A1 pixel persistence analog
     )
 
 
-def _q_a2_cond_avg(spark, sf):  # A2 pp_mean analog: avg over threshold
+def _q_a2_cond_avg(spark, sf):
+    """A2 pp_mean analog: avg over threshold. Retired from the driver
+    board in r7 to hold the 50-entry cap while html_text joined: the
+    conditional-avg shape is computed inside the hash-green a7_fold
+    (and the flagship numpy-parity pytest pins the real pp_mean), so
+    the slot went to an operator with engine code behind it. Stays
+    callable and pinned by tests/test_scale_ops.py against
+    A2_RETIRED_SQL."""
     e = _t(spark, sf, "events")
     return e.groupBy("event_type").agg(
         F.round(F.avg(F.when(F.col("value") > 50, F.col("value"))), 6).alias("avg_above_50")
+    )
+
+
+A2_RETIRED_SQL = """
+    SELECT event_type, ROUND(AVG(CASE WHEN value > 50 THEN value END), 6) AS avg_above_50
+    FROM events GROUP BY event_type
+"""
+
+
+def _q_html_text(spark, sf):
+    """HTML -> text extraction (operators/htmltext.py, SURVEY §2.12
+    L34) — generated-markup-through-real-parser: each document body is
+    wrapped in full page chrome (head/title/script with embedded fake
+    tags, nav + footer anchor blocks, a comment, an &amp; entity), the
+    REAL single-pass parser + link-density boilerplate cut strips it,
+    and the expected output is SQL-derivable because the corpus text
+    is verified single-spaced ASCII: the title block ('t') falls to
+    min_block_chars, nav (density 1.0) and footer (0.92) fall to the
+    0.4 link-density cut, leaving exactly the h1 source and the body
+    paragraph -> kept=2, dropped=3, text = source \\n body ' & more'."""
+    from irivermetrics_spark.operators import htmltext
+
+    d = _t(spark, sf, "documents").select("doc_id", "text", "source")
+    pages = d.select(
+        "doc_id",
+        F.concat(
+            F.lit("<html><head><title>t</title><script>var a = '<p>x</p>';"
+                  "</script></head><body><nav><a href='/'>Home</a> "
+                  "<a href='/a'>About</a> <a href='/c'>Contact</a></nav>"
+                  "<h1>"),
+            F.col("source"),
+            F.lit("</h1><p>"),
+            F.col("text"),
+            F.lit(" &amp; more</p><!-- hidden <p>no</p> --><footer>"
+                  "<a href='/t'>Terms</a> | <a href='/p'>Privacy</a>"
+                  "</footer></body></html>"),
+        ).alias("html"))
+    out = htmltext.with_html_text(pages)
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("text").alias("extracted"),
+        F.col("html_blocks_kept").cast("bigint").alias("blocks_kept"),
+        F.col("html_blocks_dropped").cast("bigint").alias("blocks_dropped"),
     )
 
 
@@ -1614,7 +1664,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j3_left": _q_j3_left,
         "j6_fill": _q_j6_fill,
         "a1_persistence": _q_a1_persistence,
-        "a2_cond_avg": _q_a2_cond_avg,
+        "html_text": _q_html_text,
         "bpe_tokens": _q_bpe_tokens,
         "a4_ratio": _q_a4_ratio,
         "a7_fold": _q_a7_fold,
@@ -1789,9 +1839,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n_events
             FROM events GROUP BY user_id
         """,
-        "a2_cond_avg": """
-            SELECT event_type, ROUND(AVG(CASE WHEN value > 50 THEN value END), 6) AS avg_above_50
-            FROM events GROUP BY event_type
+        # a2_cond_avg retired r7 (see _q_a2_cond_avg / A2_RETIRED_SQL) —
+        # slot given to html_text
+        "html_text": """
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   source || chr(10) || text || ' & more' AS extracted,
+                   CAST(2 AS BIGINT) AS blocks_kept,
+                   CAST(3 AS BIGINT) AS blocks_dropped
+            FROM documents
         """,
         # a3_cond_sum retired r7 (see _q_a3_cond_sum / A3_RETIRED_SQL) —
         # slot given to bpe_tokens

@@ -497,3 +497,21 @@ def test_tokens_bpe_retired_entry_still_matches_duckdb(spark):
     assert got.lang.tolist() == want.lang.tolist()
     assert got.total_bpe_tokens.tolist() == want.total_bpe_tokens.tolist()
     assert got.avg_bpe_tokens.tolist() == [round(v, 6) for v in want.avg_bpe_tokens]
+
+
+def test_a2_retired_entry_still_matches_duckdb(spark):
+    """a2_cond_avg was retired from the driver board in r7 (slot given
+    to html_text); the conditional-avg entry stays pinned here."""
+    import duckdb
+
+    import __spark_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+    got = (entry._q_a2_cond_avg(spark, sf).toPandas()
+           .sort_values("event_type").reset_index(drop=True))
+    con = duckdb.connect()
+    con.sql(f"create view events as select * from '{sf}/events.parquet'")
+    want = (con.sql(entry.A2_RETIRED_SQL).df()
+            .sort_values("event_type").reset_index(drop=True))
+    assert got.event_type.tolist() == want.event_type.tolist()
+    assert got.avg_above_50.tolist() == pytest.approx(want.avg_above_50.tolist())
