@@ -321,7 +321,13 @@ def _q_w2_topk(spark, sf):  # W2 top-k per group
     )
 
 
-def _q_o2_rank(spark, sf):  # O2 sort/rank
+def _q_o2_rank(spark, sf):
+    """O2 sort/rank. Retired from the driver board in r7 to hold the
+    50-entry cap while url_normalize joined: the ordered-rank shape is
+    already exercised by the hash-green w2_topk (window rank) and
+    a7_fold (ordered fold), so the slot went to an operator with engine
+    code behind it. Stays callable and pinned by
+    tests/test_scale_ops.py against O2_RETIRED_SQL."""
     from pyspark.sql import Window
 
     s = _t(spark, sf, "supplier")
@@ -330,6 +336,51 @@ def _q_o2_rank(spark, sf):  # O2 sort/rank
         F.col("s_suppkey").cast("bigint").alias("suppkey"),
         F.col("s_nationkey").cast("bigint").alias("nationkey"),
         F.dense_rank().over(w).cast("bigint").alias("bal_rank"),
+    )
+
+
+O2_RETIRED_SQL = """
+    SELECT CAST(s_suppkey AS BIGINT) AS suppkey,
+           CAST(s_nationkey AS BIGINT) AS nationkey,
+           CAST(DENSE_RANK() OVER (PARTITION BY s_nationkey ORDER BY s_acctbal DESC) AS BIGINT) AS bal_rank
+    FROM supplier
+"""
+
+
+def _q_url_normalize(spark, sf):
+    """URL normalization + registered-domain extraction
+    (operators/urlops.py, SURVEY §2.12 L36) — generated-URLs-through-
+    the-real-operator: five deterministic templates per doc_id cover
+    uppercase scheme/host, default-port strip, userinfo strip,
+    tracking-param drop + bytewise param sort, kept empty-value
+    params, non-http schemes, multi-label public suffixes (co.uk),
+    empty-path '/', fragments, and unparseable rows. The oracle
+    rebuilds the same strings with independent CASE arithmetic —
+    no regex shared between the two sides."""
+    from irivermetrics_spark.operators import urlops
+
+    d = _t(spark, sf, "documents").select("doc_id")
+    t = F.col("doc_id") % 5
+    k = (F.col("doc_id") % 7).cast("string")
+    m = (F.col("doc_id") % 10).cast("string")
+    url = (
+        F.when(t == 0, F.concat(F.lit("HTTP://WWW.Site"), k, F.lit(".COM:80/A/"),
+                                F.col("doc_id").cast("string"),
+                                F.lit("?utm_source=feed&b=2&a="), m, F.lit("#frag")))
+        .when(t == 1, F.concat(F.lit("https://user:pw@Shop"), k,
+                               F.lit(".Example.CO.UK:8443/p?z=9&y=&gclid=x")))
+        .when(t == 2, F.concat(F.lit("ftp://files.host"), k, F.lit(".org/pub")))
+        .when(t == 3, F.concat(F.lit("not a url "), F.col("doc_id").cast("string")))
+        .otherwise(F.concat(F.lit("http://BARE.HOST"), k))
+    )
+    out = urlops.with_url_parts(d.select("doc_id", url.alias("url")))
+    return out.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("url_valid").alias("valid"),
+        F.col("url_scheme").alias("scheme"),
+        F.col("url_host").alias("host"),
+        F.col("url_registered_domain").alias("reg_domain"),
+        F.col("url_norm"),
     )
 
 
@@ -1669,7 +1720,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a4_ratio": _q_a4_ratio,
         "a7_fold": _q_a7_fold,
         "w2_topk": _q_w2_topk,
-        "o2_rank": _q_o2_rank,
+        "url_normalize": _q_url_normalize,
         "c4_line_dedup": _q_c4_line_dedup,
         "c1_date_regex": _q_c1_date_regex,
         "span_dedup": _q_span_dedup,
@@ -1884,11 +1935,31 @@ def oracle_sql() -> dict[str, str]:
               FROM orders
             ) WHERE rk <= 3
         """,
-        "o2_rank": """
-            SELECT CAST(s_suppkey AS BIGINT) AS suppkey,
-                   CAST(s_nationkey AS BIGINT) AS nationkey,
-                   CAST(DENSE_RANK() OVER (PARTITION BY s_nationkey ORDER BY s_acctbal DESC) AS BIGINT) AS bal_rank
-            FROM supplier
+        # o2_rank retired r7 (see _q_o2_rank / O2_RETIRED_SQL) — slot
+        # given to url_normalize
+        "url_normalize": """
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   (doc_id % 5) != 3 AS valid,
+                   CASE doc_id % 5 WHEN 0 THEN 'http' WHEN 1 THEN 'https'
+                        WHEN 2 THEN 'ftp' WHEN 4 THEN 'http' END AS scheme,
+                   CASE doc_id % 5
+                        WHEN 0 THEN 'www.site' || (doc_id % 7) || '.com'
+                        WHEN 1 THEN 'shop' || (doc_id % 7) || '.example.co.uk'
+                        WHEN 2 THEN 'files.host' || (doc_id % 7) || '.org'
+                        WHEN 4 THEN 'bare.host' || (doc_id % 7) END AS host,
+                   CASE doc_id % 5
+                        WHEN 0 THEN 'site' || (doc_id % 7) || '.com'
+                        WHEN 1 THEN 'example.co.uk'
+                        WHEN 2 THEN 'host' || (doc_id % 7) || '.org'
+                        WHEN 4 THEN 'bare.host' || (doc_id % 7) END AS reg_domain,
+                   CASE doc_id % 5
+                        WHEN 0 THEN 'http://www.site' || (doc_id % 7) || '.com/A/'
+                                    || doc_id || '?a=' || (doc_id % 10) || '&b=2'
+                        WHEN 1 THEN 'https://shop' || (doc_id % 7)
+                                    || '.example.co.uk:8443/p?y=&z=9'
+                        WHEN 2 THEN 'ftp://files.host' || (doc_id % 7) || '.org/pub'
+                        WHEN 4 THEN 'http://bare.host' || (doc_id % 7) || '/' END AS url_norm
+            FROM documents
         """,
         # u1_union retired r6 (see _q_u1_union / U1_RETIRED_SQL) — slot
         # given to c4_line_dedup

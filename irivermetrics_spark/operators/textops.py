@@ -583,7 +583,7 @@ def remove_repeated_lines(docs: DataFrame, min_df: int = 2,
 def chunk_documents(docs: DataFrame, max_tokens: int, overlap: int = 0,
                     id_col: str = "doc_id",
                     text_col: str = "text") -> DataFrame:
-    """Split long documents into token windows — the context-window
+    r"""Split long documents into token windows — the context-window
     chunking every pretraining / RAG pipeline runs before packing or
     embedding (documents longer than the model context become
     ``max_tokens``-token chunks overlapping by ``overlap`` tokens so

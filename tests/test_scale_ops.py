@@ -515,3 +515,21 @@ def test_a2_retired_entry_still_matches_duckdb(spark):
             .sort_values("event_type").reset_index(drop=True))
     assert got.event_type.tolist() == want.event_type.tolist()
     assert got.avg_above_50.tolist() == pytest.approx(want.avg_above_50.tolist())
+
+
+def test_o2_retired_entry_still_matches_duckdb(spark):
+    """o2_rank was retired from the driver board in r7 (slot given to
+    url_normalize); the dense-rank entry stays pinned here."""
+    import duckdb
+
+    import __spark_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+    got = (entry._q_o2_rank(spark, sf).toPandas()
+           .sort_values(["nationkey", "suppkey"]).reset_index(drop=True))
+    con = duckdb.connect()
+    con.sql(f"create view supplier as select * from '{sf}/supplier.parquet'")
+    want = (con.sql(entry.O2_RETIRED_SQL).df()
+            .sort_values(["nationkey", "suppkey"]).reset_index(drop=True))
+    assert got.suppkey.tolist() == want.suppkey.tolist()
+    assert got.bal_rank.tolist() == want.bal_rank.tolist()
