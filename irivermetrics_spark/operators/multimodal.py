@@ -121,6 +121,45 @@ def with_image_info(images: DataFrame, bytes_col: str = "bytes") -> DataFrame:
     return out.drop("_info")
 
 
+EXIF_INFO_SCHEMA = ("orientation int, make string, model string, "
+                    "datetime_original string, gps_lat double, "
+                    "gps_lon double, exif_error string")
+
+
+def with_exif(images: DataFrame, bytes_col: str = "bytes") -> DataFrame:
+    """Adds EXIF metadata columns (``orientation``, ``make``,
+    ``model``, ``datetime_original``, ``gps_lat``, ``gps_lon``,
+    ``exif_error``) via the header-only kernels/exif.py walk — the
+    JPEG APP1 segment is ≤64 KB by framing, so the pass never touches
+    pixel data. Orientation feeds ``resize_images(orient=True)`` (a
+    rotated duplicate must not phash differently); GPS tags are the
+    PII inventory a curation pipeline must surface before publishing
+    a corpus. Rows without EXIF get all-NULL fields; malformed blobs
+    set ``exif_error`` instead of failing the task."""
+    from pyspark.sql import functions as F
+
+    from irivermetrics_spark.kernels import exif as exifk
+
+    @F.pandas_udf(f"struct<{EXIF_INFO_SCHEMA}>")
+    def probe(bufs: pd.Series) -> pd.DataFrame:
+        rows = []
+        for b in bufs:
+            d = exifk.parse_exif(b)
+            dto = d.get("datetime_original") or d.get("datetime")
+            rows.append(dict(
+                orientation=d.get("orientation"), make=d.get("make"),
+                model=d.get("model"), datetime_original=dto,
+                gps_lat=d.get("gps_lat"), gps_lon=d.get("gps_lon"),
+                exif_error=d.get("error")))
+        return pd.DataFrame(rows)
+
+    out = images.withColumn("_exif", probe(bytes_col))
+    for field in ("orientation", "make", "model", "datetime_original",
+                  "gps_lat", "gps_lon", "exif_error"):
+        out = out.withColumn(field, F.col("_exif")[field])
+    return out.drop("_exif")
+
+
 def resize_image(arr: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
     """(bands, h, w) -> (bands, out_h, out_w).
 
@@ -137,7 +176,7 @@ def resize_image(arr: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
 
 
 def resize_images(images: DataFrame, out_w: int, out_h: int,
-                  on_error: str = "raise") -> DataFrame:
+                  on_error: str = "raise", orient: bool = False) -> DataFrame:
     """Image table -> resized image table (raw16-encoded).
 
     Caption (and any other non-payload column) passes through UNTOUCHED
@@ -148,13 +187,20 @@ def resize_images(images: DataFrame, out_w: int, out_h: int,
     ``on_error="quarantine"`` adds an ``error`` column and routes
     undecodable payloads (e.g. lossy-VP8 webp) there — bytes NULL,
     fmt = the sniffed subformat, error = the decode exception — instead
-    of failing the task. Split with ``.where("error IS NULL")``."""
+    of failing the task. Split with ``.where("error IS NULL")``.
+
+    ``orient=True`` undoes the EXIF orientation tag before resizing
+    (kernels/exif.py header walk + index-view transform) so rotated
+    re-uploads of the same photo downstream phash/embed identically.
+    """
     if on_error not in ("raise", "quarantine"):
         raise ValueError(f"on_error {on_error!r} (raise|quarantine)")
     quarantine = on_error == "quarantine"
     schema = RESIZED_SCHEMA + (", error string" if quarantine else "")
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from irivermetrics_spark.kernels import exif as exifk
+
         for pdf in batches:
             rows = []
             for rec in pdf.itertuples(index=False):
@@ -163,6 +209,11 @@ def resize_images(images: DataFrame, out_w: int, out_h: int,
                 raw = None if rec.bytes is None else bytes(rec.bytes)
                 try:
                     arr = _decode_any(raw, rec.fmt)
+                    if orient:
+                        o = exifk.parse_exif(raw).get("orientation")
+                        if o:
+                            arr = np.ascontiguousarray(
+                                exifk.apply_orientation(arr, o))
                     small = resize_image(arr, out_w, out_h)
                     row = dict(
                         image_id=rec.image_id,
