@@ -642,18 +642,23 @@ def decompress_payloads(docs: DataFrame, bytes_col: str = "payload",
                         max_bytes: int = 64 * 1024 * 1024,
                         encoding: str = "utf-8") -> DataFrame:
     """Transparent per-row decompression of crawl payloads: gzip
-    (1F 8B), zlib (78 ..) and raw text pass through one Arrow kernel
-    that sniffs the magic bytes and emits ``text`` plus the detected
-    ``compression``. Real crawl tables (WARC-derived) carry gzip'd
-    bodies per ROW — file-level ``.gz`` handling in the Spark reader
-    does not help there.
+    (1F 8B), bz2 (``BZh`` + level digit), xz (FD '7zXZ' 00), zlib
+    (78 ..) and raw text pass through one Arrow kernel that sniffs the
+    magic bytes and emits ``text`` plus the detected ``compression``.
+    Real crawl tables (WARC-derived) carry gzip'd bodies per ROW —
+    file-level ``.gz`` handling in the Spark reader does not help
+    there. (Legacy raw ``.lzma`` is NOT sniffed: its 3-byte 5D 00 00
+    prefix collides with ordinary binary — same reasoning as the zlib
+    fletcher fallback below.)
 
     Zip-bomb guarded: decompression stops at ``max_ratio`` x input
     size or ``max_bytes``, whichever is smaller, and such rows (plus
     corrupt streams and undecodable bytes) divert to the
     ``decomp_error`` column instead of failing the task — the same
-    dead-letter contract as the image quarantine router. stdlib zlib
-    only; no external codecs."""
+    dead-letter contract as the image quarantine router. stdlib
+    zlib/bz2/lzma only; no external codecs."""
+    import bz2
+    import lzma
     import zlib
 
     from pyspark.sql.types import StringType, StructField, StructType
@@ -687,6 +692,30 @@ def decompress_payloads(docs: DataFrame, bytes_col: str = "payload",
                 break
         return b"".join(parts)
 
+    def _drain(dcls, raw: bytes, cap: int) -> bytes:
+        """bz2/lzma analog of ``_inflate``: incremental decompressor
+        with the bomb cap enforced via ``max_length`` (never
+        materializes past cap+1 bytes), eof check for truncation, and
+        unused_data loop for concatenated members (both formats allow
+        back-to-back streams)."""
+        parts, buf, total = [], raw, 0
+        while True:
+            d = dcls()
+            chunk = d.decompress(buf, cap - total + 1)
+            total += len(chunk)
+            parts.append(chunk)
+            while not d.eof and not d.needs_input and total <= cap:
+                chunk = d.decompress(b"", cap - total + 1)
+                total += len(chunk)
+                parts.append(chunk)
+            if total > cap:
+                raise ValueError(f"decompressed past the {cap}-byte bomb guard")
+            if not d.eof:
+                raise ValueError("truncated or incomplete compressed stream")
+            buf = d.unused_data
+            if not buf.strip(b"\x00"):
+                return b"".join(parts)
+
     def kernel(batches):
         for pdf in batches:
             texts, comps, errs = [], [], []
@@ -700,6 +729,13 @@ def decompress_payloads(docs: DataFrame, bytes_col: str = "payload",
                     if raw[:2] == b"\x1f\x8b":
                         comp = "gzip"
                         data = _inflate(raw, 31, cap, multi=True)
+                    elif (raw[:3] == b"BZh" and len(raw) >= 4
+                          and 0x31 <= raw[3] <= 0x39):
+                        comp = "bz2"
+                        data = _drain(bz2.BZ2Decompressor, raw, cap)
+                    elif raw[:6] == b"\xfd7zXZ\x00":
+                        comp = "xz"
+                        data = _drain(lzma.LZMADecompressor, raw, cap)
                     elif (len(raw) >= 2 and (raw[0] & 0x0F) == 8
                           and ((raw[0] << 8) | raw[1]) % 31 == 0):
                         # deflate CM + fletcher check: plain text can

@@ -88,3 +88,46 @@ def test_output_column_collision_raises(spark):
         pd.DataFrame([("a", b"x", "already")], columns=["doc_id", "payload", "text"]))
     with pytest.raises(ValueError, match="output column"):
         textops.decompress_payloads(df)
+
+
+def test_bz2_and_xz_payloads(spark):
+    import bz2
+    import lzma
+
+    body = "compressed crawl body ünïcode " * 60
+    rows = [
+        ("b", bz2.compress(body.encode())),
+        ("x", lzma.compress(body.encode())),  # .xz container
+        ("b2", bz2.compress(b"one") + bz2.compress(b"two")),   # multi-stream
+        ("x2", lzma.compress(b"one") + lzma.compress(b"two")),
+        ("bz_trunc", bz2.compress(body.encode())[:-8]),
+        ("xz_trunc", lzma.compress(body.encode())[:-8]),
+        ("bzh_fake", b"BZh but actually plain text, no level digit"),
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "payload"]))
+    out = {r.doc_id: r for r in textops.decompress_payloads(df).collect()}
+    assert out["b"].text == body and out["b"].compression == "bz2"
+    assert out["x"].text == body and out["x"].compression == "xz"
+    assert out["b2"].text == "onetwo" and out["x2"].text == "onetwo"
+    for bad in ("bz_trunc", "xz_trunc"):
+        assert out[bad].text is None and out[bad].decomp_error is not None
+    # 'BZh' followed by a space is not a valid level digit -> raw text
+    assert out["bzh_fake"].compression == "none"
+    assert out["bzh_fake"].text.startswith("BZh but")
+
+
+def test_bz2_xz_bomb_guard(spark):
+    import bz2
+    import lzma
+
+    rows = [("b", bz2.compress(b"\x00" * 5_000_000)),
+            ("x", lzma.compress(b"\x00" * 5_000_000))]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "payload"]))
+    out = {r.doc_id: r
+           for r in textops.decompress_payloads(df, max_ratio=10).collect()}
+    for k in "bx":
+        assert out[k].text is None and "bomb guard" in out[k].decomp_error
+    ok = {r.doc_id: r
+          for r in textops.decompress_payloads(df, max_ratio=10_000_000).collect()}
+    for k in "bx":
+        assert ok[k].text == "\x00" * 5_000_000 and ok[k].decomp_error is None
