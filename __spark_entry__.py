@@ -561,7 +561,14 @@ def _q_dedup_clusters(spark, sf):
     """Transitive duplicate clustering, oracle-checked: chain pairs
     (consecutive ids within each exact-dup md5 group) must resolve to
     min-id clusters — DuckDB computes the same clusters directly from
-    the md5 groups, so the component resolution is verified by value."""
+    the md5 groups, so the component resolution is verified by value.
+
+    Retired from the driver board in r7 to hold the 50-entry cap while
+    exif_probe joined: the same distccl-backed resolver is exercised
+    end-to-end by the still-green dedup_pipeline entry (and dist_ccl
+    pins the component algebra directly), so this slot was the
+    family's most redundant. Stays callable and pinned by
+    tests/test_scale_ops.py against CLUSTERS_RETIRED_SQL."""
     from pyspark.sql import Window
 
     from irivermetrics_spark.operators import dedup
@@ -578,6 +585,72 @@ def _q_dedup_clusters(spark, sf):
     clusters = dedup.cluster_duplicates(pairs)
     return clusters.select(F.col("id").cast("bigint").alias("id"),
                            F.col("cluster").cast("bigint").alias("cluster"))
+
+
+CLUSTERS_RETIRED_SQL = """
+    WITH u AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 17 = 0
+    ), g AS (
+      SELECT doc_id, md5(text) AS h FROM u
+    ), c AS (
+      SELECT doc_id,
+             MIN(doc_id) OVER (PARTITION BY h) AS cluster,
+             COUNT(*) OVER (PARTITION BY h) AS n
+      FROM g
+    )
+    SELECT CAST(doc_id AS BIGINT) AS id, CAST(cluster AS BIGINT) AS cluster
+    FROM c WHERE n > 1
+"""
+
+
+def _q_exif_probe(spark, sf):
+    """EXIF header metadata (kernels/exif.py, SURVEY §2.12 L38) —
+    generated-data-through-the-real-kernel: deterministic camera
+    fields derived from doc_id are serialized by the kernel's TIFF
+    writer, spliced into a real baseline-JPEG APP1 segment, and parsed
+    back by the header-only IFD walk via multimodal.with_exif. GPS
+    lat/lon use dyadic fractions (k/16, k/32) so the writer's DMS
+    quantization (seconds x 10000) is EXACT integers — no rounding
+    ambiguity — and the oracle replays the parser's
+    d + m/60 + (s/10000)/3600 arithmetic bit-for-bit in SQL (same
+    IEEE-double op order both sides; 6-dp round per board convention)."""
+    import pandas as pd
+
+    from irivermetrics_spark.operators import multimodal
+
+    d = _t(spark, sf, "documents").select(
+        F.col("doc_id").cast("bigint").alias("doc_id"))
+
+    def synth(ids):
+        import numpy as np
+
+        from irivermetrics_spark.kernels import exif as exifk
+        from irivermetrics_spark.kernels import jpeg as jpegk
+
+        base = jpegk.encode_baseline(np.full((1, 8, 8), 90, np.uint8))
+        out = []
+        for i in ids:
+            i = int(i)
+            lat = (1 if i % 2 == 0 else -1) * ((i % 88) + 1 + (i % 16) / 16.0)
+            lon = (1 if i % 3 == 0 else -1) * ((i % 178) + 1 + (i % 32) / 32.0)
+            blob = exifk.build_tiff_exif(
+                orientation=1 + i % 8, make=f"Cam{i % 5}", model=f"M-{i % 3}",
+                datetime_original=f"2020:01:{i % 28 + 1:02d} {i % 24:02d}:00:00",
+                gps=(lat, lon))
+            out.append(exifk.insert_exif_app1(base, blob))
+        return pd.Series(out)
+
+    tagged = d.withColumn("bytes", F.pandas_udf(synth, "binary")("doc_id"))
+    out = multimodal.with_exif(tagged)
+    return out.select(
+        "doc_id",
+        F.col("orientation").cast("int").alias("orientation"),
+        "make", "model", "datetime_original",
+        F.round("gps_lat", 6).alias("gps_lat"),
+        F.round("gps_lon", 6).alias("gps_lon"),
+    )
 
 
 def _q_dedup_pipeline(spark, sf):
@@ -1729,7 +1802,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_pq": _q_ann_ivf_pq,
         "p13_salted_agg": _q_p13_salted_agg,
         "dedup_exact": _q_dedup_exact,
-        "dedup_clusters": _q_dedup_clusters,
+        # dedup_clusters retired r7 (see _q_dedup_clusters /
+        # CLUSTERS_RETIRED_SQL) — resolver still green via dedup_pipeline
+        "exif_probe": _q_exif_probe,
         "dedup_pipeline": _q_dedup_pipeline,
         "dedup_minhash": _q_dedup_minhash,
         "dedup_simhash": _q_dedup_simhash,
@@ -2059,21 +2134,38 @@ def oracle_sql() -> dict[str, str]:
                    CAST(MIN(doc_id) AS BIGINT) AS keeper
             FROM u GROUP BY md5(text) HAVING COUNT(*) > 1
         """,
-        "dedup_clusters": """
-            WITH u AS (
-              SELECT doc_id, text FROM documents
-              UNION ALL
-              SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 17 = 0
-            ), g AS (
-              SELECT doc_id, md5(text) AS h FROM u
-            ), c AS (
+        # dedup_clusters retired r7 (see CLUSTERS_RETIRED_SQL) — slot
+        # given to exif_probe; the oracle replays the EXIF writer's DMS
+        # quantization + the parser's division order exactly
+        "exif_probe": """
+            WITH g AS (
               SELECT doc_id,
-                     MIN(doc_id) OVER (PARTITION BY h) AS cluster,
-                     COUNT(*) OVER (PARTITION BY h) AS n
+                     CAST(1 + doc_id % 8 AS INTEGER) AS orientation,
+                     'Cam' || CAST(doc_id % 5 AS VARCHAR) AS make,
+                     'M-' || CAST(doc_id % 3 AS VARCHAR) AS model,
+                     '2020:01:' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+                       || ' ' || lpad(CAST(doc_id % 24 AS VARCHAR), 2, '0')
+                       || ':00:00' AS datetime_original,
+                     CASE WHEN doc_id % 2 = 0 THEN 1.0 ELSE -1.0 END AS slat,
+                     CASE WHEN doc_id % 3 = 0 THEN 1.0 ELSE -1.0 END AS slon,
+                     (doc_id % 88) + 1 AS dlat,
+                     (doc_id % 16) / 16.0 AS flat,
+                     (doc_id % 178) + 1 AS dlon,
+                     (doc_id % 32) / 32.0 AS flon
+              FROM documents
+            ), p AS (
+              SELECT *,
+                     trunc(flat * 60) AS mlat,
+                     trunc(flon * 60) AS mlon
               FROM g
             )
-            SELECT CAST(doc_id AS BIGINT) AS id, CAST(cluster AS BIGINT) AS cluster
-            FROM c WHERE n > 1
+            SELECT CAST(doc_id AS BIGINT) AS doc_id, orientation, make, model,
+                   datetime_original,
+                   ROUND(slat * (dlat + mlat/60.0 +
+                     (round((flat*60 - mlat)*60*10000)/10000.0)/3600.0), 6) AS gps_lat,
+                   ROUND(slon * (dlon + mlon/60.0 +
+                     (round((flon*60 - mlon)*60*10000)/10000.0)/3600.0), 6) AS gps_lon
+            FROM p
         """,
         "text_quality": """
             SELECT lang, source,

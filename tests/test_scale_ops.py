@@ -533,3 +533,22 @@ def test_o2_retired_entry_still_matches_duckdb(spark):
             .sort_values(["nationkey", "suppkey"]).reset_index(drop=True))
     assert got.suppkey.tolist() == want.suppkey.tolist()
     assert got.bal_rank.tolist() == want.bal_rank.tolist()
+
+
+def test_clusters_retired_entry_still_matches_duckdb(spark):
+    """dedup_clusters was retired from the driver board in r7 (slot
+    given to exif_probe; the resolver stays green via dedup_pipeline);
+    the chained-pair clustering entry stays pinned here."""
+    import duckdb
+
+    import __spark_entry__ as entry
+
+    sf = "/root/testdata/sf0.001"
+    got = (entry._q_dedup_clusters(spark, sf).toPandas()
+           .sort_values("id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.sql(f"create view documents as select * from '{sf}/documents.parquet'")
+    want = (con.sql(entry.CLUSTERS_RETIRED_SQL).df()
+            .sort_values("id").reset_index(drop=True))
+    assert got.id.tolist() == want.id.tolist()
+    assert got.cluster.tolist() == want.cluster.tolist()
