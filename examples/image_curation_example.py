@@ -6,6 +6,7 @@ run it — cheapest filter first, decode last, nothing ever fails a task.
            --quarantine split--> undecodable rows diverted
            --quality signals (one decode pass)--> blur/exposure gate
            --perceptual-hash near-dup--> keeper per duplicate cluster
+           --WebDataset tar shards--> the container trainers stream
 
 Run:  python examples/image_curation_example.py
 """
@@ -97,9 +98,30 @@ def main() -> None:
         "doc_id")
     n2 = keepers.count()
 
+    # 4. curated survivors -> deterministic WebDataset tar shards
+    #    (image payload + caption sidecar per sample; re-runs emit
+    #    bit-identical shards)
+    import tempfile
+
+    from irivermetrics_spark.operators import webdataset as wds
+
+    final = (kept.join(keepers.select(F.col("doc_id").alias("image_id")),
+                       "image_id")
+             .withColumn("txt", F.concat(F.lit("caption for "), "image_id")
+                         .cast("binary"))
+             .select(F.col("image_id").alias("key"),
+                     F.col("bytes").alias("img"), "txt"))
+    outdir = tempfile.mkdtemp(prefix="wds_")
+    manifest = wds.write_webdataset(final, outdir, n_shards=2,
+                                    payload_cols=["img", "txt"])
+    shards = manifest.orderBy("shard").collect()
+
     print(f"\ncrawl batch: {n0} -> probe-gated {n0 - n_diverted} "
           f"(diverted {n_diverted}: audio/header-only-gif/corrupt/low-res) "
-          f"-> quality-kept {n1} -> near-dup keepers {n2}")
+          f"-> quality-kept {n1} -> near-dup keepers {n2} "
+          f"-> {len(shards)} tar shards "
+          f"({sum(s.n_samples for s in shards)} samples, "
+          f"{sum(s.n_bytes for s in shards)} bytes) in {outdir}")
     print(q.select("image_id", F.round("sharpness", 4).alias("sharpness"),
                    F.round("entropy", 2).alias("entropy"),
                    F.round("border_frac", 2).alias("border_frac"), "error")
