@@ -3,7 +3,8 @@ curation suite, chained the way a Common-Crawl-scale job would run.
 
     *.warc.gz --WARC record parse--> --HTTP split + charset decode-->
               --HTML -> text--> --URL normalize + canonical dedup-->
-              --per-domain cap--> --blocklist--> curated text corpus
+              --per-domain cap--> --blocklist--> --robots.txt filter-->
+              curated text corpus
 
 The WARC input is synthesized here from the testdata documents table
 (each doc becomes an HTTP response record wrapping its text in page
@@ -25,7 +26,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F  # noqa: E402
 
 from irivermetrics_spark.kernels import warc as warck  # noqa: E402
-from irivermetrics_spark.operators import htmltext, urlops, warcingest  # noqa: E402
+from irivermetrics_spark.operators import htmltext, robots, urlops, warcingest  # noqa: E402
 from irivermetrics_spark.session import get_spark  # noqa: E402
 
 
@@ -86,6 +87,23 @@ def main() -> None:
         capped = urlops.cap_per_domain(unique, cap=20)
         kept = urlops.filter_blocked_domains(capped, ["site13.com", "site3.co.uk"])
 
+        # 5. robots.txt politeness: the per-host policy dimension
+        #    (synthesized here; a real job ingests fetched bodies),
+        #    broadcast-joined and decided in one Arrow pass
+        robots_rows = []
+        for k in range(17):
+            for suffix in (".com", ".co.uk"):
+                body = ("User-agent: *\nDisallow: /p/\n"
+                        if k % 5 == 0 else
+                        "User-agent: *\nDisallow: /private/\n")
+                robots_rows.append((f"www.site{k}{suffix}", body))
+        robots_df = spark.createDataFrame(
+            robots_rows, "host string, robots_txt string")
+        polite = robots.filter_by_robots(kept, robots_df, "trainbot",
+                                         url_col="url_norm",
+                                         broadcast_rules=True)
+        kept = polite.where("robots_allowed")
+
         n_unique, n_kept = unique.count(), kept.count()
         doms = (kept.groupBy("url_registered_domain").count()
                 .orderBy(F.desc("count")).limit(5).collect())
@@ -93,7 +111,7 @@ def main() -> None:
     print(f"warc dead-letter rows : {dead}")
     print(f"decoded html pages    : {n_pages}")
     print(f"unique canonical urls : {n_unique}")
-    print(f"after cap + blocklist : {n_kept}")
+    print(f"after cap + blocklist + robots : {n_kept}")
     print("top domains           :",
           ", ".join(f"{r.url_registered_domain}={r['count']}" for r in doms))
     assert dead >= 1 and n_kept <= n_unique <= n_pages
