@@ -27,6 +27,24 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
 
+def calib_ms() -> float:
+    """Single-thread busy-loop probe (pure Python int ops, best of 3):
+    documents the host window quality INSIDE the official JSON so a
+    degraded-window reading is self-identifying (clean ~200-250 ms on
+    this hardware; heavy CPU-steal windows read 2-5x higher). Compare
+    across BENCH_r*.json before reading per-query deltas."""
+    import time as _t
+
+    best = float("inf")
+    for _ in range(3):
+        t0 = _t.perf_counter()
+        acc = 0
+        for i in range(2_000_000):
+            acc += i ^ (i >> 3)
+        best = min(best, _t.perf_counter() - t0)
+    return round(best * 1000, 1)
+
+
 def sf_of(path: str) -> float:
     base = os.path.basename(path.rstrip("/"))
     try:
@@ -130,15 +148,24 @@ def main() -> None:
         "j1_star", "a7_fold", "w2_topk", "j6_fill", "f6_validity",
         "dedup_exact", "dedup_minhash", "ann_brute", "text_quality",
         "c4_line_dedup_raw", "chunk_shard"]
+    # relational queries are best-of-2 for the same CPU-steal reason as
+    # the flagship; run-1 times are reported alongside for transparency
+    run1: dict[str, float] = {}
     for name in rel_names:
-        t0 = time.time()
-        try:
-            df = qs[name](spark, SF_DIR)
-            df.write.format("noop").mode("overwrite").save()
-        except Exception:
-            # noop sink unavailable or query failed: fall back to count
-            qs[name](spark, SF_DIR).count()
-        timings[name] = round(time.time() - t0, 3)
+        best = float("inf")
+        for rep in range(2):
+            t0 = time.time()
+            try:
+                df = qs[name](spark, SF_DIR)
+                df.write.format("noop").mode("overwrite").save()
+            except Exception:
+                # noop sink unavailable or query failed: fall back to count
+                qs[name](spark, SF_DIR).count()
+            sec = time.time() - t0
+            if rep == 0:
+                run1[name] = round(sec, 3)
+            best = min(best, sec)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     out = {
@@ -151,6 +178,8 @@ def main() -> None:
         "images_per_sec": round(images_per_sec, 3),
         "metric_rows": n_metric_rows,
         "cpus": int(CPUS),
+        "queries_run1": run1,
+        "calib_ms": calib_ms(),
     }
     spark.stop()
     print(json.dumps(out))
