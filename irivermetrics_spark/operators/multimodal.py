@@ -732,3 +732,39 @@ def with_audio_info(audio: DataFrame, bytes_col: str = "bytes") -> DataFrame:
                   "n_frames", "duration_s"):
         out = out.withColumn(field, F.col("_ainfo")[field])
     return out.drop("_ainfo")
+
+
+AUDIO_TAGS_SCHEMA = ("title string, artist string, album string, "
+                     "year string, genre string, track string, "
+                     "id3_version string, id3_error string")
+
+
+def with_audio_tags(audio: DataFrame, bytes_col: str = "bytes") -> DataFrame:
+    """Adds ID3v2 text-tag columns (``title``/``artist``/``album``/
+    ``year``/``genre``/``track`` + ``id3_version``/``id3_error``) via
+    the header-only kernels/id3.py walk — the audio analog of
+    ``with_exif``: creator/title metadata drives dedup windows (the
+    same recording re-encoded) and the attribution/PII inventory a
+    published corpus needs. O(tag) per row, never O(payload); rows
+    without a tag get all-NULL fields; malformed tags set
+    ``id3_error`` instead of failing the task."""
+    from ..kernels import id3 as id3k
+
+    @F.pandas_udf(f"struct<{AUDIO_TAGS_SCHEMA}>")
+    def probe(bufs: pd.Series) -> pd.DataFrame:
+        rows = []
+        for b in bufs:
+            d = id3k.parse_id3(b)
+            rows.append(dict(
+                title=d.get("title"), artist=d.get("artist"),
+                album=d.get("album"), year=d.get("year"),
+                genre=d.get("genre"), track=d.get("track"),
+                id3_version=d.get("id3_version"),
+                id3_error=d.get("error")))
+        return pd.DataFrame(rows)
+
+    out = audio.withColumn("_atags", probe(bytes_col))
+    for field in ("title", "artist", "album", "year", "genre", "track",
+                  "id3_version", "id3_error"):
+        out = out.withColumn(field, F.col("_atags")[field])
+    return out.drop("_atags")
