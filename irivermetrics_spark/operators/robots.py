@@ -191,16 +191,14 @@ def filter_by_robots(urls: DataFrame, robots: DataFrame, user_agent: str,
                          "rename them before filter_by_robots")
 
     rules = parse_robots_df(robots, user_agent)
-    per_host = (rules.where(F.col("pattern").isNotNull())
-                .groupBy("host")
-                .agg(F.array_sort(F.collect_list(F.struct(
-                    "rule_idx", "allow", "pattern"))).alias("_rules"))
-                .unionByName(
-                    rules.where(F.col("pattern").isNull())
-                    .select("host", F.array().cast(
-                        "array<struct<rule_idx:int,allow:boolean,"
-                        "pattern:string>>").alias("_rules")),
-                    allowMissingColumns=False)
+    # one conditional aggregation (collect_list drops the NULL produced
+    # by the rule-less hosts' marker row) — a filtered-branch union here
+    # would duplicate the parse subtree and re-parse every body twice
+    per_host = (rules.groupBy("host")
+                .agg(F.array_sort(F.collect_list(
+                    F.when(F.col("pattern").isNotNull(), F.struct(
+                        "rule_idx", "allow", "pattern"))))
+                    .alias("_rules"))
                 .withColumnRenamed("host", "_rb_rhost"))
     if broadcast_rules:
         per_host = F.broadcast(per_host)
