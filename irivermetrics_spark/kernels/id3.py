@@ -112,7 +112,28 @@ def parse_id3(buf) -> dict:
                 break
             name = names.get(fid.decode("latin-1", "replace"))
             if name and name not in out:
-                val = _decode_text(body[i + head_len:i + head_len + fsize])
+                payload = body[i + head_len:i + head_len + fsize]
+                if ver_major in (3, 4):
+                    # frame-format flags (2nd flag byte): compressed/
+                    # encrypted frames can't be text-decoded — skip;
+                    # grouping adds 1 id byte, v2.4 DLI adds 4 size
+                    # bytes, v2.4 per-frame unsync re-stuffs FF 00
+                    ff = body[i + id_len + size_len + 1]
+                    if ver_major == 3:
+                        skip_frame = ff & 0xC0  # compression | encryption
+                        if ff & 0x20:  # grouping identity byte
+                            payload = payload[1:]
+                    else:
+                        skip_frame = ff & 0x0C  # compression | encryption
+                        if ff & 0x40:  # grouping
+                            payload = payload[1:]
+                        if ff & 0x01:  # data-length indicator
+                            payload = payload[4:]
+                        if ff & 0x02:  # per-frame unsynchronisation
+                            payload = payload.replace(b"\xff\x00", b"\xff")
+                    if skip_frame:
+                        payload = None
+                val = _decode_text(payload) if payload else None
                 if val is not None:
                     out[name] = val
             i += head_len + fsize

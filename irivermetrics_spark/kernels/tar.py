@@ -130,9 +130,32 @@ def iter_tar(blob: bytes):
             pending_name = blob[data_off:data_off + size].split(b"\x00", 1)[0] \
                 .decode("utf-8", "replace")
             continue
+        if typeflag == b"x":  # pax extended header: records are
+            # "<len> <key>=<value>\n" where <len> counts the whole
+            # record; 'path' overrides the NEXT member's name (stdlib
+            # tarfile's DEFAULT format stores long names this way)
+            if size > 1 << 20:
+                raise ValueError("tar pax header too large")
+            data = blob[data_off:data_off + size]
+            j = 0
+            while j < len(data):
+                sp = data.find(b" ", j)
+                if sp < 0:
+                    break
+                try:
+                    rl = int(data[j:sp])
+                except ValueError:
+                    break
+                if rl <= sp - j or j + rl > len(data):
+                    break
+                key, eq, value = data[sp + 1:j + rl - 1].partition(b"=")
+                if eq and key == b"path":
+                    pending_name = value.decode("utf-8", "replace")
+                j += rl
+            continue
         if typeflag not in (b"0", b"\x00"):
             pending_name = None
-            continue  # dir/link/device/pax metadata: skip payload
+            continue  # dir/link/device/'g' global pax: skip payload
         if pending_name is not None:
             name = pending_name
             pending_name = None

@@ -120,6 +120,8 @@ def write_zip(members: list[tuple[str, bytes]], compress: bool = True) -> bytes:
     deflates members (level 6, raw stream) when that actually shrinks
     them; stored otherwise — the same decision every real writer
     makes, and it exercises both read paths."""
+    if len(members) > 0xFFFF:
+        raise ValueError("zip64-sized member counts (>65535) not supported")
     out = bytearray()
     cd = bytearray()
     for name, data in members:

@@ -142,15 +142,34 @@ def with_exif(images: DataFrame, bytes_col: str = "bytes") -> DataFrame:
 
     @F.pandas_udf(f"struct<{EXIF_INFO_SCHEMA}>")
     def probe(bufs: pd.Series) -> pd.DataFrame:
+        # hostile EXIF can type any tag any way (orientation as ASCII,
+        # multi-count values...); coerce defensively so a weird blob
+        # sets exif_error instead of crashing the Arrow conversion
+        def _i(v):
+            try:
+                return int(v) if not isinstance(v, (list, bytes)) else None
+            except (TypeError, ValueError):
+                return None
+
+        def _s(v):
+            return v if isinstance(v, str) else None
+
+        def _f(v):
+            return float(v) if isinstance(v, (int, float)) else None
+
         rows = []
         for b in bufs:
             d = exifk.parse_exif(b)
-            dto = d.get("datetime_original") or d.get("datetime")
+            dto = _s(d.get("datetime_original")) or _s(d.get("datetime"))
+            o = _i(d.get("orientation"))
+            err = d.get("error")
+            if err is None and o is None and d.get("orientation") is not None:
+                err = f"non-integer orientation {d.get('orientation')!r}"
             rows.append(dict(
-                orientation=d.get("orientation"), make=d.get("make"),
-                model=d.get("model"), datetime_original=dto,
-                gps_lat=d.get("gps_lat"), gps_lon=d.get("gps_lon"),
-                exif_error=d.get("error")))
+                orientation=o, make=_s(d.get("make")),
+                model=_s(d.get("model")), datetime_original=dto,
+                gps_lat=_f(d.get("gps_lat")), gps_lon=_f(d.get("gps_lon")),
+                exif_error=err))
         return pd.DataFrame(rows)
 
     out = images.withColumn("_exif", probe(bytes_col))
@@ -211,7 +230,9 @@ def resize_images(images: DataFrame, out_w: int, out_h: int,
                     arr = _decode_any(raw, rec.fmt)
                     if orient:
                         o = exifk.parse_exif(raw).get("orientation")
-                        if o:
+                        # hostile tags may type orientation as anything;
+                        # only a sane 2..8 int triggers a transform
+                        if isinstance(o, int) and 2 <= o <= 8:
                             arr = np.ascontiguousarray(
                                 exifk.apply_orientation(arr, o))
                     small = resize_image(arr, out_w, out_h)

@@ -40,9 +40,10 @@ _RULES_SCHEMA = ("host string, rule_idx int, allow boolean, pattern string, "
 def parse_robots(body: str, user_agent: str) -> dict:
     """Parse one robots.txt body for one crawler product token.
     Returns {'rules': [(allow, pattern), ...], 'crawl_delay': float|None,
-    'sitemaps': [str, ...]} — the rules of the best-matching group
-    only, in file order. Never raises on malformed input (garbage
-    lines are skipped, per the RFC's error tolerance)."""
+    'sitemaps': [str, ...]} — the combined rules of every group at the
+    most specific matching agent level (RFC 9309 §2.2.1), in file
+    order. Never raises on malformed input (garbage lines are skipped,
+    per the RFC's error tolerance)."""
     ua = user_agent.lower()
     groups: list[tuple[list[str], list[tuple[bool, str]], list[float]]] = []
     agents: list[str] = []
@@ -69,42 +70,48 @@ def parse_robots(body: str, user_agent: str) -> dict:
             agents.append(val.lower())
             continue
         if key == "sitemap":
-            # non-group record: collected globally and — like unknown
-            # directives — does NOT split a run of User-agent lines
+            # non-group record: collected globally
             if val:
                 sitemaps.append(val)
             continue
-        in_group_header = False
-        if key in ("allow", "disallow") and agents:
-            if val:
+        if key == "allow" or key == "disallow":
+            in_group_header = False
+            if agents and val:
                 rules.append((key == "allow", val))
-            elif key == "disallow":
-                pass  # empty Disallow: allow all — contributes no rule
-        elif key == "crawl-delay" and agents:
-            try:
-                delays.append(float(val))
-            except ValueError:
-                pass
+            # empty Disallow: allow all — contributes no rule
+        elif key == "crawl-delay":
+            in_group_header = False
+            if agents:
+                try:
+                    delays.append(float(val))
+                except ValueError:
+                    pass
+        # unknown directives are ignored entirely and — per RFC 9309's
+        # error tolerance — do NOT split a run of User-agent lines
     if agents:
         groups.append((agents, rules, delays))
 
-    best: tuple[int, list, list] | None = None  # (match_len, rules, delays)
-    star: tuple[list, list] | None = None
-    for agents, rules, delays in groups:
+    # RFC 9309 §2.2.1: when several groups match at the same (most
+    # specific) level they are COMBINED — e.g. two separate
+    # 'User-agent: *' groups both contribute rules
+    best_len = -1
+    for agents, _, _ in groups:
         for a in agents:
-            if a == "*":
-                if star is None:
-                    star = (rules, delays)
-            elif ua.startswith(a) and (best is None or len(a) > best[0]):
-                best = (len(a), rules, delays)
-    if best is not None:
-        chosen, delays = best[1], best[2]
-    elif star is not None:
-        chosen, delays = star
-    else:
-        chosen, delays = [], []
+            if a != "*" and ua.startswith(a) and len(a) > best_len:
+                best_len = len(a)
+    chosen: list[tuple[bool, str]] = []
+    chosen_delays: list[float] = []
+    for agents, rules, delays in groups:
+        if best_len >= 0:
+            hit = any(a != "*" and ua.startswith(a) and len(a) == best_len
+                      for a in agents)
+        else:
+            hit = "*" in agents
+        if hit:
+            chosen.extend(rules)
+            chosen_delays.extend(delays)
     return {"rules": chosen,
-            "crawl_delay": delays[0] if delays else None,
+            "crawl_delay": chosen_delays[0] if chosen_delays else None,
             "sitemaps": sitemaps}
 
 
@@ -185,7 +192,8 @@ def filter_by_robots(urls: DataFrame, robots: DataFrame, user_agent: str,
     per-worker compiled-pattern memo."""
     from irivermetrics_spark.operators import urlops
 
-    clash = {"_rules", "_rb_host", "_rb_path", "robots_allowed"} & set(urls.columns)
+    clash = {"_rules", "_rb_host", "_rb_path", "_rb_rhost",
+             "robots_allowed"} & set(urls.columns)
     if clash:
         raise ValueError(f"urls already carries column(s) {sorted(clash)}; "
                          "rename them before filter_by_robots")
@@ -204,11 +212,15 @@ def filter_by_robots(urls: DataFrame, robots: DataFrame, user_agent: str,
         per_host = F.broadcast(per_host)
 
     u = urls.withColumn("_rb_host", urlops.url_host(F.col(url_col)))
+    q = F.coalesce(urlops.url_query(F.col(url_col)), F.lit(""))
     u = u.withColumn(
         "_rb_path",
         F.concat(F.when(F.col(url_col).rlike("^[A-Za-z][A-Za-z0-9+.-]*://"),
                         urlops.url_path(F.col(url_col))).otherwise(F.lit("/")),
-                 F.coalesce(urlops.url_query(F.col(url_col)), F.lit(""))))
+                 # url_query strips the leading '?': restore it, else
+                 # query-targeting rules (Disallow: /*?) never match and
+                 # prefix rules can spuriously match query text
+                 F.when(q != "", F.concat(F.lit("?"), q)).otherwise(F.lit(""))))
     joined = u.join(per_host, u["_rb_host"] == per_host["_rb_rhost"], "left") \
               .drop("_rb_rhost")
 

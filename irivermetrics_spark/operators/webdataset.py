@@ -84,6 +84,14 @@ def write_webdataset(samples: DataFrame, outdir: str, n_shards: int,
         if len(set(keys)) != len(keys):
             dup = next(k for k in keys if keys.count(k) > 1)
             raise ValueError(f"duplicate sample key in shard {shard}: {dup!r}")
+        for k in keys:
+            # readers split member names at the FIRST dot of the
+            # basename: a dotted key would silently merge distinct
+            # samples on read-back
+            if "." in k.rpartition("/")[2]:
+                raise ValueError(f"sample key contains '.': {k!r} — "
+                                 "dots are the field separator in "
+                                 "WebDataset member names")
         members = []
         for _, row in pdf.iterrows():
             for c in payload_cols:

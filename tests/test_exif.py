@@ -151,3 +151,31 @@ def test_resize_orient_restores_upright(spark):
     out2 = multimodal.resize_images(df, out_w=16, out_h=12, orient=False).first()
     dec2 = codecs.decode_image(bytes(out2.bytes)).astype(np.float64)
     assert codecs.psnr(dec2, upright.astype(np.float64), peak=255.0) < 20
+
+
+def test_with_exif_hostile_types_dead_letter(spark):
+    """r7 review find: a hostile APP1 can type any tag any way (e.g.
+    orientation as ASCII) — with_exif must emit exif_error, never
+    crash the Arrow conversion."""
+    import struct as _s
+
+    # IFD0 with orientation (274) mistyped as ASCII 'a'
+    ifd = _s.pack("<H", 1)
+    ifd += _s.pack("<HHI", 274, 2, 2) + b"a\x00\x00\x00"
+    ifd += _s.pack("<I", 0)
+    evil_tiff = b"II*\x00" + _s.pack("<I", 8) + ifd
+    jpg = jpegk.encode_baseline(np.full((1, 8, 8), 50, np.uint8))
+    evil = exifk.insert_exif_app1(jpg, evil_tiff)
+    df = spark.createDataFrame([("e", bytearray(evil))],
+                               "image_id string, bytes binary")
+    from irivermetrics_spark.operators import multimodal
+
+    row = multimodal.with_exif(df).collect()[0]
+    assert row.orientation is None
+    assert row.exif_error is not None and "orientation" in row.exif_error
+    # resize(orient=True) must also survive the hostile tag
+    df2 = df.withColumn("fmt", df.image_id * 0 + "jpeg") if False else \
+        spark.createDataFrame([("e", bytearray(evil), "jpeg")],
+                              "image_id string, bytes binary, fmt string")
+    out = multimodal.resize_images(df2, out_w=8, out_h=8, orient=True).first()
+    assert out.w == 8 and out.h == 8

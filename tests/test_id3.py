@@ -125,3 +125,27 @@ def test_with_audio_tags_spark(spark):
     assert got["a"].year == "2010" and got["a"].id3_version == "2.3"
     for k in "bcd":
         assert got[k].title is None and got[k].id3_version is None
+
+
+def test_frame_format_flags_v23_v24():
+    """r7 review find: frames flagged compressed/encrypted can't be
+    text-decoded (skip), v2.4 DLI adds 4 size bytes, grouping adds an
+    id byte — decoding must honor the 2nd flag byte."""
+    # v2.3 compressed TIT2 -> skipped; clean TPE1 still decodes
+    p = b"\x00garbage\x00"
+    f1 = b"TIT2" + struct.pack(">I", len(p)) + b"\x00\x80" + p
+    p2 = b"\x00Artist\x00"
+    f2 = b"TPE1" + struct.pack(">I", len(p2)) + b"\x00\x00" + p2
+    tag = b"ID3\x03\x00\x00" + _ss(len(f1 + f2)) + f1 + f2
+    d = id3k.parse_id3(tag)
+    assert "title" not in d and d["artist"] == "Artist"
+    # v2.4 DLI: 4 extra bytes precede the payload
+    payload = b"\x00\x00\x00\x05" + b"\x03Hi\x00"
+    f3 = b"TIT2" + _ss(len(payload)) + b"\x00\x01" + payload
+    tag4 = b"ID3\x04\x00\x00" + _ss(len(f3)) + f3
+    assert id3k.parse_id3(tag4)["title"] == "Hi"
+    # v2.3 grouping identity byte
+    gp = b"\xaa" + b"\x00GroupedAlbum\x00"
+    f4 = b"TALB" + struct.pack(">I", len(gp)) + b"\x00\x20" + gp
+    tag5 = b"ID3\x03\x00\x00" + _ss(len(f4)) + f4
+    assert id3k.parse_id3(tag5)["album"] == "GroupedAlbum"

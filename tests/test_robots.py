@@ -154,3 +154,48 @@ def test_parse_robots_df_rows(spark):
         (False, "/private/")]
     assert by_host["open.example"][0].pattern is None
     assert by_host["open.example"][0].sitemaps == ["https://open.example/s.xml"]
+
+
+def test_review_fixes_query_separator_and_group_combining():
+    """r7 review finds: (1) the evaluated path must keep the '?' so
+    query-targeting rules match and prefix rules can't leak into query
+    text; (2) multiple groups at the same agent level COMBINE (RFC
+    9309 §2.2.1); (3) unknown directives don't split a UA run."""
+    # (2) two '*' groups combine
+    body = "User-agent: *\nDisallow: /a/\n\nUser-agent: *\nDisallow: /b/\n"
+    rules = rb.parse_robots(body, "bot")["rules"]
+    assert rules == [(False, "/a/"), (False, "/b/")]
+    assert not rb.decide(rules, "/b/x")
+    # same-token specific groups combine too; star rules stay out
+    body2 = ("User-agent: foo\nDisallow: /f1/\nUser-agent: *\n"
+             "Disallow: /star/\nUser-agent: foo\nDisallow: /f2/\n")
+    assert rb.parse_robots(body2, "foo")["rules"] == [
+        (False, "/f1/"), (False, "/f2/")]
+    # (3) unknown directive inside a UA run
+    body3 = "User-agent: a\nFoo: bar\nUser-agent: b\nDisallow: /x/\n"
+    assert rb.parse_robots(body3, "a")["rules"] == [(False, "/x/")]
+    assert rb.parse_robots(body3, "b")["rules"] == [(False, "/x/")]
+
+
+def test_review_fix_query_string_paths(spark):
+    robots_df = spark.createDataFrame(
+        [("q.example", "User-agent: *\nDisallow: /*?\nAllow: /ok?x=1$\n"),
+         ("p.example", "User-agent: *\nDisallow: /ab\n")],
+        "host string, robots_txt string")
+    urls = spark.createDataFrame(
+        [(1, "https://q.example/search?q=1"),
+         (2, "https://q.example/plain"),
+         (3, "https://q.example/ok?x=1"),
+         (4, "https://p.example/a?b=1"),   # /ab must NOT match across '?'
+         (5, "https://p.example/ab/c")],
+        "doc_id bigint, url string")
+    out = {r.doc_id: r.robots_allowed
+           for r in rb.filter_by_robots(urls, robots_df, "bot").collect()}
+    assert out == {1: False, 2: True, 3: True, 4: True, 5: False}
+
+
+def test_review_fix_rhost_clash_guard(spark):
+    urls, robots_tbl = _tables(spark)
+    with pytest.raises(ValueError, match="_rb_rhost"):
+        rb.filter_by_robots(urls.withColumn("_rb_rhost", urls.doc_id),
+                            robots_tbl, "bot")

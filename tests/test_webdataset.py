@@ -208,3 +208,35 @@ def test_webdataset_dead_letter_and_validation(spark, tmp_path):
     with pytest.raises(Exception, match="duplicate sample key"):
         wds.write_webdataset(dup, str(tmp_path / "dup"), n_shards=1,
                              payload_cols=["jpg"])
+
+
+def test_dotted_keys_rejected(spark, tmp_path):
+    """r7 review find: keys containing '.' would merge into one sample
+    on read-back (first-dot split) — the writer must reject them."""
+    from irivermetrics_spark.operators import webdataset as wds
+
+    df = spark.createDataFrame([("a.1", b"x"), ("a.2", b"y")],
+                               "key string, jpg binary")
+    with pytest.raises(Exception, match="field separator"):
+        wds.write_webdataset(df, str(tmp_path / "d"), n_shards=1,
+                             payload_cols=["jpg"])
+
+
+def test_pax_long_names_round_trip():
+    """r7 review find: stdlib tarfile's DEFAULT format is PAX — long
+    names arrive as 'x' extended-header path records, which the reader
+    must apply (not silently yield the truncated ustar name)."""
+    import io
+    import tarfile
+
+    long_name = "x" * 180 + ".jpg"
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w", format=tarfile.PAX_FORMAT) as tf:
+        info = tarfile.TarInfo(long_name)
+        info.size = 3
+        tf.addfile(info, io.BytesIO(b"abc"))
+        short = tarfile.TarInfo("short.txt")
+        short.size = 2
+        tf.addfile(short, io.BytesIO(b"ok"))
+    got = list(tark.iter_tar(buf.getvalue()))
+    assert got == [(long_name, b"abc"), ("short.txt", b"ok")]

@@ -115,3 +115,10 @@ def test_read_zip_members_spark(spark, tmp_path):
     part_bad = [r for r in by["part.zip"] if r.error is not None]
     assert len(part_ok) == len(MEMBERS) - 1 and len(part_bad) == 1
     assert part_bad[0].name == "0001.jpg" and "CRC" in part_bad[0].error
+
+
+def test_member_count_guard():
+    """r7 review find: >65535 members must be a clear ValueError, not
+    a struct.error from the 16-bit EOCD counts."""
+    with pytest.raises(ValueError, match="65535"):
+        zipfmt.write_zip([("m", b"")] * 65536)
