@@ -1,0 +1,178 @@
+"""Sitemap ingest — from-scratch parser for the sitemaps.org XML
+protocol (urlset / sitemapindex), the crawl-frontier companion to the
+robots.txt filter (whose parser surfaces the ``Sitemap:`` pointers
+this operator consumes).
+
+Why it matters at 100 TB: sitemaps are how publishers enumerate what
+SHOULD be crawled — a crawl pipeline diffing its URL table against
+sitemap entries finds both coverage gaps and stale captures, and
+``lastmod`` drives re-crawl scheduling. The sitemap dimension is
+per-host like robots: bounded, parsed once, joined/unioned into the
+URL table.
+
+Parser scope (public sitemaps.org schema, reimplemented): ``<urlset>``
+entries (``loc`` required; ``lastmod``/``changefreq``/``priority``
+optional) and ``<sitemapindex>`` entries (``loc``/``lastmod``), via a
+forgiving tag scan — namespace prefixes, attribute junk, CDATA
+sections and XML entities are handled; gzipped bodies (the .xml.gz
+convention, magic-sniffed) are inflated with a bomb cap. Never raises:
+malformed input yields the entries that could be parsed plus an
+``error`` note. The spec's 50k-entries/50MB caps are enforced as
+parse bounds."""
+
+from __future__ import annotations
+
+import re
+import zlib
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_MAX_BODY = 64 * 1024 * 1024  # spec cap is 50 MB uncompressed
+_MAX_ENTRIES = 50_000
+
+_XML_ENTITIES = {"amp": "&", "lt": "<", "gt": ">", "quot": '"',
+                 "apos": "'"}
+
+_BLOCK_RE = re.compile(
+    r"<(?:\w+:)?(url|sitemap)[\s>](.*?)</(?:\w+:)?\1\s*>",
+    re.S | re.I)
+_FIELD_RE = re.compile(
+    r"<(?:\w+:)?(loc|lastmod|changefreq|priority)\s*>(.*?)"
+    r"</(?:\w+:)?\1\s*>", re.S | re.I)
+
+
+def _decode_xml_text(s: str) -> str:
+    s = s.strip()
+    if s.startswith("<![CDATA[") and s.endswith("]]>"):
+        return s[9:-3].strip()
+
+    def sub(m: re.Match) -> str:
+        name = m.group(1)
+        if name.startswith("#x") or name.startswith("#X"):
+            try:
+                return chr(int(name[2:], 16))
+            except (ValueError, OverflowError):
+                return m.group(0)
+        if name.startswith("#"):
+            try:
+                return chr(int(name[1:]))
+            except (ValueError, OverflowError):
+                return m.group(0)
+        return _XML_ENTITIES.get(name, m.group(0))
+
+    return re.sub(r"&(#?\w+);", sub, s)
+
+
+def parse_sitemap(body) -> dict:
+    """One sitemap body (str or bytes; gzip/zlib sniffed) ->
+    {'kind': 'urlset'|'sitemapindex'|None, 'entries': [{'loc',
+    'lastmod', 'changefreq', 'priority'}...], 'error': str|None}.
+    Never raises."""
+    out: dict = {"kind": None, "entries": [], "error": None}
+    try:
+        if body is None:
+            out["error"] = "NULL body"
+            return out
+        if isinstance(body, (bytes, bytearray, memoryview)):
+            b = bytes(body)
+            if b[:2] == b"\x1f\x8b":
+                d = zlib.decompressobj(wbits=31)
+                b = d.decompress(b, _MAX_BODY + 1)
+                if len(b) > _MAX_BODY:
+                    out["error"] = "decompressed body exceeds the spec cap"
+                    return out
+                if not d.eof:
+                    out["error"] = "truncated gzip body"
+                    return out
+            text = b.decode("utf-8", "replace")
+        else:
+            text = str(body)
+        if len(text) > _MAX_BODY:
+            out["error"] = "body exceeds the spec cap"
+            return out
+        low = text.lower()
+        if re.search(r"<(?:\w+:)?sitemapindex[\s>]", low):
+            out["kind"] = "sitemapindex"
+        elif re.search(r"<(?:\w+:)?urlset[\s>]", low):
+            out["kind"] = "urlset"
+        else:
+            out["error"] = "no urlset/sitemapindex root element"
+            return out
+        for m in _BLOCK_RE.finditer(text):
+            if len(out["entries"]) >= _MAX_ENTRIES:
+                out["error"] = f"entry count exceeds {_MAX_ENTRIES} (truncated)"
+                break
+            fields = {"loc": None, "lastmod": None, "changefreq": None,
+                      "priority": None}
+            for fm in _FIELD_RE.finditer(m.group(2)):
+                key = fm.group(1).lower()
+                if fields[key] is None:
+                    fields[key] = _decode_xml_text(fm.group(2))
+            if fields["loc"]:
+                out["entries"].append(fields)
+        return out
+    except Exception as e:  # hostile input: inventory, don't fail tasks
+        out["error"] = f"{type(e).__name__}: {e}"
+        return out
+
+
+_ENTRY_SCHEMA = ("host string, kind string, loc string, lastmod string, "
+                 "changefreq string, priority double, sitemap_error string")
+
+
+def parse_sitemaps_df(sitemaps: DataFrame, host_col: str = "host",
+                      body_col: str = "sitemap_xml") -> DataFrame:
+    """(host, sitemap_xml) -> one row per entry: (host, kind, loc,
+    lastmod, changefreq, priority, sitemap_error). ``kind`` =
+    'sitemapindex' rows are pointers to child sitemaps (feed them back
+    through a fetch + this operator — the index recursion is a crawl
+    I/O step, not a parse step). A body with no parseable entries
+    emits one dead-letter row. One Arrow pass; each body parsed
+    once."""
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for host, body in zip(pdf[host_col], pdf[body_col]):
+                d = parse_sitemap(body)
+                if not d["entries"]:
+                    rows.append(dict(host=host, kind=d["kind"], loc=None,
+                                     lastmod=None, changefreq=None,
+                                     priority=None,
+                                     sitemap_error=d["error"] or "no entries"))
+                    continue
+                for e in d["entries"]:
+                    try:
+                        pr = (float(e["priority"])
+                              if e["priority"] is not None else None)
+                    except ValueError:
+                        pr = None
+                    rows.append(dict(host=host, kind=d["kind"], loc=e["loc"],
+                                     lastmod=e["lastmod"],
+                                     changefreq=e["changefreq"], priority=pr,
+                                     sitemap_error=d["error"]))
+            yield pd.DataFrame(rows, columns=["host", "kind", "loc",
+                                              "lastmod", "changefreq",
+                                              "priority", "sitemap_error"])
+
+    return (sitemaps.select(F.col(host_col).alias(host_col),
+                            F.col(body_col).alias(body_col))
+            .mapInPandas(kernel, schema=_ENTRY_SCHEMA))
+
+
+def coverage_gaps(urls: DataFrame, sitemap_entries: DataFrame,
+                  url_col: str = "url_norm") -> DataFrame:
+    """Sitemap entries whose ``loc`` has no row in the URL table —
+    the publisher-declared pages the crawl is missing. Normalizes the
+    loc with the same urlops canonicalization the URL table uses, so
+    the anti-join compares like with like; one shuffle."""
+    from irivermetrics_spark.operators import urlops
+
+    ent = (sitemap_entries
+           .where(F.col("loc").isNotNull() & (F.col("kind") == "urlset"))
+           .withColumn("_loc_norm", urlops.normalized_url(F.col("loc"))))
+    return (ent.join(urls.select(F.col(url_col).alias("_loc_norm")).distinct(),
+                     "_loc_norm", "left_anti")
+            .drop("_loc_norm"))
