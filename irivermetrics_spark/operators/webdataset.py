@@ -125,6 +125,34 @@ def read_webdataset(spark: SparkSession, path: str) -> DataFrame:
              .option("recursiveFileLookup", "true")
              .load(path)
              .select("path", "content"))
+    return members_from_files(files)
+
+
+def stream_webdataset(spark: SparkSession, path: str) -> DataFrame:
+    """readStream over a growing shard directory — the binaryFile
+    source is a FileFormat, so FileStreamSource tails it with
+    exactly-once file tracking (same machinery as the nc/tif mask
+    streams); each micro-batch parses its NEW shards through the SAME
+    member kernel as the batch path, so batch and stream cannot
+    diverge. The grain trainers want for follow-the-crawl ingestion."""
+    from pyspark.sql.types import (BinaryType, LongType, StringType,
+                                   StructField, StructType, TimestampType)
+
+    schema = StructType([StructField("path", StringType()),
+                         StructField("modificationTime", TimestampType()),
+                         StructField("length", LongType()),
+                         StructField("content", BinaryType())])
+    files = (spark.readStream.format("binaryFile")
+             .schema(schema)
+             .option("pathGlobFilter", "*.[tT][aA][rR]")
+             .option("recursiveFileLookup", "true")
+             .load(path)
+             .select("path", "content"))
+    return members_from_files(files)
+
+
+def members_from_files(files: DataFrame) -> DataFrame:
+    """(path, content) frame — batch or streaming — → member rows."""
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
