@@ -30,7 +30,7 @@ DEFAULT_TEMPLATE = {
 }
 
 
-def _rendered(msgs: Column, template: dict) -> Column:
+def _rendered(msgs: Column, template: dict, loss_role: str) -> Column:
     """array<struct<role,content>> -> array<struct<pre,content,suf>>
     with the per-role template applied (literal CASE chain — the
     template dict is tiny and known at plan time)."""
@@ -53,23 +53,34 @@ def _rendered(msgs: Column, template: dict) -> Column:
             pick(0)(m).alias("pre"),
             m["content"].alias("content"),
             pick(1)(m).alias("suf"),
-            (m["role"] == "assistant").alias("is_assistant"),
+            (m["role"] == loss_role).alias("is_assistant"),
         ))
 
 
 def format_chat(docs: DataFrame, messages_col: str = "messages",
                 template: dict | None = None,
                 out_col: str = "text",
-                spans_col: str = "assistant_spans") -> DataFrame:
+                spans_col: str = "assistant_spans",
+                loss_role: str = "assistant") -> DataFrame:
     """Adds ``text`` (the templated conversation) and
     ``assistant_spans`` (array<struct<start,end>> — character offsets
-    of each assistant turn's CONTENT inside ``text``, half-open) plus
-    ``n_turns``. Purely JVM column expressions: no Python stage, no
-    shuffle. Rows whose message list is NULL, empty, or contains a
-    NULL content get NULL text/spans (filter or dead-letter them)."""
+    of each ``loss_role`` turn's CONTENT inside ``text``, half-open)
+    plus ``n_turns``. ``loss_role`` names the role whose tokens get
+    loss (ShareGPT-style data uses 'gpt'); when a custom template is
+    supplied without a matching role entry, that's almost certainly a
+    mistake — rejected loudly rather than emitting empty loss masks.
+    Purely JVM column expressions: no Python stage, no shuffle. Rows
+    whose message list is NULL, empty, or contains a NULL role/content
+    get NULL text/spans (filter or dead-letter them)."""
     template = template or DEFAULT_TEMPLATE
+    if loss_role not in template:
+        raise ValueError(
+            f"loss_role {loss_role!r} is not a role in the template "
+            f"({sorted(k for k in template if k != '*')}) — every span "
+            "would be empty; pass loss_role= matching your data's "
+            "assistant-role name")
     msgs = F.col(messages_col)
-    r = _rendered(msgs, template)
+    r = _rendered(msgs, template, loss_role)
 
     # one left-fold: accumulator = (offset so far, spans so far, text so far)
     acc0 = F.struct(

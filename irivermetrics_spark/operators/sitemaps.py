@@ -23,7 +23,6 @@ parse bounds."""
 from __future__ import annotations
 
 import re
-import zlib
 from typing import Iterator
 
 import pandas as pd
@@ -33,37 +32,46 @@ from pyspark.sql import functions as F
 _MAX_BODY = 64 * 1024 * 1024  # spec cap is 50 MB uncompressed
 _MAX_ENTRIES = 50_000
 
-_XML_ENTITIES = {"amp": "&", "lt": "<", "gt": ">", "quot": '"',
-                 "apos": "'"}
-
-_BLOCK_RE = re.compile(
-    r"<(?:\w+:)?(url|sitemap)[\s>](.*?)</(?:\w+:)?\1\s*>",
-    re.S | re.I)
+# one linear pass pairs open/close tags (a lazy `<url>(.*?)</url>`
+# regex is QUADRATIC on unclosed-tag spam — 200k bare '<url ' openers
+# would each rescan to end-of-string); blocks are additionally capped:
+# a single sitemap entry is tiny by spec, so an oversized "block" is
+# hostile input, not data
+_TAG_RE = re.compile(r"<(/?)(?:\w+:)?(url|sitemap)[\s>/]", re.I)
 _FIELD_RE = re.compile(
     r"<(?:\w+:)?(loc|lastmod|changefreq|priority)\s*>(.*?)"
     r"</(?:\w+:)?\1\s*>", re.S | re.I)
+_ROOT_INDEX_RE = re.compile(r"<(?:\w+:)?sitemapindex[\s>]", re.I)
+_ROOT_URLSET_RE = re.compile(r"<(?:\w+:)?urlset[\s>]", re.I)
+_MAX_BLOCK = 65536
+
+
+def _iter_blocks(text: str):
+    """Yield the inner text of each <url>/<sitemap> element — linear
+    scan, no backtracking; unclosed openers are simply skipped."""
+    open_pos = None
+    open_kind = None
+    for m in _TAG_RE.finditer(text):
+        closing, kind = m.group(1) == "/", m.group(2).lower()
+        if not closing:
+            open_pos, open_kind = m.end(), kind
+        elif open_pos is not None and kind == open_kind:
+            if m.start() - open_pos <= _MAX_BLOCK:
+                yield text[open_pos:m.start()]
+            open_pos = open_kind = None
 
 
 def _decode_xml_text(s: str) -> str:
+    # CDATA passthrough, then the shared entity decoder (htmltext's —
+    # digit caps, 0x10FFFF bound and the lone-surrogate guard live
+    # there; a weaker local copy once crashed Arrow serialization on
+    # &#55296;)
+    from irivermetrics_spark.operators.htmltext import _decode_entities
+
     s = s.strip()
     if s.startswith("<![CDATA[") and s.endswith("]]>"):
         return s[9:-3].strip()
-
-    def sub(m: re.Match) -> str:
-        name = m.group(1)
-        if name.startswith("#x") or name.startswith("#X"):
-            try:
-                return chr(int(name[2:], 16))
-            except (ValueError, OverflowError):
-                return m.group(0)
-        if name.startswith("#"):
-            try:
-                return chr(int(name[1:]))
-            except (ValueError, OverflowError):
-                return m.group(0)
-        return _XML_ENTITIES.get(name, m.group(0))
-
-    return re.sub(r"&(#?\w+);", sub, s)
+    return _decode_entities(s)
 
 
 def parse_sitemap(body) -> dict:
@@ -79,13 +87,19 @@ def parse_sitemap(body) -> dict:
         if isinstance(body, (bytes, bytearray, memoryview)):
             b = bytes(body)
             if b[:2] == b"\x1f\x8b":
-                d = zlib.decompressobj(wbits=31)
-                b = d.decompress(b, _MAX_BODY + 1)
+                # the warc kernel's member walk: multi-member gzip
+                # (cat'd / block-gzip output) decodes FULLY — a single
+                # decompressobj pass silently drops unused_data
+                from irivermetrics_spark.kernels import warc as warck
+
+                try:
+                    parts = list(warck.iter_gzip_members(b, cap=_MAX_BODY + 1))
+                except warck.WarcError as e:
+                    out["error"] = f"gzip: {e}"
+                    return out
+                b = b"".join(parts)
                 if len(b) > _MAX_BODY:
                     out["error"] = "decompressed body exceeds the spec cap"
-                    return out
-                if not d.eof:
-                    out["error"] = "truncated gzip body"
                     return out
             text = b.decode("utf-8", "replace")
         else:
@@ -93,21 +107,20 @@ def parse_sitemap(body) -> dict:
         if len(text) > _MAX_BODY:
             out["error"] = "body exceeds the spec cap"
             return out
-        low = text.lower()
-        if re.search(r"<(?:\w+:)?sitemapindex[\s>]", low):
+        if _ROOT_INDEX_RE.search(text):
             out["kind"] = "sitemapindex"
-        elif re.search(r"<(?:\w+:)?urlset[\s>]", low):
+        elif _ROOT_URLSET_RE.search(text):
             out["kind"] = "urlset"
         else:
             out["error"] = "no urlset/sitemapindex root element"
             return out
-        for m in _BLOCK_RE.finditer(text):
+        for inner in _iter_blocks(text):
             if len(out["entries"]) >= _MAX_ENTRIES:
                 out["error"] = f"entry count exceeds {_MAX_ENTRIES} (truncated)"
                 break
             fields = {"loc": None, "lastmod": None, "changefreq": None,
                       "priority": None}
-            for fm in _FIELD_RE.finditer(m.group(2)):
+            for fm in _FIELD_RE.finditer(inner):
                 key = fm.group(1).lower()
                 if fields[key] is None:
                     fields[key] = _decode_xml_text(fm.group(2))
@@ -172,7 +185,12 @@ def coverage_gaps(urls: DataFrame, sitemap_entries: DataFrame,
 
     ent = (sitemap_entries
            .where(F.col("loc").isNotNull() & (F.col("kind") == "urlset"))
-           .withColumn("_loc_norm", urlops.normalized_url(F.col("loc"))))
+           .withColumn("_loc_norm", urlops.normalized_url(F.col("loc")))
+           # a loc the normalizer rejects (NULL key) can't be compared
+           # — a NULL never anti-joins away, so it would be reported
+           # as a gap even when the crawl has that page; drop it here
+           # rather than inflate the gap count with uncomparables
+           .where(F.col("_loc_norm").isNotNull()))
     return (ent.join(urls.select(F.col(url_col).alias("_loc_norm")).distinct(),
                      "_loc_norm", "left_anti")
             .drop("_loc_norm"))

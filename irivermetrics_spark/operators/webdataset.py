@@ -128,13 +128,21 @@ def read_webdataset(spark: SparkSession, path: str) -> DataFrame:
     return members_from_files(files)
 
 
-def stream_webdataset(spark: SparkSession, path: str) -> DataFrame:
+def stream_webdataset(spark: SparkSession, path: str,
+                      max_file_age: str = "3650d") -> DataFrame:
     """readStream over a growing shard directory — the binaryFile
     source is a FileFormat, so FileStreamSource tails it with
     exactly-once file tracking (same machinery as the nc/tif mask
     streams); each micro-batch parses its NEW shards through the SAME
     member kernel as the batch path, so batch and stream cannot
-    diverge. The grain trainers want for follow-the-crawl ingestion."""
+    diverge. The grain trainers want for follow-the-crawl ingestion.
+
+    ``max_file_age`` pins FileStreamSource's ``maxFileAge`` (default
+    7 DAYS): backfilling a shard dir with mtime-preserving copies
+    (rsync -a / distcp) would otherwise silently skip week-old files —
+    exactly the corpus-import case this ingest exists for. The cost is
+    a seen-files log that grows with file count, which exactly-once
+    tracking needs anyway."""
     from pyspark.sql.types import (BinaryType, LongType, StringType,
                                    StructField, StructType, TimestampType)
 
@@ -146,6 +154,7 @@ def stream_webdataset(spark: SparkSession, path: str) -> DataFrame:
              .schema(schema)
              .option("pathGlobFilter", "*.[tT][aA][rR]")
              .option("recursiveFileLookup", "true")
+             .option("maxFileAge", max_file_age)
              .load(path)
              .select("path", "content"))
     return members_from_files(files)

@@ -88,3 +88,19 @@ def test_plan_is_jvm_only(spark):
     assert "Exchange" not in plan
     for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert marker not in plan, marker
+
+
+def test_loss_role_parameter(spark):
+    """r7 review find: span extraction must follow the data's
+    assistant-role name (ShareGPT uses human/gpt), and a loss_role
+    missing from a custom template is a loud error, not an empty
+    mask."""
+    tpl = {"human": ("H: ", "\n"), "gpt": ("G: ", "\n"), "*": ("? ", "\n")}
+    df = spark.createDataFrame(
+        [(1, [("human", "q"), ("gpt", "a")])],
+        "doc_id int, messages array<struct<role:string,content:string>>")
+    row = cf.format_chat(df, template=tpl, loss_role="gpt").collect()[0]
+    assert row.text == "H: q\nG: a\n"
+    assert [(s.start, s.end) for s in row.assistant_spans] == [(8, 9)]
+    with pytest.raises(ValueError, match="loss_role"):
+        cf.format_chat(df, template=tpl)  # default 'assistant' absent

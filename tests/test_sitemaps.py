@@ -112,3 +112,47 @@ def test_coverage_gaps(spark):
     gaps = sm.coverage_gaps(urls, entries).collect()
     # /a is covered (case-normalized); /missing is the gap
     assert [r.loc for r in gaps] == ["https://example.com/missing"]
+
+
+def test_review_fixes_surrogate_multimember_quadratic(spark):
+    """r7 review finds: (1) a lone-surrogate numeric entity must not
+    crash Arrow serialization; (2) concatenated gzip members decode
+    FULLY; (3) unclosed-tag spam must parse in linear time."""
+    import time
+
+    # (1) &#55296; = lone surrogate: parse keeps it un-decoded and the
+    # Spark pass dead-letters nothing / crashes nothing
+    body = "<urlset><url><loc>https://h/&#55296;x</loc></url></urlset>"
+    d = sm.parse_sitemap(body)
+    assert d["entries"][0]["loc"] == "https://h/&#55296;x"
+    df = spark.createDataFrame([("h", body.encode())],
+                               "host string, sitemap_xml binary")
+    rows = sm.parse_sitemaps_df(df).collect()
+    assert len(rows) == 1 and rows[0].loc.endswith("x")
+
+    # (2) two gzip members back-to-back: entries from BOTH
+    a = gzip.compress(b"<urlset><url><loc>https://h/1</loc></url>")
+    b = gzip.compress(b"<url><loc>https://h/2</loc></url></urlset>")
+    d2 = sm.parse_sitemap(a + b)
+    assert [e["loc"] for e in d2["entries"]] == ["https://h/1", "https://h/2"]
+
+    # (3) 100k unclosed '<url ' openers: linear, not quadratic
+    hostile = "<urlset>" + "<url >" * 100_000
+    t0 = time.perf_counter()
+    d3 = sm.parse_sitemap(hostile)
+    assert time.perf_counter() - t0 < 5.0
+    assert d3["entries"] == []
+
+
+def test_coverage_gaps_drops_unnormalizable_locs(spark):
+    body = ("<urlset><url><loc>https://пример.рф/x</loc></url>"
+            "<url><loc>https://ok.example/missing</loc></url></urlset>")
+    entries = sm.parse_sitemaps_df(spark.createDataFrame(
+        [("h", body.encode())], "host string, sitemap_xml binary"))
+    from irivermetrics_spark.operators import urlops
+
+    urls = urlops.with_url_parts(spark.createDataFrame(
+        [(1, "https://ok.example/present")], "doc_id bigint, url string"))
+    gaps = sm.coverage_gaps(urls, entries).collect()
+    # the raw-unicode host fails normalization -> NOT reported as a gap
+    assert [r.loc for r in gaps] == ["https://ok.example/missing"]

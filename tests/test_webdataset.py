@@ -274,3 +274,29 @@ def test_stream_webdataset_exactly_once(spark, tmp_path):
     batch = {(r.key, bytes(r.bytes)) for r in
              wds.read_webdataset(spark, str(src)).collect()}
     assert batch == {(r.key, bytes(r.bytes)) for r in rows}
+
+
+def test_stream_webdataset_ingests_old_mtimes(spark, tmp_path):
+    """r7 review find: FileStreamSource's default maxFileAge (7d)
+    silently skips mtime-preserving backfills; the reader pins it."""
+    import os
+    import time
+
+    src = tmp_path / "olds"
+    src.mkdir()
+    p_old = src / "old.tar"
+    p_old.write_bytes(tark.write_tar([("old.txt", b"o")]))
+    past = time.time() - 60 * 86400
+    os.utime(p_old, (past, past))
+    (src / "new.tar").write_bytes(tark.write_tar([("new.txt", b"n")]))
+
+    from irivermetrics_spark.operators import webdataset as wds
+
+    sink = str(tmp_path / "sink2")
+    q = (wds.stream_webdataset(spark, str(src)).writeStream
+         .format("parquet").option("path", sink)
+         .option("checkpointLocation", str(tmp_path / "ck2"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    keys = sorted(r.key for r in spark.read.parquet(sink).collect())
+    assert keys == ["new", "old"]  # the 60-day-old backfill is NOT skipped
