@@ -173,6 +173,25 @@ def main() -> None:
                                      id_col="pack_id",
                                      extra_order_cols=["doc_id"]).toPandas()
 
+    # 8. SFT tail: a conversation table (synthesized from the curated
+    # docs) flattens into templated training text + assistant loss
+    # spans in one pure-JVM fold — the same chat-formatting front door
+    # an instruction-tuning corpus runs before packing.
+    from irivermetrics_spark.operators import chatformat
+
+    convos = keepers.limit(50).select(
+        "doc_id",
+        F.array(
+            F.struct(F.lit("user").alias("role"),
+                     F.concat(F.lit("Summarize: "),
+                              F.substring("text", 1, 120)).alias("content")),
+            F.struct(F.lit("assistant").alias("role"),
+                     F.substring("text", 1, 60).alias("content")),
+        ).alias("messages"))
+    sft = chatformat.format_chat(convos)
+    n_sft = sft.where("text IS NOT NULL").count()
+    span_rows = sft.select(F.explode("assistant_spans")).count()
+
     print(f"\ndocuments: {n0} -> exact-deduped {n1} "
           f"(span-trimmed {n1b}, boilerplate-trimmed {n_boiler}) "
           f"-> quality-kept {n2} "
@@ -182,7 +201,9 @@ def main() -> None:
           f"train split packed into {n_packs} x 512-token sequences "
           f"at {fill:.1%} mean fill; "
           f"shipped {int(manifest['n_rows'].sum())} rows as "
-          f"{len(manifest)} stable shards -> {out_dir}")
+          f"{len(manifest)} stable shards -> {out_dir}; "
+          f"SFT tail: {n_sft} conversations formatted with "
+          f"{span_rows} assistant loss spans")
     print(hits.orderBy("query_id", "rank").toPandas().to_string(index=False))
     spark.stop()
 
