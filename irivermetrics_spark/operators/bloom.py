@@ -41,6 +41,9 @@ from pyspark.sql import functions as F
 
 _MAGIC = b"IRMBLOOM1"
 
+# worker-lifetime probe memo: id(broadcast bytes) -> (bytes ref, filter)
+_PROBE_MEMO: dict = {}
+
 
 class BloomFilter:
     """Immutable filter: ``bits`` (numpy uint8 bitmap), ``m`` (bit
@@ -148,7 +151,22 @@ def with_bloom_membership(docs: DataFrame, bloom: BloomFilter,
 
     @F.pandas_udf("boolean")
     def probe(keys: pd.Series) -> pd.Series:
-        bf = BloomFilter.from_bytes(bc.value)
+        # worker-lifetime memo: deserializing a GiB-class bitmap per
+        # Arrow batch would dominate the probe. Keyed by identity WITH
+        # the object held (an id() alone can alias a recycled address
+        # in a reused worker — r5 lesson)
+        from irivermetrics_spark.operators import bloom as _mod
+
+        blob = bc.value
+        memo = _mod._PROBE_MEMO
+        hit = memo.get(id(blob))
+        if hit is None or hit[0] is not blob:
+            if len(memo) > 8:
+                memo.clear()
+            bf = BloomFilter.from_bytes(blob)
+            memo[id(blob)] = (blob, bf)
+        else:
+            bf = hit[1]
         out = [None if key is None else bf.contains(str(key))
                for key in keys]
         return pd.Series(out, dtype="boolean")
