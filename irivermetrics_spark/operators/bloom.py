@@ -67,10 +67,13 @@ class BloomFilter:
 
     @classmethod
     def from_bytes(cls, blob: bytes) -> "BloomFilter":
-        if blob[:9] != _MAGIC:
+        if len(blob) < 21 or blob[:9] != _MAGIC:
             raise ValueError("not a serialized bloom filter")
         m, k = struct.unpack("<QI", blob[9:21])
-        bits = np.frombuffer(blob[21:], dtype=np.uint8).copy()
+        # zero-copy read-only view: the filter is immutable and
+        # contains() only reads — a slice + .copy() here would hold
+        # ~2x a GiB-class bitmap per worker for nothing
+        bits = np.frombuffer(blob, dtype=np.uint8, offset=21)
         if len(bits) != (m + 7) // 8:
             raise ValueError("bloom bitmap length mismatch")
         return cls(bits, m, k)
@@ -130,7 +133,11 @@ def build_bloom(docs: DataFrame, key_col: str, m_bits: int, k: int,
             acc |= np.frombuffer(b, dtype=np.uint8)
         return pd.DataFrame({"bitmap": [acc.tobytes()]})
 
-    folded = (part.withColumn("g", F.pmod(F.monotonically_increasing_id(),
+    # group by partition id, NOT monotonically_increasing_id: each
+    # partition emits ONE row, so mid() = partitionId * 2^33 and
+    # pmod(mid, fan_in) == 0 for every power-of-two fan_in (incl. the
+    # default) — all bitmaps would collapse into one combine task
+    folded = (part.withColumn("g", F.pmod(F.spark_partition_id(),
                                           F.lit(int(fan_in))).cast("int"))
               .repartition(int(fan_in), "g").groupBy("g")
               .applyInPandas(combine, schema="bitmap binary"))

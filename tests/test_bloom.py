@@ -79,3 +79,28 @@ def test_membership_probe_spark(spark):
         spark.createDataFrame([(None,)], "url string"))
     bf2 = bloom.build_bloom(with_null, "url", m, k)
     assert np.array_equal(bf2.bits, bf.bits)
+
+
+def test_review_fixes_fanin_distribution_and_truncated_header(spark):
+    """r7 review finds: (1) power-of-two fan_in must actually
+    distribute partials across combine groups (mid()-based grouping
+    sent ALL of them to group 0); (2) a blob truncated inside the
+    header raises ValueError, not struct.error; (3) from_bytes is a
+    zero-copy view."""
+    keys = [f"k{i}" for i in range(200)]
+    df = spark.createDataFrame([(k,) for k in keys], "url string")
+    m, k = bloom.params_for(200, 0.01)
+    local = _local_build(keys, m, k)
+    # default fan_in=8 (power of two) + many partitions: still exact
+    bf = bloom.build_bloom(df.repartition(16), "url", m, k)
+    assert np.array_equal(np.asarray(bf.bits), np.asarray(local.bits))
+    from pyspark.sql import functions as F
+
+    part_groups = (df.repartition(16)
+                   .select(F.pmod(F.spark_partition_id(), F.lit(8))
+                           .alias("g")).distinct().count())
+    assert part_groups > 1  # the grouping key actually spreads
+    with pytest.raises(ValueError):
+        bloom.BloomFilter.from_bytes(b"IRMBLOOM1" + b"\x00" * 5)
+    view = bloom.BloomFilter.from_bytes(local.to_bytes())
+    assert not view.bits.flags.writeable  # zero-copy read-only view
