@@ -48,8 +48,17 @@ def test_fingerprint_vectorized_speed():
             out.append(textops.fingerprint_ref(data))
         return out
 
-    t0 = time.process_time(); slow = perbyte(docs); t_slow = time.process_time() - t0
-    t0 = time.process_time(); fast = textops.fingerprint_series(docs); t_fast = time.process_time() - t0
+    # best-of-3 on BOTH paths: process CPU time alone still flapped
+    # under full-suite co-tenancy (t_fast is a tiny denominator and a
+    # single draw can catch a page-fault/GIL hiccup); the min of three
+    # draws is the steal-robust estimator every bench here uses
+    t_slow = t_fast = float("inf")
+    slow = fast = None
+    for _ in range(3):
+        t0 = time.process_time(); slow = perbyte(docs)
+        t_slow = min(t_slow, time.process_time() - t0)
+        t0 = time.process_time(); fast = textops.fingerprint_series(docs)
+        t_fast = min(t_fast, time.process_time() - t0)
     assert [int(np.uint64(v)) for v in fast] == slow
     assert t_slow / max(t_fast, 1e-9) >= 10, f"speedup only {t_slow / t_fast:.1f}x"
 
