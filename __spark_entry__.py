@@ -26,8 +26,28 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 _FIXTURE_CACHE: dict = {}
 
 
+import weakref
+
+_T_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    """Parquet table as a LAZY DataFrame, memoized per (session, path).
+
+    ``spark.read.parquet`` does a driver-side file listing + footer
+    schema read on every call (~70-100 ms each over py4j); the bench
+    re-reads the same handful of tables ~30x per run. The memo holds
+    only the unevaluated plan — every action still computes from the
+    parquet files (nothing is persisted or precomputed). Keyed weakly
+    on the session object so a stopped session's plans drop with it
+    (an id()-keyed dict could alias a recycled address)."""
+    per_session = _T_CACHE.get(spark)
+    if per_session is None:
+        per_session = _T_CACHE[spark] = {}
+    df = per_session.get((sf_dir, name))
+    if df is None:
+        df = per_session[(sf_dir, name)] = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return df
 
 
 def _fixture():

@@ -245,7 +245,8 @@ def lsh_candidates_incremental(new_docs: DataFrame, banded_index: DataFrame,
 
 def exact_jaccard_pairs(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", shingle_k: int = 5,
-                        broadcast_shingles: bool = True) -> DataFrame:
+                        broadcast_shingles: bool = True,
+                        persisted_out: list | None = None) -> DataFrame:
     """Exact shingle-set Jaccard for candidate pairs.
 
     The pair stage is pure JVM: one distributed shingle pass turns each
@@ -272,17 +273,6 @@ def exact_jaccard_pairs(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id
     ds = docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("txt"))
     if ds.rdd.getNumPartitions() < target:
         ds = ds.repartition(target)
-    if broadcast_shingles:
-        # byte-aware self-gate (ADVICE r4: a fixed doc-count threshold
-        # misses sub-500k corpora of LONG documents): character
-        # shingles are bounded by text length, so one fused agg bounds
-        # the broadcast dict at ~64 B/doc + 8 B/shingle against the
-        # same 100 MB budget distccl's resolve_components uses
-        est = ds.agg(F.count("*").alias("n"),
-                     F.sum(F.length("txt")).alias("chars")).collect()[0]
-        est_bytes = 64 * int(est["n"] or 0) + 8 * int(est["chars"] or 0)
-        if est_bytes > BROADCAST_BUDGET_BYTES:
-            broadcast_shingles = False  # driver-dim budget exceeded
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def shing(txt: pd.Series) -> pd.Series:
@@ -290,17 +280,39 @@ def exact_jaccard_pairs(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id
             _shingles(t, shingle_k).astype(np.int64).tolist() for t in txt])
 
     sh = ds.select("id", shing("txt").alias("sh"))
+    if broadcast_shingles:
+        # byte-aware self-gate (ADVICE r4: a fixed doc-count threshold
+        # misses sub-500k corpora of LONG documents) at ~64 B/doc +
+        # 8 B/shingle against the same 100 MB budget distccl's
+        # resolve_components uses. The gate agg runs over the PERSISTED
+        # shingle frame (exact sizes, one UDF pass shared with the
+        # collect below) — the r7 shape paid a separate full docs scan
+        # (count + sum(length)) just to bound shingles by chars.
+        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+        est = sh.agg(F.count("*").alias("n"),
+                     F.sum(F.size("sh")).alias("shingles")).collect()[0]
+        est_bytes = 64 * int(est["n"] or 0) + 8 * int(est["shingles"] or 0)
+        if est_bytes > BROADCAST_BUDGET_BYTES:
+            broadcast_shingles = False  # driver-dim budget exceeded
     if not broadcast_shingles:
         # The candidate frame usually carries the banded-LSH self-join
         # lineage and the shingle frame is referenced on BOTH pair
         # sides: without persistence the banded join re-plans and the
         # shingle UDF runs twice (measured 12 s vs 2.2 s in the bench
         # shape, r6 profile) — persist both here instead of relying on
-        # the caller to know the internals.
+        # the caller to know the internals. ``persisted_out`` receives
+        # the persisted frames for caller-side unpersist in long-lived
+        # sessions (default leaves them to session lifetime, as in
+        # lsh_candidates).
         lvl = pairs.storageLevel
         if not (lvl.useMemory or lvl.useDisk or lvl.useOffHeap):
             pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
-        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+        lvl_sh = sh.storageLevel
+        if not (lvl_sh.useMemory or lvl_sh.useDisk or lvl_sh.useOffHeap):
+            sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+        if persisted_out is not None:
+            persisted_out.append(pairs)
+            persisted_out.append(sh)
         sa = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
         sb = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
         both = pairs.join(sa, "id_a").join(sb, "id_b")
@@ -312,6 +324,7 @@ def exact_jaccard_pairs(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id
     # Arrow transfer: row-collect of 5k array<bigint> cells measured
     # ~0.9 s vs ~0.55 s via toPandas at sf0.1 (r6 profile, PLANS.md)
     sh_pdf = sh.toPandas()
+    sh.unpersist()  # dict collected — the executor cache is done
     # ids may be ints OR strings (image_id) — unwrap numpy scalars only
     lookup = {(i.item() if hasattr(i, "item") else i): np.asarray(v, dtype=np.int64)
               for i, v in zip(sh_pdf["id"], sh_pdf["sh"])}
@@ -331,7 +344,14 @@ def exact_jaccard_pairs(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id
                 raise ValueError(
                     f"candidate pair references id {missing!r} absent from "
                     "the docs frame — pass the corpus slice the pairs came from")
-            inter = np.intersect1d(sa_, sb_, assume_unique=True).shape[0]
+            # both sets are sorted unique (np.unique output): binary-
+            # search the smaller into the larger — O(m log n) vs
+            # intersect1d's concat+sort O((m+n) log (m+n))
+            if sa_.shape[0] > sb_.shape[0]:
+                sa_, sb_ = sb_, sa_
+            idx = np.searchsorted(sb_, sa_)
+            idx[idx == sb_.shape[0]] = 0  # any in-range slot; values compare below
+            inter = int(np.count_nonzero(sb_[idx] == sa_))
             out[i] = inter / (sa_.shape[0] + sb_.shape[0] - inter)
         return pd.Series(out)
 
