@@ -122,12 +122,16 @@ def decode_image(buf: bytes, reflectance_scale: bool | None = None) -> np.ndarra
         flat = np.frombuffer(buf, dtype="<u2", count=nbands * h * w, offset=off)
         return flat.reshape(nbands, h, w).copy()
     out = np.empty((nbands, h, w), dtype=np.uint16)
+    lut_domain = np.arange(256, dtype=np.float64)
     for b in range(nbands):
         scale = float(np.frombuffer(buf, dtype="<f4", count=1, offset=off)[0])
         off += 4
         q = np.frombuffer(buf, dtype=np.uint8, count=h * w, offset=off)
         off += h * w
-        out[b] = np.clip(np.round(q.astype(np.float64) * scale), 0, 65535).astype(np.uint16).reshape(h, w)
+        # uint8 payload -> 256-entry dequant LUT: identical values to
+        # the per-pixel round(q * scale) form at ~1/200th the float ops
+        lut = np.clip(np.round(lut_domain * scale), 0, 65535).astype(np.uint16)
+        out[b] = lut[q].reshape(h, w)
     return out
 
 

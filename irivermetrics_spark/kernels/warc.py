@@ -173,8 +173,13 @@ def iter_records(raw: bytes) -> Iterator[dict]:
             break
         buf += member
         pos = 0
+        # materialize the inflate buffer ONCE per gzip member: rebuilding
+        # bytes(buf) inside the record loop re-copied the whole buffer per
+        # parsed record — O(n_records x member_size) memcpy on whole-file-
+        # gzipped WARCs, where one member inflates the entire file
+        chunk = bytes(buf)
         while True:
-            rec, pos, state = _try_parse_one(bytes(buf), pos, consumed_total)
+            rec, pos, state = _try_parse_one(chunk, pos, consumed_total)
             if rec is not None:
                 yield rec
                 continue
@@ -300,7 +305,18 @@ def build_record(warc_type: str, payload: bytes, *, target_uri: str | None = Non
                  extra: dict[str, str] | None = None) -> bytes:
     """Serialize one WARC/1.0 record (used by the example/synth path;
     tests build their bytes independently)."""
-    rid = record_id or f"<urn:uuid:{abs(hash((warc_type, target_uri, date, payload))) :032x}>"
+    if record_id is None:
+        # content digest, not Python hash(): hash() is salted per process,
+        # which made synthesized WARC bytes differ across runs — the repo's
+        # writers (tar/zip) are bit-stable and this one should match
+        import hashlib
+
+        h = hashlib.blake2b(digest_size=16)
+        for part in (warc_type, target_uri or "", date):
+            h.update(part.encode("utf-8", "replace") + b"\x00")
+        h.update(payload)
+        record_id = f"<urn:uuid:{h.hexdigest()}>"
+    rid = record_id
     lines = [b"WARC/1.0",
              b"WARC-Type: " + warc_type.encode(),
              b"WARC-Date: " + date.encode(),

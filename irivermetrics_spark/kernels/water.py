@@ -27,16 +27,19 @@ NDWI_THRESHOLD = 0.0
 
 
 def water_mask(arr: np.ndarray, threshold: float = NDWI_THRESHOLD) -> np.ndarray:
-    """(nbands, h, w) uint16 reflectance -> int8 mask {1,0,-1}."""
+    """(nbands, h, w) uint16 reflectance -> int8 mask {1,0,-1}.
+
+    Only the bands the index uses are converted to float64 (the
+    all-band ``arr.astype(float64)`` form converted 4-7 planes to use
+    2 — same per-element ops on the used bands, bit-identical)."""
     nbands = arr.shape[0]
-    ref = arr.astype(np.float64) / 10000.0
-    green = ref[1]
-    nir = ref[3]
+    green = arr[1].astype(np.float64) / 10000.0
     if nbands >= 5:
-        swir2 = ref[4]
+        swir2 = arr[4].astype(np.float64) / 10000.0
         invalid = arr[4] == 0
         num, den = green - swir2, green + swir2
     else:
+        nir = arr[3].astype(np.float64) / 10000.0
         invalid = arr[3] == 0
         num, den = green - nir, green + nir
     with np.errstate(divide="ignore", invalid="ignore"):

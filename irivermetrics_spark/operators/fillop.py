@@ -39,12 +39,45 @@ from . import zonal
 FILL_RES_DEFAULT = 10
 
 
+_UNIVERSE_RINGS_MEMO: dict[int, tuple] = {}  # id -> (rings ref, digest)
+_UNIVERSE_MEMO: dict[tuple, tuple[np.ndarray, np.ndarray]] = {}
+_UNIVERSE_MEMO_CAP = 65536
+
+
+def _rings_digest(rings: list) -> str:
+    """Content digest of a rings list, memoized by identity with a
+    reference check (same aliasing guard as decode._corridor_bitmap:
+    a bare id() key could alias a recycled address)."""
+    memo = _UNIVERSE_RINGS_MEMO.get(id(rings))
+    if memo is not None and memo[0] is rings:
+        return memo[1]
+    import hashlib
+
+    h = hashlib.sha1()
+    for rx, ry in rings:
+        h.update(np.ascontiguousarray(rx, dtype=np.float64).tobytes())
+        h.update(np.ascontiguousarray(ry, dtype=np.float64).tobytes())
+    digest = h.hexdigest()
+    if len(_UNIVERSE_RINGS_MEMO) > 64:
+        _UNIVERSE_RINGS_MEMO.clear()
+    _UNIVERSE_RINGS_MEMO[id(rings)] = (rings, digest)
+    return digest
+
+
 def _cell_universe(cell: int, rings: list, grid: dict) -> tuple[np.ndarray, np.ndarray]:
     """All corridor pixels whose center falls in this hex cell.
 
     Pure function of (cell id, rings, grid): every kernel can rebuild
     its own universe — the trick that keeps densification shuffle-free.
+    Memoized per worker: the fill stage calls it once per (scene, cell)
+    GROUP, so every scene sharing a corridor re-derived the same cell's
+    pixel set (32x duplicate meshgrid+PIP work at bench shape).
     """
+    key = (int(cell), _rings_digest(rings),
+           tuple(sorted((k, float(v)) for k, v in grid.items())))
+    hit = _UNIVERSE_MEMO.get(key)
+    if hit is not None:
+        return hit
     ps, gx0, gy0, w, h = grid["ps"], grid["gx0"], grid["gy0"], grid["w"], grid["h"]
     cx, cy = cellindex.hex_center(np.asarray([cell]))
     _, res, _, _ = cellindex._unpack(np.asarray([cell]))
@@ -55,7 +88,11 @@ def _cell_universe(cell: int, rings: list, grid: dict) -> tuple[np.ndarray, np.n
     py_lo = max(0, int(np.floor((gy0 - (cy[0] + edge)) / ps - 0.5)) - 1)
     py_hi = min(h - 1, int(np.ceil((gy0 - (cy[0] - edge)) / ps - 0.5)) + 1)
     if px_hi < px_lo or py_hi < py_lo:
-        return np.empty(0, np.int32), np.empty(0, np.int32)
+        out = (np.empty(0, np.int32), np.empty(0, np.int32))
+        if len(_UNIVERSE_MEMO) >= _UNIVERSE_MEMO_CAP:
+            _UNIVERSE_MEMO.clear()
+        _UNIVERSE_MEMO[key] = out
+        return out
     pxs = np.arange(px_lo, px_hi + 1, dtype=np.int32)
     pys = np.arange(py_lo, py_hi + 1, dtype=np.int32)
     PX, PY = np.meshgrid(pxs, pys)
@@ -70,7 +107,11 @@ def _cell_universe(cell: int, rings: list, grid: dict) -> tuple[np.ndarray, np.n
         if not todo.any():
             break
         member[todo] = geometry.point_in_polygon(x[todo], y[todo], ring_x, ring_y)
-    return PX[member], PY[member]
+    out = (PX[member], PY[member])
+    if len(_UNIVERSE_MEMO) >= _UNIVERSE_MEMO_CAP:
+        _UNIVERSE_MEMO.clear()
+    _UNIVERSE_MEMO[key] = out
+    return out
 
 
 _CORRIDOR_COUNT_CACHE: dict = {}

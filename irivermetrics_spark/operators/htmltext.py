@@ -145,6 +145,7 @@ def html_blocks(html: str) -> list[tuple[str, int]]:
     link_depth = 0
     i = 0
     n = len(html)
+    low = None  # lowercased copy, built lazily at most once per document
 
     def flush():
         nonlocal anchor_chars
@@ -194,8 +195,12 @@ def html_blocks(html: str) -> list[tuple[str, int]]:
         name = html[t0:k].lower()
         i = _find_tag_end(html, k)
         if not closing and name in _DROP_CONTENT:
-            # skip to the matching close tag (case-insensitive)
-            low = html.lower()
+            # skip to the matching close tag (case-insensitive); the
+            # lowercased copy is built at most ONCE per document — per
+            # open tag it was O(tags x doc_len) on script/style-heavy or
+            # hostile markup (same quadratic class as the r7 sitemap fix)
+            if low is None:
+                low = html.lower()
             e = low.find("</" + name, i)
             i = n if e < 0 else _find_tag_end(html, e + 2 + len(name))
             continue

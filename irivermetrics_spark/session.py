@@ -14,6 +14,22 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _driver_mem() -> str:
+    """Local-mode driver heap: SPARK_GRAFT_DRIVER_MEM, else a quarter
+    of host RAM clamped to [8g, 32g]. In local mode the driver JVM IS
+    the executor, so a fixed 8g default thrashed GC when the flagship
+    image table grows with sf (~6 GB at sf1.0); a cluster deployment
+    sizes executor memory per node instead (guide §5)."""
+    env = os.environ.get("SPARK_GRAFT_DRIVER_MEM")
+    if env:
+        return env
+    try:
+        total_gb = os.sysconf("SC_PHYS_PAGES") * os.sysconf("SC_PAGE_SIZE") >> 30
+    except (ValueError, OSError, AttributeError):
+        return "8g"
+    return f"{min(32, max(8, int(total_gb) // 4))}g"
+
+
 def get_spark(
     app_name: str = "irivermetrics_spark",
     master: str | None = None,
@@ -36,7 +52,7 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", _driver_mem())
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )

@@ -26,10 +26,11 @@ def run(cpus: int, sf_dir: str, repeats: int = 3) -> dict:
     best = None
     env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus), SPARK_GRAFT_SF_DIR=sf_dir)
     env.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
-    # legs are already best-of-N at the whole-bench level; the r7
-    # per-query best-of-2 inside bench.py would double each leg's
-    # relational tail for no extra signal here
-    env.setdefault("SPARK_GRAFT_BENCH_REPEATS", "1")
+    # NOTE (ADVICE r7): bench.py's per-query best-of-2 is hardcoded —
+    # there is no repeat knob to disable, so each leg pays the doubled
+    # relational tail; legs are additionally best-of-N at the whole-
+    # bench level here. (A dead SPARK_GRAFT_BENCH_REPEATS env var and a
+    # comment claiming it disabled the repeat were removed.)
     for _ in range(repeats):
         out = subprocess.run(
             [sys.executable, os.path.join(REPO, "bench.py")],
