@@ -282,16 +282,18 @@ def exact_jaccard_pairs(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id
     sh = ds.select("id", shing("txt").alias("sh"))
     if broadcast_shingles:
         # byte-aware self-gate (ADVICE r4: a fixed doc-count threshold
-        # misses sub-500k corpora of LONG documents) at ~64 B/doc +
-        # 8 B/shingle against the same 100 MB budget distccl's
-        # resolve_components uses. The gate agg runs over the PERSISTED
-        # shingle frame (exact sizes, one UDF pass shared with the
-        # collect below) — the r7 shape paid a separate full docs scan
-        # (count + sum(length)) just to bound shingles by chars.
-        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
-        est = sh.agg(F.count("*").alias("n"),
-                     F.sum(F.size("sh")).alias("shingles")).collect()[0]
-        est_bytes = 64 * int(est["n"] or 0) + 8 * int(est["shingles"] or 0)
+        # misses sub-500k corpora of LONG documents): character
+        # shingles are bounded by text length, so one fused JVM-only
+        # agg (count + sum(length)) bounds the broadcast dict at
+        # ~64 B/doc + 8 B/shingle against the same 100 MB budget
+        # distccl's resolve_components uses. Deliberately NOT an agg
+        # over the shingle frame itself: exact set sizes would need the
+        # shingle UDF as a separate eager job plus a cache round-trip
+        # of the array column — measured ~+1.2 s per call at bench
+        # sf0.1 (r8) for a bound that only gates, never changes values.
+        est = ds.agg(F.count("*").alias("n"),
+                     F.sum(F.length("txt")).alias("chars")).collect()[0]
+        est_bytes = 64 * int(est["n"] or 0) + 8 * int(est["chars"] or 0)
         if est_bytes > BROADCAST_BUDGET_BYTES:
             broadcast_shingles = False  # driver-dim budget exceeded
     if not broadcast_shingles:
@@ -324,7 +326,6 @@ def exact_jaccard_pairs(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id
     # Arrow transfer: row-collect of 5k array<bigint> cells measured
     # ~0.9 s vs ~0.55 s via toPandas at sf0.1 (r6 profile, PLANS.md)
     sh_pdf = sh.toPandas()
-    sh.unpersist()  # dict collected — the executor cache is done
     # ids may be ints OR strings (image_id) — unwrap numpy scalars only
     lookup = {(i.item() if hasattr(i, "item") else i): np.asarray(v, dtype=np.int64)
               for i, v in zip(sh_pdf["id"], sh_pdf["sh"])}

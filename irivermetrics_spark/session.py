@@ -15,19 +15,15 @@ from pyspark.sql import SparkSession
 
 
 def _driver_mem() -> str:
-    """Local-mode driver heap: SPARK_GRAFT_DRIVER_MEM, else a quarter
-    of host RAM clamped to [8g, 32g]. In local mode the driver JVM IS
-    the executor, so a fixed 8g default thrashed GC when the flagship
-    image table grows with sf (~6 GB at sf1.0); a cluster deployment
-    sizes executor memory per node instead (guide §5)."""
-    env = os.environ.get("SPARK_GRAFT_DRIVER_MEM")
-    if env:
-        return env
-    try:
-        total_gb = os.sysconf("SC_PHYS_PAGES") * os.sysconf("SC_PAGE_SIZE") >> 30
-    except (ValueError, OSError, AttributeError):
-        return "8g"
-    return f"{min(32, max(8, int(total_gb) // 4))}g"
+    """Local-mode driver heap: SPARK_GRAFT_DRIVER_MEM, else 8g.
+
+    8g is the measured-fastest local default: an r8 A/B at bench sf0.1
+    local[32] read the whole suite ~2-5 s SLOWER with a host-derived
+    31g heap (larger G1 regions/card tables hurt the many short jobs
+    far more than extra headroom helps). Very large local runs
+    (sf >= 1.0 image tables) can raise it via the env var; a cluster
+    deployment sizes executor memory per node instead (guide §5)."""
+    return os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
 
 
 def get_spark(
