@@ -34,6 +34,16 @@ from ..kernels import water
 
 POINTS_SCHEMA = "image_id string, px int, py int, value tinyint, cell long"
 
+# decode_points emits scene/date from INSIDE the kernel (2 compiled-
+# regex matches per IMAGE — ~2k evaluations at bench scale) instead of
+# joining a broadcast scene/date dimension onto ~7.5M point rows: the
+# dim build added a distinct Exchange + a broadcast-build stage chain
+# that serialized ahead of the mask-write job (r8 measurement; the dim
+# join itself was the r8-bonus fix for the original per-point-row
+# regex). Same C1 semantics as with_scene_date, pinned by
+# tests/test_decode_scene_date_parity.py.
+POINTS_DATED_SCHEMA = POINTS_SCHEMA + ", date date, scene string"
+
 
 SUMMARY_MARKER = -9  # value of fused per-image summary rows (px=py=-1)
 QUARANTINE_MARKER = -10  # value of per-image quarantine rows (px=py=-1)
@@ -45,6 +55,46 @@ def empty_points_pdf() -> pd.DataFrame:
         dict(image_id=pd.Series(dtype="str"), px=pd.Series(dtype="int32"),
              py=pd.Series(dtype="int32"), value=pd.Series(dtype="int8"),
              cell=pd.Series(dtype="int64")))
+
+
+# the C1 patterns in Python-regex form: [0-9] spelled explicitly so the
+# match set equals Java's default ASCII \d (Python \d is Unicode-wide)
+_DATE_RE_PY = __import__("re").compile(r"([0-9]{4}[-_][0-9]{2}[-_][0-9]{2})")
+_SCENE_RE_PY = __import__("re").compile(r"^([A-Za-z0-9]+)_")
+
+
+def _scene_date_py(image_id):
+    """(scene, date) of one image id — the kernel-side twin of
+    :func:`with_scene_date` (same values row-for-row; pinned by
+    tests/test_decode_scene_date_parity.py). Matching Spark ANSI
+    semantics: regexp_extract yields '' on no-match and NULL on null
+    input; a date-shaped match that is not a real calendar date RAISES
+    (Spark 4's ANSI to_date throws CAST_INVALID_INPUT there) — so a
+    malformed id still fails the job loudly, and quarantine mode
+    diverts it per image. (Year 0000 — which ANSI to_date accepts but
+    datetime cannot represent — also raises; out of datetime's range
+    either way.)"""
+    import datetime
+
+    if image_id is None:
+        return None, None
+    m = _SCENE_RE_PY.match(image_id)
+    scene = m.group(1) if m else ""
+    dm = _DATE_RE_PY.search(image_id)
+    if dm is None:
+        # regexp_extract no-match yields '' and ANSI to_date('') throws
+        raise ValueError(
+            f"image id {image_id!r}: no yyyy-mm-dd date in id "
+            "(ANSI to_date parity — the C1 contract requires a date)")
+    iso = dm.group(1).replace("_", "-")
+    y, mo, d = iso.split("-")
+    try:
+        date = datetime.date(int(y), int(mo), int(d))
+    except ValueError as ex:
+        raise ValueError(
+            f"image id {image_id!r}: extracted date {iso!r} is not a "
+            "valid calendar date (ANSI to_date parity)") from ex
+    return scene, date
 
 
 # per-worker corridor-membership bitmaps: in-corridor is a pure
@@ -295,38 +345,60 @@ def decode_points(images: DataFrame, grid: dict, res: int = 9,
 
         for pdf in batches:
             out = []
+            frame_meta: list[tuple] = []  # (scene, date) per emitted frame
             src_grids = None
             if reproject:
                 crs_col = pdf["crs"] if "crs" in pdf.columns else ["planar"] * len(pdf)
                 src_grids = list(zip(pdf["gx0"], pdf["gy0"], pdf["ps"], crs_col))
             for i, (image_id, buf) in enumerate(zip(pdf["image_id"], pdf["bytes"])):
+                n_before = len(out)
                 if not quarantine:
                     decode_one(out, src_grids, i, image_id, buf)
-                    continue
-                try:
-                    decode_one(out, src_grids, i, image_id, buf)
-                except Exception:
-                    out.append(pd.DataFrame(dict(
-                        image_id=[image_id], px=np.int32(-1), py=np.int32(-1),
-                        value=np.int8(QUARANTINE_MARKER), cell=np.int64(-1))))
-            yield pd.concat(out, ignore_index=True) if out else empty_points_pdf()
+                else:
+                    try:
+                        decode_one(out, src_grids, i, image_id, buf)
+                    except Exception:
+                        out.append(pd.DataFrame(dict(
+                            image_id=[image_id], px=np.int32(-1), py=np.int32(-1),
+                            value=np.int8(QUARANTINE_MARKER), cell=np.int64(-1))))
+                frame_meta.extend([_scene_date_py(image_id)] * (len(out) - n_before))
+            if not out:
+                e = empty_points_pdf()
+                e["date"] = pd.Series(dtype="object")
+                e["scene"] = pd.Series(dtype="str")
+                yield e
+                continue
+            pdf_out = pd.concat(out, ignore_index=True)
+            # scene/date computed per IMAGE in Python (2 regex matches +
+            # one date parse each — ~2k evaluations at bench scale) and
+            # spread to point rows with one np.repeat: cheaper than both
+            # the per-point-row JVM regex (7.5M evaluations) and the r8-
+            # bonus broadcast dim join, whose distinct Exchange +
+            # broadcast build serialized ahead of the mask-write job.
+            lens = np.fromiter((len(f) for f in out), dtype=np.int64,
+                               count=len(out))
+            pdf_out["date"] = np.repeat(
+                np.array([m[1] for m in frame_meta], dtype=object), lens)
+            # dictionary-encode the per-point string columns for the
+            # Arrow trip back to the JVM: ~3.8k point rows share each
+            # image's id, and a categorical ships as dictionary<utf8>
+            # (measured 28 ms -> 1.2 ms conversion and 10.4 MB ->
+            # 0.5 MB IPC per 480k rows; guide §4 — control how
+            # efficiently columns cross the boundary). Values
+            # identical; Spark reads the dictionary vector as a plain
+            # string column.
+            pdf_out["scene"] = pd.Categorical(np.repeat(
+                np.array([m[0] for m in frame_meta], dtype=object), lens))
+            pdf_out["image_id"] = pdf_out["image_id"].astype("category")
+            yield pdf_out
 
     cols = ["image_id", "bytes"] + (["gx0", "gy0", "ps"] if reproject else [])
     if reproject and "crs" in images.columns:
         cols.append("crs")
-    pts = images.select(*cols).mapInPandas(kernel, schema=POINTS_SCHEMA)
-    if images.isStreaming:
-        return with_scene_date(pts)
-    # scene/date are pure functions of image_id: evaluate the C1 regexes
-    # once per DISTINCT image (an images-sized broadcast dim) instead of
-    # once per POINT row — the per-row form was ~3x the decode kernel's
-    # own cost at bench scale (two regexp_extract + a to_date over ~7.5M
-    # rows vs ~2k images). Left join keeps null-id rows identical to the
-    # per-row path (regex over null -> null scene/date). Streaming input
-    # keeps the per-row form above: a distinct() over the stream side
-    # would need its own state store.
-    dim = with_scene_date(images.select("image_id").distinct())
-    return pts.join(F.broadcast(dim), "image_id", "left")
+    # scene/date ride out of the kernel (see POINTS_DATED_SCHEMA) —
+    # batch and streaming take the identical path, no dim join, no
+    # per-point-row regex
+    return images.select(*cols).mapInPandas(kernel, schema=POINTS_DATED_SCHEMA)
 
 
 def quarantined(points: DataFrame) -> DataFrame:

@@ -318,7 +318,9 @@ def filled_water(points: DataFrame, kept_idx: DataFrame, reaches: list[dict],
         ti, pi = np.nonzero(out)
         return pd.DataFrame(
             {
-                "scene": scene,
+                # scene is constant per group: ship it dictionary-
+                # encoded over Arrow instead of one utf8 copy per row
+                "scene": pd.Categorical([scene]).repeat(ti.shape[0]),
                 "t_idx": ti.astype(np.int32),
                 "px": ux[pi].astype(np.int32),
                 "py": uy[pi].astype(np.int32),
