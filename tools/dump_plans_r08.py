@@ -80,7 +80,18 @@ def main() -> None:
         res = pipeline.run(spark, images, fx.reaches, grid,
                            mask_path=tempfile.mkdtemp(prefix="plan_mask_"))
         with open(os.path.join(OUT, f"flagship_pipeline_{suffix}.txt"), "w") as f:
-            f.write("== metrics frame ==\n")
+            f.write("== decode/mask-write frame (the write job's plan) ==\n")
+            import numpy as np
+
+            from irivermetrics_spark.operators import decode as decode_op
+
+            rings = [(np.asarray(r["ring_x"]), np.asarray(r["ring_y"]))
+                     for r in fx.reaches]
+            pts = decode_op.decode_points(images, grid, res=9,
+                                          corridor_rings=rings)
+            f.write(pts._jdf.queryExecution().explainString(
+                spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+            f.write("\n== metrics frame ==\n")
             f.write(res["metrics"]._jdf.queryExecution().explainString(
                 spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
         print("flagship_pipeline done", flush=True)
