@@ -47,7 +47,15 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        # batch sizing (guide §4.2): rows capped at the Spark default
+        # 10000 — the old 2048 row cap guarded wide binary image rows,
+        # but Spark 4's maxBytesPerBatch (64 MB, stated explicitly)
+        # already bounds those by BYTES (~218 rows/batch at 300 KB
+        # images), so the row cap only throttled narrow-row UDF stages
+        # into 5x more batches. r8 interleaved A/B on the flagship rep:
+        # 2048 -> 10000 read 2.65/2.73 -> 2.50/2.52 s.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.execution.arrow.maxBytesPerBatch", str(64 * 1024 * 1024))
         .config("spark.driver.memory", _driver_mem())
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
