@@ -433,7 +433,17 @@ def run(
 
 
 def images_df(spark: SparkSession, images_pdf) -> DataFrame:
-    """Create the image table DataFrame with the contract schema."""
+    """Create the image table DataFrame with the contract schema.
+
+    The Arrow conversion inside ``createDataFrame`` slices the pandas
+    frame by ``maxRecordsPerBatch`` ONLY — Spark 4's byte-based
+    ``maxBytesPerBatch`` does not govern this path — and at the
+    session's 10000-row default a batch of ~200 KB image rows crosses
+    the 2 GiB int32-offset limit of a (non-large) Arrow binary column.
+    Observed as a silent AQE hang materializing the cached image table
+    at the 384-scene scaling input (r8). Pin a byte-safe row count for
+    this one wide-binary conversion; the session default stays 10000
+    for narrow-row stages."""
     from pyspark.sql import types as T
 
     schema = T.StructType(
@@ -447,4 +457,10 @@ def images_df(spark: SparkSession, images_pdf) -> DataFrame:
             T.StructField("phash", T.LongType(), False),
         ]
     )
-    return spark.createDataFrame(images_pdf, schema)
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "512")
+    try:
+        return spark.createDataFrame(images_pdf, schema)
+    finally:
+        spark.conf.set(key, old)

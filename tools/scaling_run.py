@@ -34,7 +34,7 @@ def run(cpus: int, sf_dir: str, repeats: int = 3) -> dict:
     for _ in range(repeats):
         out = subprocess.run(
             [sys.executable, os.path.join(REPO, "bench.py")],
-            env=env, capture_output=True, text=True, timeout=3600,
+            env=env, capture_output=True, text=True, timeout=7200,
         )
         line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
         r = json.loads(line)
