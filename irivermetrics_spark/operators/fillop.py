@@ -318,8 +318,14 @@ def filled_water(points: DataFrame, kept_idx: DataFrame, reaches: list[dict],
         ti, pi = np.nonzero(out)
         return pd.DataFrame(
             {
-                # scene is constant per group: ship it dictionary-
-                # encoded over Arrow instead of one utf8 copy per row
+                # scene is constant per group; NOTE the pandas UDF
+                # serializer expands Categoricals back to object dtype
+                # before Arrow conversion (r8 finding), so this is a
+                # compact representation in the kernel, not a
+                # dictionary-encoded wire format. An applyInArrow port
+                # measured SLOWER (warm 1.76-1.83 s -> 1.91-1.98 s,
+                # tools/exp_fill_arrow.py) — groups are large enough
+                # that per-group pandas overhead is not the cost.
                 "scene": pd.Categorical([scene]).repeat(ti.shape[0]),
                 "t_idx": ti.astype(np.int32),
                 "px": ux[pi].astype(np.int32),
