@@ -150,6 +150,25 @@ def lsh_candidates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     banded = _banded(with_sig, id_col, n_hashes, bands).persist()
     if persisted_out is not None:
         persisted_out.append(banded)
+    # overlap (guide §2.6): materialize the persisted banded index on a
+    # daemon thread. The canonical consumer (exact_jaccard_pairs)
+    # immediately runs a driver-blocking shingle collect that is
+    # independent of the index build, so the two jobs pipeline instead
+    # of serializing — interleaved A/B of the full bench shape at
+    # sf0.1: 2.17/2.10/2.08/1.86 s serial -> 1.99/2.00/1.92/1.59 s
+    # overlapped (tools/exp_overlap_banded.py). The count() only runs
+    # the materialization the first consumer would pay anyway (cache is
+    # consistent under the race); errors are swallowed here so the
+    # consumer's own action surfaces them synchronously.
+    from pyspark import InheritableThread
+
+    def _materialize() -> None:
+        try:
+            banded.count()
+        except Exception:
+            pass
+
+    InheritableThread(target=_materialize, daemon=True).start()
     # self-join + dedup on BARE ids (16 bytes/row): a same-signature
     # family matches in all ``bands`` buckets, so pre-dedup volume is
     # bands x the pair count — carrying the two 64-long minhash arrays

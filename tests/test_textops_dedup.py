@@ -320,3 +320,44 @@ def test_keep_canonical_nan_rank_loses(spark):
     kept = {r.doc_id for r in dedup.keep_canonical(
         docs, pairs, rank_col="quality").collect()}
     assert kept == {"b"}
+
+
+def test_lsh_background_materialize_is_transparent(spark):
+    """r8: lsh_candidates fires the banded-index materialization on a
+    daemon thread (job overlap, guide §2.6). The race must be
+    invisible: the persisted frame ends up cached, values are the
+    banding contract's, and a poisoned corpus still fails
+    SYNCHRONOUSLY on the consumer's action (the background error is
+    swallowed) leaving the session usable."""
+    import time
+
+    import pandas as pd
+    import pytest
+
+    docs = spark.createDataFrame(pd.DataFrame(dict(
+        doc_id=[1, 2, 3],
+        text=["aaaa bbbb cccc dddd eeee", "aaaa bbbb cccc dddd eeee",
+              "zzzz yyyy xxxx wwww vvvv"],
+    )))
+    pers: list = []
+    cand = dedup.lsh_candidates(docs, "doc_id", "text", persisted_out=pers)
+    got = cand.toPandas()
+    assert (1, 2) in set(zip(got.id_a, got.id_b))
+    # background count + our action both hit the same persisted frame
+    deadline = time.time() + 30
+    while not pers[0].storageLevel.useMemory and time.time() < deadline:
+        time.sleep(0.1)
+    assert pers[0].storageLevel.useMemory
+    pers[0].unpersist()
+
+    # poisoned corpus: a runtime-raising text expression; the error
+    # must surface on OUR action, not kill the session from the
+    # daemon thread
+    bad = spark.range(2).selectExpr(
+        "id AS doc_id",
+        "concat('x', cast(assert_true(id < 0) AS string)) AS text")
+    bad_cand = dedup.lsh_candidates(bad, "doc_id", "text")
+    with pytest.raises(Exception):
+        bad_cand.count()
+    # session still healthy
+    assert spark.range(5).count() == 5
