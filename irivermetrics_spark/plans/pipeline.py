@@ -321,6 +321,24 @@ def run(
         ostats = obs.get
         kept_dates_all = sorted(d for d in (ostats["d_kept"] or []) if d is not None)
         n_kept_rows = int(ostats["n_kept"] or 0)
+        # overlap (guide §2.6): the downstream fill/zonal/fold plan
+        # build is ~0.4 s of driver-only py4j with the cluster idle;
+        # materialize the persisted kept dimension on a daemon thread
+        # meanwhile (a small scan of the just-written mask parquet +
+        # one agg — exactly the job the metrics action would run
+        # first). Only on this branch: without a mask sink, kept's
+        # lineage still contains the full decode and a background
+        # materialization would burn a decode for plan-only callers.
+        # Errors are swallowed; the caller's action surfaces them.
+        from pyspark import InheritableThread
+
+        def _materialize_kept() -> None:
+            try:
+                kept.count()
+            except Exception:
+                pass
+
+        InheritableThread(target=_materialize_kept, daemon=True).start()
     else:
         stats_df = kept.agg(
             F.collect_set("date").alias("d_all"),
