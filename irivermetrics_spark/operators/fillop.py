@@ -270,7 +270,8 @@ def drop_low_postfill(points: DataFrame, keys: list[str] | tuple[str, ...] = ("s
 
 def filled_water(points: DataFrame, kept_idx: DataFrame, reaches: list[dict],
                  grid: dict, fill_res: int = FILL_RES_DEFAULT,
-                 fill_nodata: bool = True, broadcast_kept: bool = True) -> DataFrame:
+                 fill_nodata: bool = True, broadcast_kept: bool = True,
+                 out_cell_res: int | None = None) -> DataFrame:
     """Temporal fill + binarize -> water point rows (value==1 only).
 
     points: decode output (scene, px, py, value in {1,-1}) already
@@ -285,16 +286,28 @@ def filled_water(points: DataFrame, kept_idx: DataFrame, reaches: list[dict],
     fill_nodata: the reference's calculate_metrics(fill_nodata=...)
     switch (src/irm_main.py:126) — False skips the temporal fill and
     just binarizes (nodata pixels stay dry).
-    Output: (scene, date string 'ds', px, py) water pixels after fill.
+    out_cell_res: when set, each output row also carries its hex cell
+    id at THIS res, computed in-kernel with the exact hex_cell_udf
+    arithmetic (float64 center from int px/py). The fill kernel is
+    already a Python stage over every output row, so attaching the
+    key here removes the separate ArrowEvalPython round-trip the
+    caller otherwise pays to re-key the whole water table (guide §4.1:
+    one boundary crossing instead of two).
+    Output: (scene, date string 'ds', px, py[, cell]) water pixels
+    after fill.
     """
     rings = [(np.asarray(r["ring_x"]), np.asarray(r["ring_y"])) for r in reaches]
+    ps, gx0, gy0 = grid["ps"], grid["gx0"], grid["gy0"]
 
     def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
         scene, cell = key[0], int(key[1])
-        empty = pd.DataFrame({"scene": pd.Series(dtype="str"),
-                              "t_idx": pd.Series(dtype="int32"),
-                              "px": pd.Series(dtype="int32"),
-                              "py": pd.Series(dtype="int32")})
+        empty_cols = {"scene": pd.Series(dtype="str"),
+                      "t_idx": pd.Series(dtype="int32"),
+                      "px": pd.Series(dtype="int32"),
+                      "py": pd.Series(dtype="int32")}
+        if out_cell_res is not None:
+            empty_cols["cell"] = pd.Series(dtype="int64")
+        empty = pd.DataFrame(empty_cols)
         ux, uy = _cell_universe(cell, rings, grid)
         n_px = ux.shape[0]
         if n_px == 0:
@@ -316,31 +329,38 @@ def filled_water(points: DataFrame, kept_idx: DataFrame, reaches: list[dict],
         mat[t_a, j] = np.where(v_a == 1, 1, 2)  # -1 in corridor -> fillable 2
         out = fillk.binarize(fillk.fill_series(mat) if fill_nodata else mat)
         ti, pi = np.nonzero(out)
-        return pd.DataFrame(
-            {
-                # scene is constant per group; NOTE the pandas UDF
-                # serializer expands Categoricals back to object dtype
-                # before Arrow conversion (r8 finding), so this is a
-                # compact representation in the kernel, not a
-                # dictionary-encoded wire format. An applyInArrow port
-                # measured SLOWER (warm 1.76-1.83 s -> 1.91-1.98 s,
-                # tools/exp_fill_arrow.py) — groups are large enough
-                # that per-group pandas overhead is not the cost.
-                "scene": pd.Categorical([scene]).repeat(ti.shape[0]),
-                "t_idx": ti.astype(np.int32),
-                "px": ux[pi].astype(np.int32),
-                "py": uy[pi].astype(np.int32),
-            }
-        )
+        cols = {
+            # scene is constant per group; NOTE the pandas UDF
+            # serializer expands Categoricals back to object dtype
+            # before Arrow conversion (r8 finding), so this is a
+            # compact representation in the kernel, not a
+            # dictionary-encoded wire format. An applyInArrow port
+            # measured SLOWER (warm 1.76-1.83 s -> 1.91-1.98 s,
+            # tools/exp_fill_arrow.py) — groups are large enough
+            # that per-group pandas overhead is not the cost.
+            "scene": pd.Categorical([scene]).repeat(ti.shape[0]),
+            "t_idx": ti.astype(np.int32),
+            "px": ux[pi].astype(np.int32),
+            "py": uy[pi].astype(np.int32),
+        }
+        if out_cell_res is not None:
+            # same float64 arithmetic as hex_cell_udf (bit-identical)
+            ox = gx0 + (ux[pi].astype(np.float64) + 0.5) * ps
+            oy = gy0 - (uy[pi].astype(np.float64) + 0.5) * ps
+            cols["cell"] = cellindex.hex_cell(ox, oy, out_cell_res)
+        return pd.DataFrame(cols)
 
+    out_schema = "scene string, t_idx int, px int, py int"
+    out_cols = ["scene", "ds", "px", "py"]
+    if out_cell_res is not None:
+        out_schema += ", cell long"
+        out_cols.append("cell")
     cell_of = hex_cell_udf(fill_res, grid)
     prepared = points.withColumn("fill_cell", cell_of("px", "py"))
-    filled = prepared.groupBy("scene", "fill_cell").applyInPandas(
-        kernel, "scene string, t_idx int, px int, py int"
-    )
+    filled = prepared.groupBy("scene", "fill_cell").applyInPandas(kernel, out_schema)
     # broadcast gated by the caller (pipeline passes n_kept_rows <= 2M):
     # the kept dimension is unbounded at 10^6-scene scale (ADVICE r3)
     dim = kept_idx.select("scene", "t_idx", "ds")
     if broadcast_kept:
         dim = F.broadcast(dim)
-    return filled.join(dim, ["scene", "t_idx"]).select("scene", "ds", "px", "py")
+    return filled.join(dim, ["scene", "t_idx"]).select(*out_cols)

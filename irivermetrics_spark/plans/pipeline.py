@@ -402,16 +402,19 @@ def run(
     if n_kept_rows <= 2_000_000:
         kept_cols = F.broadcast(kept_cols)
     points_kept = points.join(kept_cols, ["scene", "date"])
+    # the fill kernel attaches the res-`res` cell key in-kernel
+    # (out_cell_res): the fill stage grouped on the finer fill_res key,
+    # and re-keying via a separate hex_cell_udf stage paid a second
+    # ArrowEvalPython round-trip of the whole water table (r8)
     water = fillop.filled_water(points_kept, kept_idx, reaches, grid, fill_res=fill_res,
                                 fill_nodata=fill_nodata,
-                                broadcast_kept=n_kept_rows <= 2_000_000)
+                                broadcast_kept=n_kept_rows <= 2_000_000,
+                                out_cell_res=res)
     if checkpoint_dir:
         water = lineage.run_stage(spark, water, checkpoint_dir, "water_filled")
 
     cover = zonal.cover_df(spark, reaches, res)
-    # post-fill water points re-acquire their res-`res` cell key for the
-    # per-section join (the fill stage grouped on the finer fill_res key)
-    water_keyed = water.withColumn("cell", fillop.hex_cell_udf(res, grid)("px", "py"))
+    water_keyed = water
     # persisted: persistence, morphology and the exports all branch off
     # this subtree — without a persist Spark recomputes fill+join per branch
     water_joined = zonal.zonal_join(water_keyed, cover, reaches, grid).persist()
