@@ -4,9 +4,12 @@ A: old shape — filled_water without cell, then hex_cell_udf withColumn
    (a second ArrowEvalPython over the whole water table).
 B: new shape — out_cell_res attaches cell inside the fill kernel.
 
-Values must be bit-identical (exceptAll both directions, schema-equal
-after column reorder); timing is interleaved noop of the zonal-joined
-water table (the stage the change affects).
+Values must be bit-identical (exceptAll both directions, schema-equal).
+Timing: interleaved noop of the zonal-joined water table with the plan
+REBUILT per rep — AQE caches materialized query stages per Dataset
+object, so repeated actions on the same object skip everything up to
+the final stage and read absurdly fast (a first attempt on reused
+objects read 0.1 s reps for a chain whose kernel alone costs ~1.8 s).
 """
 from __future__ import annotations
 
@@ -43,24 +46,31 @@ def main():
     # one full run to get the pipeline's own points_kept inputs
     res = pipeline.run(spark, images, fx.reaches, grid,
                        mask_path=tempfile.mkdtemp(prefix="kcell_mask_"))
-    # rebuild the fill inputs exactly as pipeline.run does
-    points = res["mask_points"]
+    res["metrics"].count()  # warm workers/codegen
+    points_src = res["mask_points"]
     kept = res["kept"]
     from pyspark.sql import Window
-    kept_idx = kept.select(
-        "scene", "date",
-        F.date_format("date", "yyyy-MM-dd").alias("ds"),
-        (F.row_number().over(Window.partitionBy("scene").orderBy("date")) - 1).alias("t_idx"),
-        F.count("*").over(Window.partitionBy("scene")).alias("n_t"),
-    )
-    kept_cols = F.broadcast(kept_idx.select("scene", "date", "t_idx", "n_t"))
-    points_kept = points.join(kept_cols, ["scene", "date"])
 
-    water_a = fillop.filled_water(points_kept, kept_idx, fx.reaches, grid) \
-        .withColumn("cell", fillop.hex_cell_udf(9, grid)("px", "py"))
-    water_b = fillop.filled_water(points_kept, kept_idx, fx.reaches, grid,
-                                  out_cell_res=9)
+    def build(new: bool):
+        """Rebuild the fill inputs exactly as pipeline.run does — fresh
+        plan objects every call so no AQE stage reuse across reps."""
+        pts = points_src.filter("px >= 0")  # no-op filter -> fresh nodes
+        kept_idx = kept.select(
+            "scene", "date",
+            F.date_format("date", "yyyy-MM-dd").alias("ds"),
+            (F.row_number().over(Window.partitionBy("scene").orderBy("date")) - 1).alias("t_idx"),
+            F.count("*").over(Window.partitionBy("scene")).alias("n_t"),
+        )
+        pk = pts.join(F.broadcast(kept_idx.select("scene", "date", "t_idx", "n_t")),
+                      ["scene", "date"])
+        if new:
+            w = fillop.filled_water(pk, kept_idx, fx.reaches, grid, out_cell_res=9)
+        else:
+            w = fillop.filled_water(pk, kept_idx, fx.reaches, grid) \
+                .withColumn("cell", fillop.hex_cell_udf(9, grid)("px", "py"))
+        return w
 
+    water_a, water_b = build(False), build(True)
     assert water_a.schema == water_b.schema, (water_a.schema, water_b.schema)
     d1 = water_a.exceptAll(water_b).count()
     d2 = water_b.exceptAll(water_a).count()
@@ -68,13 +78,16 @@ def main():
     print(f"rows={n} exceptAll a-b={d1} b-a={d2}", flush=True)
     assert d1 == 0 and d2 == 0
 
-    # timing: noop the zonal-joined table (what the metrics job runs)
+    # timing: noop the zonal-joined table (what the metrics job runs),
+    # plan rebuilt per rep
     cover = zonal.cover_df(spark, fx.reaches, 9)
-    ja = zonal.zonal_join(water_a, cover, fx.reaches, grid)
-    jb = zonal.zonal_join(water_b, cover, fx.reaches, grid)
-    for rep in range(4):
-        t0 = time.perf_counter(); noop(ja); ta = time.perf_counter() - t0
-        t0 = time.perf_counter(); noop(jb); tb = time.perf_counter() - t0
+    for rep in range(5):
+        t0 = time.perf_counter()
+        noop(zonal.zonal_join(build(False), cover, fx.reaches, grid))
+        ta = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        noop(zonal.zonal_join(build(True), cover, fx.reaches, grid))
+        tb = time.perf_counter() - t0
         print(f"rep{rep} old={ta:.3f} new={tb:.3f}", flush=True)
 
     spark.stop()
